@@ -1,0 +1,164 @@
+"""Task configuration: env-var and ini-file sources.
+
+Mirrors the reference's config surface (reference:
+executor/bumblebee/config.py:34-127,321-435) — destination coordinates,
+LOAD_METHOD, window size/offset/truncate, timezone, concurrency,
+PARTITION_FILTER, ALLOW_FIELD_ADDITION — re-validated here with stdlib
+only. The Spark engine consumes a single `TaskConfig` dataclass
+regardless of source.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from dataclasses import dataclass, field
+from enum import Enum
+from zoneinfo import ZoneInfo
+
+from .windowing import parse_duration
+
+__all__ = ["LoadMethod", "TaskConfig", "task_config_from_env", "task_config_from_properties"]
+
+
+class LoadMethod(Enum):
+    """How query results land in the destination table.
+
+    Behavior table: reference task/bq2bq/README.md:15-21.
+    """
+
+    APPEND = "APPEND"
+    REPLACE = "REPLACE"
+    REPLACE_MERGE = "REPLACE_MERGE"
+    REPLACE_ALL = "REPLACE_ALL"
+    MERGE = "MERGE"
+
+    @property
+    def write_mode(self) -> str:
+        if self is LoadMethod.APPEND:
+            return "append"
+        if self in (LoadMethod.REPLACE, LoadMethod.REPLACE_MERGE, LoadMethod.REPLACE_ALL):
+            return "overwrite"
+        raise ValueError("write mode is only defined for APPEND/REPLACE load methods")
+
+
+def _validate_timezone(name: str) -> str:
+    ZoneInfo(name)  # raises on unknown zone
+    return name
+
+
+def _validate_positive(val: int) -> int:
+    if val > 0:
+        return val
+    raise ValueError("value should be an integer greater than 0")
+
+
+def _bool_from_str(s: str) -> bool:
+    low = s.strip().lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    raise ValueError(f"expected 'true' or 'false', got {s!r}")
+
+
+@dataclass
+class TaskConfig:
+    destination_project: str
+    destination_dataset: str
+    destination_table_name: str
+    load_method: LoadMethod
+    timezone: str = "UTC"
+    concurrency: int = 1
+    filter_expression: str | None = None
+    allow_field_addition: bool = False
+    use_spillover: bool = False
+    window_size: str | None = None
+    window_offset: str | None = None
+    window_truncate_upto: str | None = None
+    execution_project: str | None = None
+    labels: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def destination_table(self) -> str:
+        return f"{self.destination_project}.{self.destination_dataset}.{self.destination_table_name}"
+
+    def __post_init__(self) -> None:
+        _validate_timezone(self.timezone)
+        _validate_positive(self.concurrency)
+        if self.window_size is not None and parse_duration(self.window_size).total_seconds() == 0:
+            raise ValueError(f"invalid window size: {self.window_size!r}")
+
+
+def _env(name: str, default: str | None = None, required: bool = False) -> str | None:
+    val = os.environ.get(name, default)
+    if required and (val is None or val == ""):
+        raise AssertionError(f"config '{name}' must be provided")
+    return val
+
+
+def parse_labels(text: str) -> dict[str, str]:
+    """``k1=v1,k2=v2`` → dict (reference config.py:248-260)."""
+    out: dict[str, str] = {}
+    for pair in text.split(","):
+        key, sep, value = pair.partition("=")
+        if not sep or not key or not value:
+            raise ValueError(f"labels must be k=v pairs, got {text!r}")
+        out[key] = value
+    return out
+
+
+def task_config_from_env() -> TaskConfig:
+    return TaskConfig(
+        destination_project=_env("PROJECT", required=True),
+        destination_dataset=_env("DATASET", required=True),
+        destination_table_name=_env("TABLE", required=True),
+        load_method=LoadMethod[_env("LOAD_METHOD", required=True)],
+        timezone=_env("TIMEZONE", "UTC"),
+        concurrency=int(_env("CONCURRENCY", "1")),
+        filter_expression=_env("PARTITION_FILTER"),
+        allow_field_addition=_bool_from_str(_env("ALLOW_FIELD_ADDITION", "false")),
+        use_spillover=_bool_from_str(_env("USE_SPILLOVER", "false")),
+        window_size=_env("WINDOW_SIZE"),
+        window_offset=_env("WINDOW_OFFSET"),
+        window_truncate_upto=_env("WINDOW_TRUNCATE_UPTO"),
+        execution_project=_env("EXECUTION_PROJECT"),
+        labels=parse_labels(_env("JOB_LABELS", "owner=transformers-spark")),
+    )
+
+
+def task_config_from_properties(raw_properties: str) -> TaskConfig:
+    """Parse an ini-style properties.cfg (sections DESTINATION/TRANSFORMATION/LOAD)."""
+    cp = configparser.ConfigParser(allow_no_value=True)
+    cp.optionxform = str  # preserve key case
+    cp.read_string(raw_properties)
+    props: dict[str, str] = {}
+    for section in cp.sections():
+        for key in cp[section]:
+            val = cp[section][key]
+            props[key] = val.strip('"') if val is not None else val
+
+    def get(key: str, default: str | None = None) -> str | None:
+        return props.get(key, default)
+
+    def require(key: str) -> str:
+        val = props.get(key)
+        if not val:
+            raise ValueError(f"property '{key}' must be provided")
+        return val
+
+    return TaskConfig(
+        destination_project=require("PROJECT"),
+        destination_dataset=require("DATASET"),
+        destination_table_name=require("TABLE"),
+        load_method=LoadMethod[require("LOAD_METHOD")],
+        timezone=get("TIMEZONE", "UTC"),
+        concurrency=int(get("CONCURRENCY", "1")),
+        filter_expression=get("PARTITION_FILTER"),
+        allow_field_addition=_bool_from_str(get("ALLOW_FIELD_ADDITION", "false")),
+        use_spillover=_bool_from_str(get("USE_SPILLOVER", "false")),
+        window_size=get("WINDOW_SIZE"),
+        window_offset=get("WINDOW_OFFSET"),
+        window_truncate_upto=get("WINDOW_TRUNCATE_UPTO"),
+        execution_project=get("EXECUTION_PROJECT"),
+    )
