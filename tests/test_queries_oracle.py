@@ -1,0 +1,63 @@
+"""Replicates the driver's correctness gate locally: run every catalog
+query in Spark AND its DuckDB oracle on the same parquet tables, then
+compare row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+from transformers_spark.queries import QUERIES
+from transformers_spark.sources.testdata import TABLES, table_path
+
+
+def _duckdb_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    # sort columns by name, then rows; stringify with float rounding
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6g}"
+        return str(v)
+
+    return sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = QUERIES[name]
+    sdf = spec.build(spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duckdb_con(sf_dir)
+    res = con.execute(spec.oracle)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
+    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols), (
+        f"{name}: value mismatch"
+    )
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    names = entry_mod.queries().keys()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles).issubset(set(names))

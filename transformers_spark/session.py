@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings
+(AQE, dynamic partition overwrite, Arrow, UTC session time) are the
+ones we'd ship on a real cluster — only master/memory change there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "ENGINE_CONF"]
+
+# Conf we apply everywhere: these are scale-oriented defaults.
+ENGINE_CONF: dict[str, str] = {
+    # Deterministic time semantics: all window math is done in Python
+    # with explicit zones; Spark sessions always run UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime coalescing of shuffle partitions,
+    # skew-join splitting, and runtime broadcast conversion — the main
+    # levers that make one plan work at sf0.01 and at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition-scoped overwrites replace only touched partitions
+    # (the engine's stand-in for BigQuery's `table$YYYYMMDD`).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # ANSI off: BigQuery-style permissive casts in ported queries.
+    "spark.sql.ansi.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) surface as
+    # nano-precision longs; the source layer converts them back to
+    # timestamps (see sources/testdata.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "transformers-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    conf = dict(ENGINE_CONF)
+    # On local[N] there is no cluster to absorb a wide shuffle; 2×cores
+    # is plenty. On a real cluster this is overridden (or left to AQE).
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 2 * cpus)
+    if warehouse_dir:
+        conf["spark.sql.warehouse.dir"] = warehouse_dir
+    if extra_conf:
+        conf.update(extra_conf)
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime-settable engine conf to an existing
+    session (the driver hands us its own SparkSession)."""
+    for key, value in ENGINE_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark
