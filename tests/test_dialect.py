@@ -1,0 +1,124 @@
+"""Dialect shim tests — corpus-driven (reference sample queries)."""
+
+from transformers_spark.dialect import (
+    classify_statement,
+    split_headers_and_body,
+    split_statements,
+    table_references,
+    transpile,
+)
+
+
+def test_fqn_backtick_rewrite():
+    out = transpile("select * from `g-project.playground.booking_log`")
+    assert out == "select * from `g_project_playground`.`booking_log`"
+
+
+def test_fqn_bare_rewrite():
+    out = transpile("select * from proj.dataset.table join a.b.c on x = y")
+    assert "proj_dataset.table" in out and "a_b.c" in out
+
+
+def test_fqn_inside_string_untouched():
+    out = transpile("select 'proj.dataset.table' as s from `p.d.t`")
+    assert "'proj.dataset.table'" in out
+    assert "`p_d`.`t`" in out
+
+
+def test_timestamp_constructor():
+    out = transpile("select TIMESTAMP ('2021-09-01T01:02:03') as ts")
+    assert out == "select CAST('2021-09-01T01:02:03' AS TIMESTAMP) as ts"
+    # CAST ... AS TIMESTAMP untouched
+    assert transpile("CAST(x AS TIMESTAMP)") == "CAST(x AS TIMESTAMP)"
+
+
+def test_date_with_timezone():
+    out = transpile("DATE(created_timestamp,'Asia/Jakarta')")
+    assert out == "TO_DATE(FROM_UTC_TIMESTAMP(created_timestamp, 'Asia/Jakarta'))"
+
+
+def test_current_date_tz():
+    out = transpile("select CURRENT_DATE('Asia/Jakarta')")
+    assert "TO_DATE(FROM_UTC_TIMESTAMP(CURRENT_TIMESTAMP(), 'Asia/Jakarta'))" in out
+
+
+def test_date_sub_interval():
+    assert (
+        transpile("DATE_SUB(current_date, INTERVAL 30 day)")
+        == "DATE_SUB(current_date, 30)"
+    )
+    assert transpile("DATE_ADD(d, INTERVAL 2 month)") == "(d + INTERVAL 2 month)"
+
+
+def test_date_trunc_week_monday():
+    out = transpile("DATE_TRUNC(DATE(created_timestamp,'Asia/Jakarta'), WEEK(MONDAY))")
+    assert out == (
+        "CAST(DATE_TRUNC('WEEK', TO_DATE(FROM_UTC_TIMESTAMP(created_timestamp,"
+        " 'Asia/Jakarta'))) AS DATE)"
+    )
+
+
+def test_numeric_cast():
+    assert transpile("CAST(x AS NUMERIC)") == "CAST(x AS DECIMAL(38,9))"
+    assert transpile("CAST(x AS DATETIME)") == "CAST(x AS TIMESTAMP)"
+
+
+def test_in_unnest():
+    out = transpile("WHERE DATE(`event_timestamp`) IN UNNEST(partitions)")
+    assert "ARRAY_CONTAINS(partitions, DATE(`event_timestamp`))" in out
+
+
+def test_partitiontime():
+    out = transpile("WHERE date(`_PARTITIONTIME`) >= '2020-01-01'")
+    assert "CAST(`dt` AS TIMESTAMP)" in out
+
+
+def test_utc_literal_suffix_stripped():
+    out = transpile('WHERE load_timestamp = "2020-06-02 02:00:41.634266 UTC"')
+    assert out == "WHERE load_timestamp = '2020-06-02 02:00:41.634266'"
+
+
+def test_split_statements_respects_strings():
+    stmts = split_statements("select ';' as a; select 2")
+    assert len(stmts) == 2
+    assert stmts[0] == "select ';' as a"
+
+
+def test_classify():
+    assert classify_statement("DECLARE power INT64") == "declare"
+    assert classify_statement("SET power = 9001") == "set"
+    assert classify_statement("MERGE `t` S using (select 1) N on false") == "merge"
+    assert classify_statement("WITH x AS (select 1) select * from x") == "select"
+    assert classify_statement("DROP TABLE `a`") == "drop_table"
+
+
+def test_split_headers_and_body():
+    sql = (
+        "CREATE TEMP FUNCTION f(x STRING) RETURNS STRING LANGUAGE js AS 'x';\n"
+        "WITH d AS (SELECT 1 AS a) SELECT * FROM d"
+    )
+    headers, body = split_headers_and_body(sql)
+    assert len(headers) == 1 and body.startswith("WITH d")
+
+
+def test_table_references_basic():
+    sql = "select * from `a.b.c` join `d-e.f.g` on 1=1"
+    assert table_references(sql) == ["a.b.c", "d-e.f.g"]
+
+
+def test_table_references_cte_and_destination_excluded():
+    sql = (
+        "WITH step1 AS (select * from proj.ds.src) "
+        "select * from step1 join proj.ds.dest on 1=1"
+    )
+    assert table_references(sql, destination="proj.ds.dest") == ["proj.ds.src"]
+
+
+def test_table_references_ignoreupstream():
+    sql = "select * from /* @ignoreupstream */ `a.b.c` join `d.e.f` on 1=1"
+    assert table_references(sql) == ["d.e.f"]
+
+
+def test_table_references_comments_stripped():
+    sql = "-- from `x.y.z`\nselect * from `a.b.c`"
+    assert table_references(sql) == ["a.b.c"]

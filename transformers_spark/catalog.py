@@ -1,0 +1,176 @@
+"""Engine catalog: BigQuery-style table coordinates on a Spark catalog.
+
+``project.dataset.table`` maps to Spark database ``project_dataset``,
+table ``table`` (hyphens → underscores, matching the dialect shim).
+Day-partitioned tables (both BigQuery flavors — ingestion-time and
+column-partitioned, reference: executor/bumblebee/transformation.py:
+70-123) are physical Parquet tables with an explicit ``dt DATE``
+partition column:
+
+* ingestion-time: ``dt`` is assigned by the loader (the stand-in for
+  ``_PARTITIONTIME``; the dialect rewrites that pseudo-column to
+  ``CAST(dt AS TIMESTAMP)``),
+* column DAY on field F: ``dt = DATE(F)`` derived at write.
+
+Partitioning metadata is persisted in TBLPROPERTIES so any session can
+re-introspect it (the dispatch layer's analogue of BigQuery
+``get_table``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import spark_table_name_from_fqn
+
+__all__ = ["PartitionKind", "PartitionSpec", "TableMeta", "Catalog", "PARTITION_COL"]
+
+PARTITION_COL = "dt"
+
+PROP_KIND = "transformers.partition.kind"
+PROP_FIELD = "transformers.partition.field"
+
+
+class PartitionKind:
+    NONE = "none"
+    INGESTION_DAY = "ingestion_day"
+    COLUMN_DAY = "column_day"
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    kind: str = PartitionKind.NONE
+    field: str | None = None  # source column for COLUMN_DAY
+
+    @property
+    def is_partitioned(self) -> bool:
+        return self.kind != PartitionKind.NONE
+
+
+@dataclass
+class TableMeta:
+    fqn: str
+    spark_name: str
+    columns: list[tuple[str, str]]  # user-visible (name, spark ddl type)
+    partition: PartitionSpec
+
+    @property
+    def column_names(self) -> list[str]:
+        return [name for name, _ in self.columns]
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a possibly-dotted spark name per identifier."""
+    return ".".join(f"`{part}`" for part in name.split("."))
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._meta: dict[str, TableMeta] = {}
+
+    # -- naming ---------------------------------------------------------
+
+    def spark_name(self, fqn: str) -> str:
+        return spark_table_name_from_fqn(fqn)
+
+    # -- DDL ------------------------------------------------------------
+
+    def create_table(
+        self,
+        fqn: str,
+        columns: list[tuple[str, str]],
+        partition: PartitionSpec = PartitionSpec(),
+        if_not_exists: bool = True,
+    ) -> TableMeta:
+        name = self.spark_name(fqn)
+        db = name.split(".")[0]
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        cols_ddl = ", ".join(f"`{c}` {t}" for c, t in columns)
+        partition_ddl = ""
+        props = [f"'{PROP_KIND}' = '{partition.kind}'"]
+        if partition.is_partitioned:
+            cols_ddl += f", `{PARTITION_COL}` DATE"
+            partition_ddl = f" PARTITIONED BY (`{PARTITION_COL}`)"
+            if partition.field:
+                props.append(f"'{PROP_FIELD}' = '{partition.field}'")
+        exists_ddl = "IF NOT EXISTS " if if_not_exists else ""
+        self.spark.sql(
+            f"CREATE TABLE {exists_ddl}{_q(name)} ({cols_ddl}) USING PARQUET"
+            f"{partition_ddl} TBLPROPERTIES ({', '.join(props)})"
+        )
+        meta = TableMeta(fqn=fqn, spark_name=name, columns=list(columns), partition=partition)
+        self._meta[fqn] = meta
+        return meta
+
+    def drop_table(self, fqn: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {_q(self.spark_name(fqn))}")
+        self._meta.pop(fqn, None)
+
+    def table_exists(self, fqn: str) -> bool:
+        return self.spark.catalog.tableExists(self.spark_name(fqn))
+
+    def add_columns(self, fqn: str, new_columns: list[tuple[str, str]]) -> None:
+        """Schema evolution (ALLOW_FIELD_ADDITION, reference:
+        bigquery_service.py:111-115)."""
+        if not new_columns:
+            return
+        cols_ddl = ", ".join(f"`{c}` {t}" for c, t in new_columns)
+        self.spark.sql(f"ALTER TABLE {_q(self.spark_name(fqn))} ADD COLUMNS ({cols_ddl})")
+        meta = self.get_table(fqn)
+        meta.columns.extend(new_columns)
+
+    # -- introspection (the BigQuery get_table analogue) ----------------
+
+    def get_table(self, fqn: str) -> TableMeta:
+        if fqn in self._meta:
+            return self._meta[fqn]
+        name = self.spark_name(fqn)
+        if not self.spark.catalog.tableExists(name):
+            raise ValueError(f"table not found: {fqn} (spark name {name})")
+        props = {
+            row["key"]: row["value"]
+            for row in self.spark.sql(f"SHOW TBLPROPERTIES {_q(name)}").collect()
+        }
+        kind = props.get(PROP_KIND, PartitionKind.NONE)
+        field = props.get(PROP_FIELD)
+        schema = self.spark.table(name).schema
+        columns = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if not (kind != PartitionKind.NONE and f.name == PARTITION_COL)
+        ]
+        meta = TableMeta(
+            fqn=fqn,
+            spark_name=name,
+            columns=columns,
+            partition=PartitionSpec(kind=kind, field=field),
+        )
+        self._meta[fqn] = meta
+        return meta
+
+    # -- reads ----------------------------------------------------------
+
+    def read(self, fqn: str, include_partition_col: bool = True) -> DataFrame:
+        meta = self.get_table(fqn)
+        df = self.spark.table(meta.spark_name)
+        if not include_partition_col and meta.partition.is_partitioned:
+            df = df.drop(PARTITION_COL)
+        return df
+
+    def partition_dates(self, fqn: str) -> list[date]:
+        """Distinct dt values — partition-pruned metadata-ish scan."""
+        meta = self.get_table(fqn)
+        if not meta.partition.is_partitioned:
+            return []
+        rows = (
+            self.spark.table(meta.spark_name)
+            .select(PARTITION_COL)
+            .distinct()
+            .collect()
+        )
+        return sorted(r[0] for r in rows if r[0] is not None)

@@ -1,0 +1,366 @@
+"""BigQuery → Spark SQL dialect shim.
+
+String-to-string transpile passes for the GoogleSQL constructs that
+appear in the reference's query corpus (SURVEY.md §2.B; reference:
+executor/samples/tasks/**, executor/bumblebee/query.py templates).
+Everything else is passed through untouched — Spark SQL covers it.
+
+Also provides the statement splitter + DDL-header classification the
+reference builds on sqlparse (reference: executor/bumblebee/
+query.py:155-179), reimplemented here with a quote/comment-aware
+scanner (sqlparse isn't available and isn't needed).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+__all__ = [
+    "transpile",
+    "split_statements",
+    "classify_statement",
+    "table_references",
+    "spark_table_name",
+]
+
+# --- identifier mapping -----------------------------------------------------
+
+# BQ addresses tables as `project.dataset.table` with backticks around
+# the WHOLE name (and hyphens allowed in project ids); Spark wants
+# db.table with per-identifier backticks. We map project+dataset onto
+# one Spark database: `project_dataset`.`table`.
+_FQN_BACKTICK_RE = re.compile(r"`([\w$][\w\-$]*)\.([\w$]+)\.([\w$][\w\-$]*)`")
+_FQN_BARE_RE = re.compile(
+    r"(?<![\w`.])([A-Za-z][\w\-]*)\.([A-Za-z]\w*)\.([A-Za-z][\w\-]*)(?![\w`.])"
+)
+
+
+def _sanitize(part: str) -> str:
+    return part.replace("-", "_")
+
+
+def spark_table_name(project: str, dataset: str, table: str) -> str:
+    return f"{_sanitize(project)}_{_sanitize(dataset)}.{_sanitize(table)}"
+
+
+def spark_table_name_from_fqn(fqn: str) -> str:
+    project, dataset, table = fqn.split(".")
+    return spark_table_name(project, dataset, table)
+
+
+# --- masking helpers (don't rewrite inside strings/comments) ----------------
+
+
+@dataclass
+class _Masked:
+    text: str
+    saved: list[str] = field(default_factory=list)
+
+
+_STRING_OR_COMMENT_RE = re.compile(
+    r"""
+      '''(?:[^\\]|\\.)*?'''           # triple-quoted
+    | \"\"\"(?:[^\\]|\\.)*?\"\"\"
+    | '(?:[^'\\]|\\.)*'               # single-quoted string
+    | "(?:[^"\\]|\\.)*"               # double-quoted string
+    | --[^\n]*                        # line comment
+    | \#[^\n]*                        # BQ hash comment
+    | /\*.*?\*/                       # block comment
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _mask(sql: str) -> _Masked:
+    masked = _Masked(text="")
+    out = []
+    last = 0
+    for m in _STRING_OR_COMMENT_RE.finditer(sql):
+        out.append(sql[last : m.start()])
+        out.append(f"\x00{len(masked.saved)}\x00")
+        masked.saved.append(m.group(0))
+        last = m.end()
+    out.append(sql[last:])
+    masked.text = "".join(out)
+    return masked
+
+
+def _unmask(masked: _Masked, text: str) -> str:
+    def restore(m: re.Match) -> str:
+        return masked.saved[int(m.group(1))]
+
+    return re.sub(r"\x00(\d+)\x00", restore, text)
+
+
+# --- transpile passes -------------------------------------------------------
+
+
+def _rewrite_fqns(text: str) -> str:
+    def backtick_sub(m: re.Match) -> str:
+        return "`{}_{}`.`{}`".format(
+            _sanitize(m.group(1)), _sanitize(m.group(2)), _sanitize(m.group(3))
+        )
+
+    text = _FQN_BACKTICK_RE.sub(backtick_sub, text)
+
+    def bare_sub(m: re.Match) -> str:
+        return "{}_{}.{}".format(
+            _sanitize(m.group(1)), _sanitize(m.group(2)), _sanitize(m.group(3))
+        )
+
+    return _FQN_BARE_RE.sub(bare_sub, text)
+
+
+_NUMERIC_RE = re.compile(r"\bAS\s+NUMERIC\b", re.IGNORECASE)
+_BIGNUMERIC_RE = re.compile(r"\bAS\s+BIGNUMERIC\b", re.IGNORECASE)
+_DATETIME_CAST_RE = re.compile(r"\bAS\s+DATETIME\b", re.IGNORECASE)
+_TS_CONSTRUCTOR_RE = re.compile(r"\bTIMESTAMP\s*\(", re.IGNORECASE)
+_DATE_TZ_RE = re.compile(
+    r"\bDATE\s*\(\s*([^(),]+?)\s*,\s*(\x00\d+\x00|'[^']*')\s*\)", re.IGNORECASE
+)
+_CURRENT_DATE_TZ_RE = re.compile(
+    r"\bCURRENT_DATE\s*\(\s*(\x00\d+\x00|'[^']*')\s*\)", re.IGNORECASE
+)
+_DATE_SUB_INTERVAL_RE = re.compile(
+    r"\bDATE_(SUB|ADD)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_DATE_TRUNC_RE = re.compile(r"\bDATE_TRUNC\s*\(", re.IGNORECASE)
+_TIMESTAMP_TRUNC_RE = re.compile(r"\bTIMESTAMP_TRUNC\s*\(", re.IGNORECASE)
+_IN_UNNEST_RE = re.compile(
+    r"((?:[`\w.\x00]+)(?:\((?:[^()]|\([^()]*\))*\))?)\s+IN\s+UNNEST\s*\(\s*([^()]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level_args(arg_text: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in arg_text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+_PARTITIONTIME_RE = re.compile(r"`?_PARTITIONTIME`?")
+_COUNTIF_RE = re.compile(r"\bCOUNTIF\s*\(", re.IGNORECASE)
+
+
+def _replace_balanced_call(text: str, pattern: re.Pattern, render) -> str:
+    """Replace ``FUNC( <balanced arg> )`` matches of ``pattern`` (which
+    must end at the opening paren) using ``render(arg_text)``."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = pattern.search(text, pos)
+        if m is None:
+            out.append(text[pos:])
+            return "".join(out)
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        arg = text[m.end() : i - 1]
+        out.append(text[pos : m.start()])
+        out.append(render(arg))
+        pos = i
+
+
+def _rewrite_functions(text: str, masked: _Masked) -> str:
+    # TIMESTAMP('...') constructor → CAST(... AS TIMESTAMP). CAST(x AS
+    # TIMESTAMP) is unaffected ("TIMESTAMP(" only matches a call shape).
+    text = _replace_balanced_call(
+        text, _TS_CONSTRUCTOR_RE, lambda arg: f"CAST({arg.strip()} AS TIMESTAMP)"
+    )
+
+    # DATE(ts, 'tz') → TO_DATE(FROM_UTC_TIMESTAMP(ts, 'tz'))
+    text = _DATE_TZ_RE.sub(
+        lambda m: f"TO_DATE(FROM_UTC_TIMESTAMP({m.group(1).strip()}, {m.group(2)}))", text
+    )
+    # CURRENT_DATE('tz') → TO_DATE(FROM_UTC_TIMESTAMP(CURRENT_TIMESTAMP(), 'tz'))
+    text = _CURRENT_DATE_TZ_RE.sub(
+        lambda m: f"TO_DATE(FROM_UTC_TIMESTAMP(CURRENT_TIMESTAMP(), {m.group(1)}))", text
+    )
+    # DATE_SUB(d, INTERVAL 30 DAY) → DATE_SUB(d, 30); DATE_ADD similar.
+    def date_arith(m: re.Match) -> str:
+        op, operand, n, unit = m.group(1).upper(), m.group(2).strip(), m.group(3), m.group(4)
+        unit_low = unit.lower().rstrip("s")
+        if unit_low == "day":
+            return f"DATE_{op}({operand}, {n})"
+        sign = "-" if op == "SUB" else "+"
+        return f"({operand} {sign} INTERVAL {n} {unit})"
+
+    text = _DATE_SUB_INTERVAL_RE.sub(date_arith, text)
+
+    # DATE_TRUNC(d, WEEK(MONDAY)) / DATE_TRUNC(d, MONTH) → arg-swapped
+    # Spark call returning DATE (BQ DATE_TRUNC on DATE returns DATE).
+    def trunc_render(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if len(args) != 2:
+            return f"DATE_TRUNC({arg_text})"  # already Spark-style
+        operand, part_spec = args
+        if re.fullmatch(r"\x00\d+\x00", operand):
+            # DATE_TRUNC('part', x): already Spark argument order
+            return f"DATE_TRUNC({arg_text})"
+        part_match = re.fullmatch(r"(\w+)(?:\s*\(\s*(\w+)\s*\))?", part_spec)
+        if part_match is None:
+            # first arg is a Spark-style 'part' string literal → untouched
+            return f"DATE_TRUNC({arg_text})"
+        part, start_day = part_match.group(1).upper(), (part_match.group(2) or "").upper()
+        if part == "WEEK" and start_day not in ("", "MONDAY"):
+            raise ValueError(f"unsupported week start {start_day!r}: Spark weeks start Monday")
+        return f"CAST(DATE_TRUNC('{part}', {operand}) AS DATE)"
+
+    text = _replace_balanced_call(text, _DATE_TRUNC_RE, trunc_render)
+
+    def ts_trunc_render(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if (
+            len(args) != 2
+            or re.fullmatch(r"\x00\d+\x00", args[0])
+            or not re.fullmatch(r"\w+", args[1])
+        ):
+            return f"DATE_TRUNC({arg_text})"
+        return f"DATE_TRUNC('{args[1].upper()}', {args[0]})"
+
+    text = _replace_balanced_call(text, _TIMESTAMP_TRUNC_RE, ts_trunc_render)
+
+    # x IN UNNEST(arr) → ARRAY_CONTAINS(arr, x)
+    text = _IN_UNNEST_RE.sub(lambda m: f"ARRAY_CONTAINS({m.group(2)}, {m.group(1)})", text)
+
+    # COUNTIF(p) → COUNT_IF(p)
+    text = _COUNTIF_RE.sub("COUNT_IF(", text)
+
+    # type spellings
+    text = _NUMERIC_RE.sub("AS DECIMAL(38,9)", text)
+    text = _BIGNUMERIC_RE.sub("AS DECIMAL(38,18)", text)
+    text = _DATETIME_CAST_RE.sub("AS TIMESTAMP", text)
+
+    # ingestion-time pseudo-column → engine partition column
+    text = _PARTITIONTIME_RE.sub("CAST(`dt` AS TIMESTAMP)", text)
+    return text
+
+
+_UTC_SUFFIX_RE = re.compile(
+    r"""(['"])(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d+)?)\s+UTC\1"""
+)
+
+
+def _rewrite_literals(saved: list[str]) -> list[str]:
+    """BQ timestamp literals like '2020-06-02 02:00:41.634266 UTC' —
+    Spark can't parse the zone suffix; strip it (engine time is UTC)."""
+    out = []
+    for s in saved:
+        m = _UTC_SUFFIX_RE.fullmatch(s)
+        out.append(f"'{m.group(2)}'" if m else s)
+    return out
+
+
+def transpile(sql: str) -> str:
+    """BigQuery SQL text → Spark SQL text."""
+    masked = _mask(sql)
+    text = masked.text
+    text = _rewrite_fqns(text)
+    text = _rewrite_functions(text, masked)
+    masked.saved = _rewrite_literals(masked.saved)
+    return _unmask(masked, text)
+
+
+# --- statement splitting & classification -----------------------------------
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script on top-level semicolons (string/comment aware)."""
+    masked = _mask(sql)
+    parts = masked.text.split(";")
+    stmts = [_unmask(masked, p).strip() for p in parts]
+    return [s for s in stmts if s]
+
+
+_DDL_HEAD_RE = re.compile(r"^\s*(CREATE|DECLARE|DROP|ALTER)\b", re.IGNORECASE)
+_STMT_KIND_RES = [
+    ("create_temp_function", re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\b", re.IGNORECASE)),
+    ("create_temp_table", re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\b", re.IGNORECASE)),
+    ("declare", re.compile(r"^\s*DECLARE\b", re.IGNORECASE)),
+    ("set", re.compile(r"^\s*SET\b", re.IGNORECASE)),
+    ("merge", re.compile(r"^\s*MERGE\b", re.IGNORECASE)),
+    ("delete", re.compile(r"^\s*DELETE\b", re.IGNORECASE)),
+    ("update", re.compile(r"^\s*UPDATE\b", re.IGNORECASE)),
+    ("insert", re.compile(r"^\s*INSERT\b", re.IGNORECASE)),
+    ("drop_table", re.compile(r"^\s*DROP\s+TABLE\b", re.IGNORECASE)),
+    ("create", re.compile(r"^\s*CREATE\b", re.IGNORECASE)),
+    ("select", re.compile(r"^\s*(WITH|SELECT)\b", re.IGNORECASE)),
+]
+
+
+def classify_statement(stmt: str) -> str:
+    for kind, pattern in _STMT_KIND_RES:
+        if pattern.match(stmt):
+            return kind
+    return "other"
+
+
+def split_headers_and_body(sql: str) -> tuple[list[str], str]:
+    """DDL headers (CREATE FUNCTION/DECLARE/...) vs the single DML/CTE
+    body — reference query.py:155-179 semantics."""
+    stmts = split_statements(sql)
+    if len(stmts) == 1:
+        return [], stmts[0]
+    headers, body = [], []
+    for stmt in stmts:
+        (headers if _DDL_HEAD_RE.match(stmt) else body).append(stmt)
+    if len(body) != 1:
+        raise ValueError("invalid replace query, should have exactly one DML/CTE statement")
+    return headers, body[0]
+
+
+# --- table reference extraction (regex layer) -------------------------------
+
+_COMMENT_RE = re.compile(r"(--[^\n]*|/\*.*?\*/)", re.DOTALL)
+_HELPER_RE = re.compile(r"/\*\s*(@[a-zA-Z0-9_-]+)\s*\*/")
+_TABLE_REF_RE = re.compile(
+    r"""(?:FROM|JOIN|MERGE(?:\s+INTO)?|USING)\s+`?([\w\-]+\.\w+\.[\w\-$]+)`?""",
+    re.IGNORECASE,
+)
+_WITH_NAME_RE = re.compile(r"(?:\bWITH\s+|,\s*)([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+_IGNORE_UPSTREAM = "@ignoreupstream"
+
+
+def table_references(sql: str, destination: str | None = None) -> list[str]:
+    """Upstream `project.dataset.table` references, excluding CTE names,
+    the destination (cycle guard), and /* @ignoreupstream */-marked
+    tables (reference: task/bq2bq/main.go:370-437)."""
+    # find ignored tables: @ignoreupstream comment immediately preceding a ref
+    ignored: set[str] = set()
+    pieces = _COMMENT_RE.split(sql)
+    for i, piece in enumerate(pieces):
+        if _HELPER_RE.search(piece or "") and _IGNORE_UPSTREAM in piece:
+            rest = "".join(p for p in pieces[i + 1 :] if not _COMMENT_RE.fullmatch(p or ""))
+            m = re.match(r"\s*`?([\w\-]+\.\w+\.[\w\-$]+)`?", rest)
+            if m:
+                ignored.add(m.group(1))
+    # strip comments (preserving nothing) then collect refs
+    stripped = _COMMENT_RE.sub(" ", sql)
+    cte_names = {m.group(1).lower() for m in _WITH_NAME_RE.finditer(stripped)}
+    refs: list[str] = []
+    for m in _TABLE_REF_RE.finditer(stripped):
+        ref = m.group(1)
+        base = ref.split("$")[0]
+        if base.lower() in cte_names:
+            continue
+        if destination and base == destination:
+            continue
+        if base in ignored:
+            continue
+        if base not in refs:
+            refs.append(base)
+    return refs

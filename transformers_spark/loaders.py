@@ -1,0 +1,259 @@
+"""Write layer: how query results land in destination tables.
+
+Re-expresses the reference's loaders + write dispositions
+(reference: executor/bumblebee/loader.py:24-56, bigquery_service.py:
+96-141) as DataFrameWriter / INSERT OVERWRITE operations over
+``dt``-partitioned Parquet tables:
+
+* append            → WRITE_APPEND
+* overwrite_table   → WRITE_TRUNCATE (whole table)
+* overwrite_partition → partition decorator ``table$YYYYMMDD``
+  (static ``PARTITION (dt=...)`` overwrite — truncates the partition
+  even when the new data is empty)
+* overwrite_dynamic → REPLACE_MERGE "auto": dynamic partition
+  overwrite replaces exactly the partitions present in the result —
+  the Spark-native collapse of the reference's temp-table +
+  ``MERGE ON FALSE`` delete+insert script (reference: query.py:6-39)
+* delete_insert     → REPLACE_MERGE with PARTITION_FILTER: delete
+  rows matching the filter, insert all new rows (reference:
+  query.py:41-62)
+
+Writes that must read the destination first (delete_insert, DML
+emulation) go through a staging table: Parquet can't be overwritten
+by a plan that scans it.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import PARTITION_COL, Catalog, PartitionKind, TableMeta
+
+__all__ = ["Writer"]
+
+
+class Writer:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # -- schema alignment ----------------------------------------------
+
+    def _align(
+        self, df: DataFrame, meta: TableMeta, allow_field_addition: bool
+    ) -> DataFrame:
+        """Project df onto the destination's user columns (by name,
+        casting types); optionally evolve the destination schema first
+        (ALLOW_FIELD_ADDITION)."""
+        df_cols = {c.lower(): c for c in df.columns}
+        extra = [c for c in df.columns if c.lower() not in {n.lower() for n, _ in meta.columns}]
+        if extra:
+            if not allow_field_addition:
+                raise ValueError(
+                    f"result has columns {extra} not in destination {meta.fqn}; "
+                    "set ALLOW_FIELD_ADDITION to evolve the schema"
+                )
+            new_cols = [
+                (c, dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[c])
+                for c in extra
+            ]
+            self.catalog.add_columns(meta.fqn, new_cols)
+        missing = [n for n, _ in meta.columns if n.lower() not in df_cols]
+        if missing and not allow_field_addition:
+            raise ValueError(f"result missing destination columns {missing} for {meta.fqn}")
+        select = []
+        for name, ddl_type in meta.columns:
+            if name.lower() in df_cols:
+                select.append(F.col(f"`{df_cols[name.lower()]}`").cast(ddl_type).alias(name))
+            else:
+                select.append(F.lit(None).cast(ddl_type).alias(name))
+        return df.select(*select)
+
+    def _with_dt(
+        self, df: DataFrame, meta: TableMeta, partition_date: date | datetime | None
+    ) -> DataFrame:
+        part = meta.partition
+        if not part.is_partitioned:
+            return df
+        if part.kind == PartitionKind.COLUMN_DAY and part.field:
+            dt_col = F.to_date(F.col(f"`{part.field}`"))
+        elif partition_date is not None:
+            if isinstance(partition_date, datetime):
+                partition_date = partition_date.date()
+            dt_col = F.lit(partition_date.isoformat()).cast("date")
+        else:
+            raise ValueError(
+                f"ingestion-time table {meta.fqn} needs an explicit partition date"
+            )
+        return df.withColumn(PARTITION_COL, dt_col)
+
+    # -- write modes ----------------------------------------------------
+
+    def append(
+        self,
+        fqn: str,
+        df: DataFrame,
+        partition_date: date | datetime | None = None,
+        allow_field_addition: bool = False,
+    ) -> None:
+        meta = self.catalog.get_table(fqn)
+        out = self._with_dt(self._align(df, meta, allow_field_addition), meta, partition_date)
+        out.write.insertInto(meta.spark_name, overwrite=False)
+
+    def overwrite_table(
+        self,
+        fqn: str,
+        df: DataFrame,
+        partition_date: date | datetime | None = None,
+        allow_field_addition: bool = False,
+        reads_destination: bool = False,
+    ) -> None:
+        """WRITE_TRUNCATE of the whole table (all partitions)."""
+        meta = self.catalog.get_table(fqn)
+        out = self._with_dt(self._align(df, meta, allow_field_addition), meta, partition_date)
+        if reads_destination:
+            self._overwrite_via_stage(meta, out)
+            return
+        # Static mode: INSERT OVERWRITE with no partition spec truncates
+        # the WHOLE table (in dynamic mode it would only replace touched
+        # partitions — not WRITE_TRUNCATE semantics).
+        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
+            out.write.insertInto(meta.spark_name, overwrite=True)
+
+    def overwrite_partition(
+        self,
+        fqn: str,
+        df: DataFrame,
+        partition_date: date | datetime,
+        allow_field_addition: bool = False,
+    ) -> None:
+        """Partition-decorator write ``table$YYYYMMDD`` — truncate and
+        load exactly one day partition."""
+        meta = self.catalog.get_table(fqn)
+        if not meta.partition.is_partitioned:
+            raise ValueError(f"{meta.fqn} is not partitioned")
+        if isinstance(partition_date, datetime):
+            partition_date = partition_date.date()
+        out = self._align(df, meta, allow_field_addition)
+        view = f"__ts_part_src_{uuid.uuid4().hex[:8]}"
+        out.createOrReplaceTempView(view)
+        cols = ", ".join(f"`{c}`" for c in meta.column_names)
+        try:
+            self.spark.sql(
+                f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
+                f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
+                f"SELECT {cols} FROM {view}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    def overwrite_partitions(
+        self,
+        fqn: str,
+        day_dfs: dict[date, DataFrame],
+        allow_field_addition: bool = False,
+    ) -> None:
+        """Multi-partition REPLACE fan-out as ONE Spark job: each day's
+        result is tagged with its partition date, unioned, and written
+        with dynamic partition overwrite. Decorator semantics (each
+        listed day is truncated even if its new data is empty) come from
+        dropping the day partitions first — a metastore-only operation.
+
+        This replaces the reference's N concurrent per-partition load
+        jobs (transformation.py:362-428) with a single scan+write whose
+        parallelism Spark schedules internally — at 100 TB, one job
+        reading the source once beats 30 jobs re-scanning it.
+        """
+        meta = self.catalog.get_table(fqn)
+        if not meta.partition.is_partitioned:
+            raise ValueError(f"{meta.fqn} is not partitioned")
+        pieces = []
+        for day, df in day_dfs.items():
+            aligned = self._align(df, meta, allow_field_addition)
+            pieces.append(
+                aligned.withColumn(PARTITION_COL, F.lit(day.isoformat()).cast("date"))
+            )
+        combined = pieces[0]
+        for piece in pieces[1:]:
+            combined = combined.unionByName(piece)
+        for day in day_dfs:
+            self.spark.sql(
+                f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
+                f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
+            )
+        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            combined.write.insertInto(meta.spark_name, overwrite=True)
+
+    def overwrite_dynamic(
+        self, fqn: str, df: DataFrame, allow_field_addition: bool = False
+    ) -> None:
+        """Replace exactly the day-partitions present in the result
+        (REPLACE_MERGE auto semantics) — one pass, no temp table, no
+        driver-side partition collection."""
+        meta = self.catalog.get_table(fqn)
+        if not meta.partition.is_partitioned:
+            raise ValueError(f"{meta.fqn} is not partitioned")
+        out = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
+        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            out.write.insertInto(meta.spark_name, overwrite=True)
+
+    def delete_insert(
+        self,
+        fqn: str,
+        df: DataFrame,
+        filter_expression: str,
+        allow_field_addition: bool = False,
+    ) -> None:
+        """Delete destination rows matching ``filter_expression`` (over
+        destination columns, incl. ``dt``/_PARTITIONTIME), then insert
+        all result rows (REPLACE_MERGE with PARTITION_FILTER)."""
+        meta = self.catalog.get_table(fqn)
+        new = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
+        dest = self.spark.table(meta.spark_name)
+        keep = dest.filter(~F.coalesce(F.expr(filter_expression), F.lit(False)))
+        self._overwrite_via_stage(meta, keep.unionByName(new))
+
+    def overwrite_from_plan_reading_destination(self, fqn: str, df: DataFrame) -> None:
+        """Full overwrite where df's plan scans the destination (DML
+        emulation): stage first."""
+        self._overwrite_via_stage(self.catalog.get_table(fqn), df)
+
+    # -- staging --------------------------------------------------------
+
+    def _overwrite_via_stage(self, meta: TableMeta, df: DataFrame) -> None:
+        """Materialize df into a staging table, then truncate-load the
+        destination from it. Breaks the read-write cycle when df's plan
+        scans the destination — the same cost class as BigQuery's
+        temp-table materialization in the reference's merge script."""
+        stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+        df.write.format("parquet").saveAsTable(stage_name)
+        try:
+            with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
+                self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+
+
+def _q(name: str) -> str:
+    return ".".join(f"`{part}`" for part in name.split("."))
+
+
+class _conf:
+    """Temporarily set a runtime SQL conf."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.old)
