@@ -1,0 +1,104 @@
+"""Operator unit tests beyond the oracle comparisons."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from transformers_spark.operators.dedup import exact_dedup_groups, minhash_signatures
+from transformers_spark.operators.hashing import MERSENNE_P, h32, lcg_constants
+from transformers_spark.operators.multimodal import (
+    DecoderUnavailable,
+    attach_media_metadata,
+    decode_image_features,
+    fake_image_decoder,
+    frame_sample_plan,
+)
+from transformers_spark.operators.similarity import cosine_topk
+
+
+def test_h32_matches_python_md5(spark):
+    df = spark.createDataFrame([("hello",), ("world",)], ["s"])
+    rows = {r["s"]: r["h"] for r in df.select("s", h32(F.col("s")).alias("h")).collect()}
+    for s, h in rows.items():
+        assert h == int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_lcg_constants_deterministic_and_bounded():
+    a = lcg_constants(8)
+    assert a == lcg_constants(8)
+    for x, y in a:
+        assert 0 < x < MERSENNE_P and x % 2 == 1
+        assert 0 <= y < MERSENNE_P
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    groups = exact_dedup_groups(df).collect()
+    by_keep = {r["keep_id"]: r["n_docs"] for r in groups}
+    assert by_keep == {1: 2, 3: 1}  # normalization unifies 1 and 2
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc"]: tuple(r[i] for i in range(1, 17)) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [("m1", "image", "application/octet-stream", bytearray(b"hello")),
+         ("m2", "image", "application/octet-stream", bytearray(b"a longer payload"))],
+        "media_id string, modality string, mime_type string, payload binary",
+    )
+    feats = {r["media_id"]: r.asDict() for r in
+             decode_image_features(df, decoder=fake_image_decoder).collect()}
+    assert feats["m1"]["n_bytes"] == 5
+    assert feats["m1"]["content_hash"] == hashlib.md5(b"hello").hexdigest()
+    w, h = fake_image_decoder(b"hello")
+    assert (feats["m1"]["width"], feats["m1"]["height"]) == (w, h)
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    df = spark.createDataFrame(
+        [("m1", "image", None, bytearray(b"x"))],
+        "media_id string, modality string, mime_type string, payload binary",
+    )
+    with pytest.raises(Exception) as err:
+        decode_image_features(df).collect()
+    assert "DecoderUnavailable" in str(err.value) or "codecs" in str(err.value)
+
+
+def test_attach_media_metadata_jvm_side(spark):
+    df = spark.createDataFrame(
+        [("m1", bytearray(b"abc"))], "media_id string, payload binary"
+    )
+    row = attach_media_metadata(df).collect()[0]
+    assert row["n_bytes"] == 3
+    assert row["content_hash"] == hashlib.md5(b"abc").hexdigest()
+    # no python stage in the plan
+    assert "pythonUDF" not in attach_media_metadata(df)._jdf.queryExecution().toString().lower()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([("v1", 100), ("v2", 5)], "media_id string, duration_frames int")
+    rows = {r["media_id"]: r["sample_frames"] for r in frame_sample_plan(df, 30, 4).collect()}
+    assert rows["v1"] == [0, 30, 60, 90]
+    assert rows["v2"] == [0]

@@ -53,6 +53,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     )
 
 
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if not s.oracle])
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = QUERIES[name].build(spark, sf_dir)
+    assert df.count() > 0
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 

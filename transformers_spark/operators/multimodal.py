@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The engine treats media as ``binary`` payload columns + typed metadata
+structs, processed with Arrow-batched ``mapInPandas`` (never
+row-at-a-time Python). The actual codecs (PIL/ffmpeg/torchaudio) are
+NOT available in this environment, so the decode kernels are stubbed
+behind ``DecoderUnavailable`` with a deterministic fake used in tests
+— the Spark-side plumbing (schemas, batch iteration, partition-size
+control) is real and is exactly what a production decoder would run
+inside.
+
+Scale notes: decode is CPU-bound and embarrassingly parallel — the
+knobs that matter are input-split size (``maxPartitionBytes`` so one
+task ≈ one Arrow batch of media) and ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` to bound per-batch memory for large blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "IMAGE_FEATURES_SCHEMA",
+    "DecoderUnavailable",
+    "attach_media_metadata",
+    "decode_image_features",
+    "fake_image_decoder",
+    "frame_sample_plan",
+]
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised when a real media codec is required but not installed."""
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("content_hash", StringType(), True),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata that needs no decode: byte size + content hash
+    (cheap pre-dedup of identical blobs before any Python runs)."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col))).withColumn(
+        "content_hash", F.md5(F.col(payload_col))
+    )
+
+
+def fake_image_decoder(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a real image decode: derives a
+    (width, height) from the payload bytes. Replace with PIL in
+    production — the surrounding plumbing is unchanged."""
+    if payload is None:
+        return (0, 0)
+    w = 16 + (sum(payload[:16]) % 1024) if payload else 0
+    h = 16 + (len(payload) % 1024)
+    return (int(w), int(h))
+
+
+def _real_image_decoder(payload: bytes) -> tuple[int, int]:
+    raise DecoderUnavailable(
+        "image codecs (PIL) are not installed in this environment; "
+        "pass decoder=fake_image_decoder or install pillow"
+    )
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Arrow-batched image feature extraction via mapInPandas.
+
+    The iterator-of-batches shape is the production pattern: per-batch
+    Python cost is amortized over thousands of rows, and large blobs
+    never materialize on the driver.
+    """
+    decode = decoder or _real_image_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for batch in batches:
+            dims = batch[payload_col].map(lambda b: decode(bytes(b) if b is not None else b))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col].astype(str),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": batch[payload_col]
+                    .map(lambda b: 0 if b is None else len(b))
+                    .astype("int32"),
+                    "content_hash": batch[payload_col].map(
+                        lambda b: "" if b is None else hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n_frames: int = 30,
+    max_frames: int = 10,
+    duration_col: str = "duration_frames",
+) -> DataFrame:
+    """Video frame-sampling *plan* computed JVM-side: which frame
+    indices to extract per clip. The decode of those frames is the
+    stubbed kernel; planning stays in Catalyst so predicate pushdown
+    still prunes clips before any Python executes."""
+    idx = F.sequence(
+        F.lit(0),
+        F.least(
+            F.greatest(F.col(duration_col) - 1, F.lit(0)),
+            F.lit(every_n_frames * (max_frames - 1)),
+        ),
+        F.lit(every_n_frames),
+    )
+    return df.withColumn("sample_frames", idx)

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — exact brute-force top-k: query set × corpus with
+  JVM-side ``zip_with``/``aggregate`` dot products (no Python in the
+  loop). At scale the query side is broadcast; the corpus is scanned
+  once, and per-query top-k is a partial-aggregate-friendly window.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane signatures
+  bucket the corpus; each query only scores its bucket (± multiprobe
+  neighbors). Hyperplanes are derived from deterministic md5 hashing
+  of (dim, plane) pairs, so results are reproducible run-to-run.
+
+An IVF variant (k-means coarse quantizer via Spark ML, probe nearest
+centroids) is the natural next step and slots into the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["cosine_topk", "lsh_bucketed_topk", "hyperplane_weights"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine) with deterministic
+    tie-breaking (cosine desc, neighbor id asc). The join is
+    broadcast(queries) × corpus — one corpus scan, no shuffle of the
+    big side; the rank window shuffles only (q, k) candidate rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component
+    (p, d) = md5-derived — the driver-side twin of hashing.h32, so the
+    DuckDB oracle can embed the identical literals."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2000001) / 1000000.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def _hyperplane_sign(vec: Column, weights: list[float]) -> Column:
+    """Sign bit of <vec, w> with w a literal weight vector."""
+    w = F.array(*[F.lit(x) for x in weights])
+    weighted = F.aggregate(
+        F.zip_with(vec, w, lambda v, wi: v.cast("double") * wi),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (weighted >= 0).cast("int")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    random-hyperplane bucket. Recall trades off with ``planes``; the
+    shuffle key is the bucket signature, so work is proportional to
+    bucket sizes, not |corpus| × |queries|."""
+
+    weights = hyperplane_weights(planes, dim)
+
+    def signature(vec: Column) -> Column:
+        bits = [
+            (_hyperplane_sign(vec, weights[p]) * F.lit(2**p)).cast("long")
+            for p in range(planes)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

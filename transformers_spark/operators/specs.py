@@ -1,0 +1,354 @@
+"""Oracle-checked query specs for the training-pipeline operators.
+
+Each spec pairs the Spark operator (operators/*.py) with DuckDB SQL
+computing the SAME result — including the md5-derived hashes, LCG
+permutation constants, and literal LSH hyperplanes, which are shared
+by construction. Specs whose semantics aren't SQL-expressible in
+DuckDB (Arrow mapInPandas multimodal decode) carry ``oracle=None``
+and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import register_tables
+from .dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_PERM,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from .hashing import MERSENNE_P, duck_h32, duck_perm_hash, lcg_constants
+from .multimodal import decode_image_features, fake_image_decoder
+from .similarity import cosine_topk, hyperplane_weights, lsh_bucketed_topk
+from .text import STOPWORDS, lang_id, quality_scores, text_stats
+
+try:  # shared QuerySpec type (avoid circular import at module load)
+    from ..queries import QuerySpec
+except ImportError:  # pragma: no cover
+    QuerySpec = None  # type: ignore
+
+N_QUERY_VECS = 5  # embeddings with vec_id < 5 are the query set
+
+# --- DuckDB fragments shared across oracles ---------------------------
+
+DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+DUCK_NORMALIZED = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _duck_grams(n: int) -> str:
+    """Distinct word n-grams of ``t`` (a token list) as strings."""
+    return (
+        f"list_distinct([array_to_string(t[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len(t) - {n} + 2)])"
+    )
+
+
+# --- dedup -------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return exact_dedup_groups(spark.table("documents"))
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({DUCK_NORMALIZED}) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*)    AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return minhash_lsh_pairs(spark.table("documents"))
+
+
+def _oracle_minhash() -> str:
+    consts = lcg_constants(DEFAULT_NUM_PERM)
+    rows_per_band = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    sig_exprs = ",\n    ".join(
+        f"MIN({duck_perm_hash(duck_h32('gram'), a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {band} AS band, md5(concat_ws('-', {cols})) AS bucket FROM sigs".format(
+            band=band,
+            cols=", ".join(
+                f"sig_{band * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(DEFAULT_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {DUCK_TOKENS} AS t FROM documents
+  WHERE len({DUCK_TOKENS}) >= 2
+),
+grams AS (
+  SELECT doc, unnest({_duck_grams(2)}) AS gram FROM toks
+),
+sigs AS (
+  SELECT doc,
+    {sig_exprs}
+  FROM grams GROUP BY doc
+),
+buckets AS ({band_selects})
+SELECT a.doc AS d1, b.doc AS d2, COUNT(DISTINCT a.band) AS matching_bands
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc < b.doc
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return ngram_jaccard_pairs(spark.table("documents"), n=3, threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {DUCK_TOKENS} AS t FROM documents
+  WHERE len({DUCK_TOKENS}) >= 3
+),
+grams AS (
+  SELECT doc, unnest({_duck_grams(3)}) AS gram FROM toks
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc),
+shared AS (
+  SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(shared / (s1.sz + s2.sz - shared), 6) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.doc = d1
+JOIN sizes s2 ON s2.doc = d2
+WHERE shared / (s1.sz + s2.sz - shared) >= 0.2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return simhash_fingerprints(spark.table("documents"))
+
+
+def _oracle_simhash() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN v{bit} > 0 THEN {2**bit} ELSE 0 END)" for bit in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({DUCK_TOKENS}) AS tok FROM documents
+),
+hashed AS (SELECT doc, {duck_h32("tok")} AS h FROM toks),
+votes AS (
+  SELECT doc,
+    {votes}
+  FROM hashed GROUP BY doc
+)
+SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+# --- text analysis -----------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return text_stats(spark.table("documents"))
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+       ROUND(length(text) / len({DUCK_TOKENS}), 6) AS avg_token_len,
+       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+         AS n_punct
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return quality_scores(spark.table("documents"))
+
+
+def _oracle_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len({DUCK_TOKENS}) AS DOUBLE) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      AS digit_chars,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+      AS punct_chars,
+    CAST(len(list_intersect({DUCK_TOKENS}, [{en}])) AS DOUBLE) AS stop_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, digit_chars, punct_chars, n_chars, stop_hits,
+    0.4 * least(n_tokens / 20.0, 1.0)
+    + 0.4 * least(stop_hits / 4.0, 1.0)
+    + 0.2 * (1 - least(digit_chars / n_chars * 5, 1.0))
+    - 0.2 * least(punct_chars / n_chars * 5, 1.0) AS quality
+  FROM base
+)
+SELECT doc_id,
+  ROUND(greatest(least(quality, 1.0), 0.0), 6) AS quality,
+  ROUND(digit_chars / n_chars, 6) AS digit_ratio,
+  ROUND(punct_chars / n_chars, 6) AS punct_ratio,
+  CAST(stop_hits AS BIGINT) AS stopword_hits
+FROM scored
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return lang_id(spark.table("documents"))
+
+
+def _oracle_lang_id() -> str:
+    langs = sorted(STOPWORDS)
+    lower_toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    scores = ",\n    ".join(
+        "CAST(len(list_intersect({t}, [{words}])) AS BIGINT) AS score_{lang}".format(
+            t=lower_toks,
+            words=", ".join(f"'{w}'" for w in STOPWORDS[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"score_{lang}" for lang in langs))
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    {scores}
+  FROM documents
+),
+with_best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {pred} AS predicted_lang, best AS best_score
+FROM with_best
+"""
+
+
+# --- similarity --------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5)
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings
+  WHERE vec_id < {N_QUERY_VECS}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))),
+          6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INT) AS rank,
+       cosine
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= 5
+"""
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5)
+
+
+def _oracle_lsh_ann() -> str:
+    weights = hyperplane_weights(planes=8, dim=64)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{w}]) >= 0 THEN {pow} ELSE 0 END)".format(
+            w=", ".join(repr(x) for x in weights[p]), pow=2**p
+        )
+        for p in range(8)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sigs AS (SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS bucket FROM vecs),
+q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM sigs WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, v AS cvec, bucket FROM sigs),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))),
+          6) AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INT) AS rank,
+       cosine
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= 5
+"""
+
+
+# --- multimodal (rows-only: Arrow mapInPandas isn't SQL) ---------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing demo: documents' text encoded to binary
+    payloads, decoded back to features via Arrow-batched mapInPandas
+    with the deterministic fake codec."""
+    register_tables(spark, sf_dir, ("documents",))
+    media = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_image_features(media, decoder=fake_image_decoder)
+
+
+def pipeline_specs() -> list:
+    from ..queries import QuerySpec as QS
+
+    return [
+        QS("dedup_exact", "Exact dedup groups via normalized-content fingerprint", q_dedup_exact, ORACLE_DEDUP_EXACT),
+        QS("dedup_minhash_lsh", "MinHash+LSH near-dup candidate pairs (banded buckets)", q_minhash_lsh, _oracle_minhash()),
+        QS("dedup_ngram_jaccard", "Exact 3-gram Jaccard pairs via inverted-index join", q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+        QS("dedup_simhash", "32-bit SimHash fingerprints (bit-vote)", q_simhash, _oracle_simhash()),
+        QS("text_stats", "Token/char/punctuation stats per document", q_text_stats, ORACLE_TEXT_STATS),
+        QS("text_quality", "Heuristic quality scores (length/stopword/digit/punct)", q_quality_scores, _oracle_quality()),
+        QS("text_lang_id", "Stopword-vote language identification", q_lang_id, _oracle_lang_id()),
+        QS("similarity_cosine_topk", "Exact brute-force cosine top-k neighbors", q_cosine_topk, ORACLE_COSINE_TOPK),
+        QS("similarity_lsh_ann", "Random-hyperplane LSH-bucketed approximate top-k", q_lsh_ann_topk, _oracle_lsh_ann()),
+        QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
+    ]

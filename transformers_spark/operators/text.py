@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (built-in pyspark.sql.functions — no Python UDFs in the
+hot path): language-ID by stopword voting, quality scoring from
+length/punctuation/digit/stopword ratios, token counting, and
+document fingerprinting. Each is a narrow projection over the
+``documents`` table — at 100 TB these are embarrassingly parallel
+map-only plans with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "normalized_text",
+    "doc_fingerprint",
+    "text_stats",
+    "quality_scores",
+    "lang_id",
+    "STOPWORDS",
+]
+
+WHITESPACE = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), WHITESPACE)
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace — the
+    canonical form used for exact-dedup fingerprints."""
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    return F.md5(normalized_text(col))
+
+
+# Small per-language stopword lists: enough signal for n-gram-free
+# heuristic language ID. Kept tiny and alphabetical so the oracle SQL
+# embeds the same lists verbatim.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["a", "and", "are", "for", "in", "is", "of", "that", "the", "to"],
+    "de": ["das", "der", "die", "ein", "ist", "nicht", "und", "von", "zu"],
+    "es": ["de", "el", "en", "es", "la", "los", "no", "que", "un", "y"],
+    "fr": ["de", "des", "du", "est", "et", "la", "le", "les", "un", "une"],
+    "zh": ["了", "是", "我", "的", "不", "在", "人", "有", "他", "这"],
+}
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Number of distinct stopwords from ``words`` present (set
+    intersection — portable to DuckDB list_intersect)."""
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(n_chars / F.size(toks), 6).alias("avg_token_len"),
+        n_punct.cast("bigint").alias("n_punct"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards stopword presence
+    and reasonable length, penalizes digits/punctuation soup."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    digit_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stop_hits = _stopword_hits(toks, STOPWORDS["en"]).cast("double")
+    length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
+    digit_penalty = F.least(digit_chars / n_chars * 5, F.lit(1.0))
+    punct_penalty = F.least(punct_chars / n_chars * 5, F.lit(1.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.4) * stop_score
+        + F.lit(0.2) * (1 - digit_penalty)
+        - F.lit(0.2) * punct_penalty
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(F.greatest(F.least(quality, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+        F.round(digit_chars / n_chars, 6).alias("digit_ratio"),
+        F.round(punct_chars / n_chars, 6).alias("punct_ratio"),
+        F.round(stop_hits, 6).cast("bigint").alias("stopword_hits"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID. Ties break alphabetically by language
+    code (deterministic). A real deployment would swap in a trained
+    n-gram model via pandas UDF; the shape (map-only, no shuffle) holds."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = [
+        _stopword_hits(toks, words).alias(f"score_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.cast("bigint").alias("best_score"),
+    )

@@ -421,9 +421,13 @@ HAVING COUNT(*) >= 1
 """
 
 
-QUERIES: dict[str, QuerySpec] = {
-    spec.name: spec
-    for spec in [
+def _all_specs() -> list["QuerySpec"]:
+    from .operators.specs import pipeline_specs
+
+    return _CORE_SPECS + pipeline_specs()
+
+
+_CORE_SPECS: list[QuerySpec] = [
         QuerySpec(
             "windowed_daily_events",
             "Flagship: half-open transformation window rendered via macros into a daily aggregate",
@@ -496,8 +500,9 @@ QUERIES: dict[str, QuerySpec] = {
             q_supplier_nation_rollup,
             ORACLE_SUPPLIER_NATION_ROLLUP,
         ),
-    ]
-}
+]
+
+QUERIES: dict[str, QuerySpec] = {spec.name: spec for spec in _all_specs()}
 
 
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
