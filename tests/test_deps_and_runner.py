@@ -1,0 +1,183 @@
+"""Dependency resolution (regex corpus from the reference Go tests +
+Catalyst layer), stats/xcom, and the one-call runner."""
+
+import json
+from datetime import datetime
+
+import pytest
+
+from transformers_spark.config import LoadMethod, TaskConfig
+from transformers_spark.dialect import table_references
+from transformers_spark.plans.dependencies import (
+    DependencyResolver,
+    destination_urn,
+    resolve_with_catalyst,
+)
+
+
+# --- regex corpus (ported from task/bq2bq/main_test.go:302-496) -------
+
+
+def test_simple_from():
+    assert table_references("Select * from proj.dataset.table1") == ["proj.dataset.table1"]
+
+
+def test_join_and_from():
+    sql = "select * from proj.ds.t1 join proj.ds.t2 on t1.x = t2.x"
+    assert table_references(sql) == ["proj.ds.t1", "proj.ds.t2"]
+
+
+def test_cte_shadowing_excluded():
+    sql = """with proj.ds.cte as (select * from proj.ds.src)
+             select * from proj.ds.cte"""
+    # WITH-defined names are pseudo-tables
+    refs = table_references(sql)
+    assert "proj.ds.src" in refs
+
+
+def test_destination_cycle_guard():
+    sql = "select * from proj.ds.dest join proj.ds.src on 1=1"
+    assert table_references(sql, destination="proj.ds.dest") == ["proj.ds.src"]
+
+
+def test_two_part_names_not_matched():
+    # only project.dataset.table sequences count (main.go comment)
+    assert table_references("select * from dataset.table") == []
+
+
+def test_hyphenated_project():
+    assert table_references("select * from `data-engineering.testing.t1`") == [
+        "data-engineering.testing.t1"
+    ]
+
+
+def test_comments_removed_before_scan():
+    sql = "-- join `a.b.c`\n/* from `d.e.f` */\nselect * from `g.h.i`"
+    assert table_references(sql) == ["g.h.i"]
+
+
+def test_ignoreupstream_marker():
+    sql = "select * from /* @ignoreupstream */ a.b.c join d.e.f on 1=1"
+    assert table_references(sql) == ["d.e.f"]
+
+
+def test_self_reference_dedup():
+    sql = "select * from a.b.c join a.b.c x on 1=1"
+    assert table_references(sql) == ["a.b.c"]
+
+
+def test_partition_decorator_stripped():
+    sql = "select * from `a.b.c$20200101`"
+    assert table_references(sql) == ["a.b.c"]
+
+
+# --- catalyst layer ---------------------------------------------------
+
+
+def test_catalyst_resolves_views_to_base_tables(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS depdb")
+    spark.sql("CREATE TABLE IF NOT EXISTS depdb.base (x INT) USING PARQUET")
+    spark.sql("CREATE OR REPLACE VIEW depdb.v AS SELECT * FROM depdb.base")
+    deps = resolve_with_catalyst(spark, "SELECT * FROM depdb.v")
+    assert deps == ["depdb.base"]
+
+
+def test_catalyst_unresolved_and_subqueries(spark):
+    deps = resolve_with_catalyst(
+        spark,
+        "SELECT * FROM p.d.t WHERE EXISTS (SELECT 1 FROM x.y.z)",
+    )
+    assert set(deps) == {"p_d.t", "x_y.z"}
+
+
+def test_resolver_caches_and_urns(spark):
+    r = DependencyResolver(spark=spark)
+    sql = "SELECT * FROM p.d.t"
+    first = r.resolve(sql)
+    assert first == ["spark://p_d.t"]
+    assert r.resolve(sql) is first  # cache hit returns same object
+
+
+def test_destination_urn():
+    assert destination_urn("g-project.playground.t") == "spark://g_project_playground.t"
+
+
+# --- runner + stats ---------------------------------------------------
+
+
+def test_run_task_writes_xcom(spark, tmp_path, engine_src):
+    from transformers_spark.runner import run_task
+
+    eng, src_fqn = engine_src
+    dest = "g-project.playground.runner_dest"
+    eng.catalog.create_table(dest, [("event_date", "date"), ("n", "bigint")])
+    cfg = TaskConfig("g-project", "playground", "runner_dest", LoadMethod.REPLACE)
+    xcom = tmp_path / "xcom.json"
+    result = run_task(
+        spark,
+        cfg,
+        f"select date(ts) as event_date, count(1) as n from `{src_fqn}` "
+        "where ts >= '__dstart__' and ts < '__dend__' group by date(ts)",
+        "2024-01-01",
+        "2024-01-03",
+        "2024-02-01T00:00:00Z",
+        xcom_path=str(xcom),
+        engine=eng,
+    )
+    assert result.load_method is LoadMethod.REPLACE
+    assert eng.catalog.read(dest).count() == 2
+    payload = json.loads(xcom.read_text())
+    assert payload["monitoring"]["load_method"] == "REPLACE"
+    assert payload["execution_time"] >= 0
+    assert payload["monitoring"]["slot_millis"] > 0  # status store reachable
+
+
+def test_runner_udf_registry_federated_sample(spark, engine_src):
+    """The federated_table sample: CREATE TEMP FUNCTION LANGUAGE js →
+    engine maps the name to the registered Python impl."""
+    from transformers_spark.engine import Engine
+    from transformers_spark.functions.bigquery_compat import DEFAULT_UDF_REGISTRY
+
+    eng0, src_fqn = engine_src
+    eng = Engine(spark, catalog=eng0.catalog, udf_registry=DEFAULT_UDF_REGISTRY)
+    cfg = TaskConfig("g-project", "playground", "ignored", LoadMethod.MERGE)
+    result = eng.transform(
+        cfg,
+        f"""
+CREATE TEMP FUNCTION standardRule(fieldContent STRING, rules ARRAY<STRING>)
+RETURNS STRING
+LANGUAGE js AS \"\"\"return x\"\"\";
+
+SELECT standardRule(event_type, array('cleanup')) AS method_name
+FROM `{src_fqn}` LIMIT 5;
+""",
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 2),
+        datetime(2024, 2, 1),
+    )
+    values = {row["method_name"] for row in result.rows[0]}
+    assert values <= {"click", "view", "purchase", "signup", "error"}
+
+
+@pytest.fixture(scope="module")
+def engine_src(spark):
+    from transformers_spark.engine import Engine
+    from transformers_spark.sources.testdata import load_table
+
+    eng = Engine(spark)
+    src = "g-project.playground.deps_events_src"
+    if not eng.catalog.table_exists(src):
+        eng.catalog.create_table(
+            src,
+            [
+                ("event_id", "bigint"),
+                ("ts", "timestamp"),
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("value", "double"),
+            ],
+        )
+        load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).write.insertInto(eng.catalog.spark_name(src))
+    return eng, src

@@ -19,6 +19,8 @@ re-introspect it (the dispatch layer's analogue of BigQuery
 
 from __future__ import annotations
 
+import re
+import shutil
 from dataclasses import dataclass
 from datetime import date
 
@@ -99,10 +101,24 @@ class Catalog:
             if partition.field:
                 props.append(f"'{PROP_FIELD}' = '{partition.field}'")
         exists_ddl = "IF NOT EXISTS " if if_not_exists else ""
-        self.spark.sql(
+        ddl = (
             f"CREATE TABLE {exists_ddl}{_q(name)} ({cols_ddl}) USING PARQUET"
             f"{partition_ddl} TBLPROPERTIES ({', '.join(props)})"
         )
+        try:
+            self.spark.sql(ddl)
+        except Exception as err:
+            # In-memory catalog + persistent warehouse: a previous
+            # session's managed-table directory can survive as an
+            # orphan the catalog no longer knows. It's unreachable
+            # data — clear it and retry once.
+            if "LOCATION_ALREADY_EXISTS" not in str(err):
+                raise
+            location = re.search(r"'file:([^']+)'", str(err))
+            if location is None:
+                raise
+            shutil.rmtree(location.group(1), ignore_errors=True)
+            self.spark.sql(ddl)
         meta = TableMeta(fqn=fqn, spark_name=name, columns=list(columns), partition=partition)
         self._meta[fqn] = meta
         return meta

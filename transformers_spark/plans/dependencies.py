@@ -1,0 +1,136 @@
+"""Upstream-dependency resolution & destination URNs.
+
+Two layers, mirroring the reference plugin (reference:
+task/bq2bq/main.go:207-345):
+
+* **regex** (`resolve_with_regex`): FROM/JOIN/WITH pattern scan with
+  comment stripping, CTE pseudo-table filtering, destination cycle
+  guard, and ``/* @ignoreupstream */`` (main.go:370-437). Fast, no
+  session needed.
+* **Catalyst** (`resolve_with_catalyst`): the replacement for the
+  BigQuery dry-run (main.go:439-498). Parse the query → collect
+  ``UnresolvedRelation`` nodes (covers subqueries); when the tables
+  exist in the session catalog, analyze instead and collect resolved
+  base relations — views expand to their underlying tables exactly
+  like BQ's ``referencedTables``.
+
+Results are cached with a 24 h TTL keyed by request hash
+(main.go:59-61,527-557).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..dialect import spark_table_name_from_fqn, split_statements, table_references, transpile
+
+__all__ = [
+    "resolve_with_regex",
+    "resolve_with_catalyst",
+    "DependencyResolver",
+    "destination_urn",
+]
+
+URN_FORMAT = "spark://{name}"
+CACHE_TTL_SECONDS = 24 * 3600
+
+_UNRESOLVED_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
+_RESOLVED_RE = re.compile(r"\bRelation (\S+?)\[")
+
+
+def destination_urn(fqn: str) -> str:
+    """``project.dataset.table`` → ``spark://project_dataset.table``
+    (reference GenerateDestination, main.go:183-197)."""
+    return URN_FORMAT.format(name=spark_table_name_from_fqn(fqn))
+
+
+def resolve_with_regex(sql: str, destination: str | None = None) -> list[str]:
+    """Regex-layer dependencies as BQ-style FQNs."""
+    return table_references(sql, destination=destination)
+
+
+def _parsed_relations(spark: SparkSession, spark_sql: str) -> list[str]:
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    tree = parser.parsePlan(spark_sql).treeString()
+    out = []
+    for m in _UNRESOLVED_RE.finditer(tree):
+        name = ".".join(p.strip() for p in m.group(1).split(","))
+        if name not in out:
+            out.append(name)
+    return out
+
+
+def _analyzed_relations(spark: SparkSession, spark_sql: str) -> list[str]:
+    tree = spark.sql(spark_sql)._jdf.queryExecution().analyzed().treeString()
+    out = []
+    for m in _RESOLVED_RE.finditer(tree):
+        name = m.group(1).removeprefix("spark_catalog.")
+        if name not in out:
+            out.append(name)
+    return out
+
+
+def resolve_with_catalyst(
+    spark: SparkSession, sql: str, destination: str | None = None
+) -> list[str]:
+    """Spark-name dependencies for a (possibly multi-statement, BQ
+    dialect) query. Statements whose tables all resolve are analyzed
+    (views expand to base tables); otherwise the parsed plan's
+    unresolved relations are reported. CTE names never appear (Catalyst
+    scopes them), so no pseudo-table pass is needed here."""
+    deps: list[str] = []
+    dest_spark = spark_table_name_from_fqn(destination) if destination and destination.count(".") == 2 else destination
+    for stmt in split_statements(transpile(sql)):
+        if not re.match(r"^\s*(WITH|SELECT|MERGE|DELETE|INSERT|UPDATE)\b", stmt, re.IGNORECASE):
+            continue
+        names: list[str]
+        try:
+            names = _analyzed_relations(spark, stmt)
+        except Exception:
+            names = _parsed_relations(spark, stmt)
+        for name in names:
+            if name != dest_spark and name not in deps:
+                deps.append(name)
+    return deps
+
+
+@dataclass
+class _CacheEntry:
+    value: list[str]
+    at: float
+
+
+@dataclass
+class DependencyResolver:
+    """Cached resolver (request-hash keyed, 24 h TTL)."""
+
+    spark: SparkSession | None = None
+    ttl_seconds: float = CACHE_TTL_SECONDS
+    _cache: dict[str, _CacheEntry] = field(default_factory=dict)
+
+    def resolve(self, sql: str, destination: str | None = None) -> list[str]:
+        key = hashlib.md5(f"{destination}\x00{sql}".encode()).hexdigest()
+        entry = self._cache.get(key)
+        now = time.time()
+        if entry is not None and now - entry.at < self.ttl_seconds:
+            return entry.value
+        regex_deps = resolve_with_regex(sql, destination)
+        if self.spark is not None:
+            spark_names = resolve_with_catalyst(self.spark, sql, destination)
+            # union: regex finds BQ FQNs the session may not know;
+            # catalyst finds view-expanded/real names.
+            mapped = [spark_table_name_from_fqn(d) for d in regex_deps]
+            for name in spark_names:
+                if name not in mapped:
+                    mapped.append(name)
+            value = mapped
+        else:
+            value = [spark_table_name_from_fqn(d) for d in regex_deps]
+        urns = [URN_FORMAT.format(name=v) for v in value]
+        self._cache[key] = _CacheEntry(value=urns, at=now)
+        return urns

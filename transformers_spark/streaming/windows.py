@@ -1,0 +1,193 @@
+"""Structured Streaming operators (beyond-parity extension).
+
+The reference has no streaming surface — its late-data story is batch
+re-runs (SURVEY.md §2.B "Streaming operators: none"). A Spark-native
+engine gets streaming nearly free, so the windowed-aggregation shape
+of the batch engine is mirrored here: event-time tumbling windows with
+watermarked late-data handling, plus a custom stateful sessionization
+operator on ``applyInPandasWithState`` (the pattern for operators the
+built-ins can't express).
+
+Tested with file sources + ``availableNow`` triggers: identical code
+runs against Kafka/rate sources on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["EVENT_SCHEMA", "streaming_event_counts", "sessionize", "run_available_now"]
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def streaming_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a file-streaming events
+    source. Late rows beyond the watermark are dropped (state is
+    bounded — the property that matters at scale)."""
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _make_session_fn(use_timeout: bool):
+    def session_fn(key, batches, state):
+        return _session_fn(key, batches, state, use_timeout)
+
+    return session_fn
+
+
+def _session_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState, use_timeout: bool = True
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: emit a session when a user's event gap
+    exceeds 30 minutes (or state times out). State carries three longs
+    per user — constant-size regardless of stream length."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+        return
+    rows = []
+    ts_list: list[int] = []
+    for batch in batches:
+        ts_list.extend(int(t.value // 1_000_000) for t in batch["ts"])
+    ts_list.sort()
+    if not ts_list:
+        return
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms, last_ms, n = ts_list[0], ts_list[0], 0
+    for t in ts_list:
+        if t - last_ms > SESSION_GAP_MS:
+            rows.append((user_id, start_ms, last_ms, n))
+            start_ms, n = t, 0
+        last_ms = max(last_ms, t)
+        n += 1
+    state.update((start_ms, last_ms, n))
+    if use_timeout:
+        state.setTimeoutDuration(SESSION_GAP_MS)
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="ms") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="ms") for r in rows],
+                "n_events": [r[3] for r in rows],
+            }
+        )
+
+
+def sessionize(
+    spark: SparkSession, source_dir: str, idle_timeout: bool = False
+) -> DataFrame:
+    """Gap-based sessionization via applyInPandasWithState.
+
+    ``idle_timeout=True`` (live streams) closes idle sessions with a
+    processing-time timeout. Leave it off for bounded ``availableNow``
+    drains — timeout-driven empty micro-batches would otherwise spin
+    until the wall-clock gap elapses; open sessions simply stay in the
+    (checkpointed) state for the next run, which is the semantics a
+    resumable batch-over-stream pipeline wants.
+    """
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(idle_timeout),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input into an in-memory table and return it
+    (test/bench harness for streaming plans)."""
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(query_name)
