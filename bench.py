@@ -31,6 +31,12 @@ def main() -> None:
     spark = get_spark(app_name="transformers-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first timed query isn't charged for
+    # classloading; runs a scan+agg+write through the same machinery.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         start = time.perf_counter()

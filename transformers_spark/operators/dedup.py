@@ -127,25 +127,30 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         F.col("doc"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # skew guard: drop degenerate buckets before the self-join
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(_bucket_window())
-    ).filter(F.col("bucket_n") <= max_bucket_size)
-    left = sized.select("doc", "band", "bucket")
-    right = left.withColumnRenamed("doc", "doc2")
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc") < F.col("doc2"))
-        .groupBy(F.col("doc").alias("d1"), F.col("doc2").alias("d2"))
+    # One shuffle groups each bucket's members; oversized buckets
+    # (degenerate content, the skew hazard) are dropped wholesale, and
+    # each surviving list expands to its (d1 < d2) pairs locally — no
+    # bucket self-join, no window pass.
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs").between(2, max_bucket_size))
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda d2: F.struct(F.col("docs")[i].alias("d1"), d2.alias("d2")),
+            ),
+        )
+    )
+    return (
+        members.select(F.col("band"), F.explode(pair_array).alias("p"))
+        .select("band", F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .groupBy("d1", "d2")
         .agg(F.countDistinct("band").alias("matching_bands"))
     )
-    return pairs
-
-
-def _bucket_window():
-    from pyspark.sql import Window as W
-
-    return W.partitionBy("band", "bucket")
 
 
 def ngram_jaccard_pairs(
@@ -161,18 +166,33 @@ def ngram_jaccard_pairs(
     meet locally; ``max_doc_freq`` removes stop-grams that would
     explode the join (skew guard — at 100 TB this cap is mandatory)."""
     grams = _exploded_grams(df, text_col, id_col, n)
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
-    rare = grams.join(
-        F.broadcast(freq.filter(F.col("df_") <= max_doc_freq).select("gram")), "gram"
+    # One shuffle groups each gram's posting list; stop-grams (lists
+    # longer than max_doc_freq) are dropped wholesale, then each list
+    # expands to its (d1 < d2) pairs locally — no gram self-join, and
+    # skew is bounded by construction.
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs").between(2, max_doc_freq))
     )
-    sizes = rare.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    right = rare.select(F.col("doc").alias("doc2"), F.col("gram"))
+    pair_array = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda d2: F.struct(
+                    F.col("docs")[i].alias("doc"), d2.alias("doc2")
+                ),
+            ),
+        )
+    )
     shared = (
-        rare.join(right, "gram")
-        .filter(F.col("doc") < F.col("doc2"))
+        postings.select(F.explode(pair_array).alias("p"))
+        .select(F.col("p.doc").alias("doc"), F.col("p.doc2").alias("doc2"))
         .groupBy("doc", "doc2")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     s1 = sizes.select(F.col("doc"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
     return (

@@ -71,7 +71,16 @@ GROUP BY CAST(ts AS DATE), event_type
 
 
 def q_windowed_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(spark, sf_dir, ("events",))
+    from .sources.testdata import load_table
+
+    # Register a pushdown-friendly pre-windowed view: the raw-nanos
+    # range filter reaches the parquet scan; the macro-rendered SQL
+    # filter on the converted column then only re-asserts the exact
+    # half-open semantics.
+    load_table(
+        spark, sf_dir, "events",
+        time_filter=("ts", EVENTS_WINDOW.start, EVENTS_WINDOW.end),
+    ).createOrReplaceTempView("events")
     return spark.sql(render_macros(WINDOWED_EVENTS_SQL, window=EVENTS_WINDOW))
 
 

@@ -57,14 +57,48 @@ def _nano_timestamp_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    time_filter: tuple[str, "datetime", "datetime"] | None = None,
+) -> DataFrame:
+    """Load one table; nano-timestamp columns are converted to real
+    timestamps.
+
+    ``time_filter=(col, start, end)`` applies the half-open window ON
+    THE RAW nanosecond longs *before* conversion: a filter on the
+    converted column is an expression Parquet can't push down (at
+    100 TB that's a full scan), while the raw long comparison reaches
+    the row groups as a PushedFilter.
+    """
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
-    for col in _nano_timestamp_columns(path):
+    nanos = _nano_timestamp_columns(path)
+    if time_filter is not None:
+        col, start, end = time_filter
+        if col in nanos:
+            df = df.filter(
+                (F.col(col) >= _epoch_nanos(start)) & (F.col(col) < _epoch_nanos(end))
+            )
+        else:
+            df = df.filter(
+                (F.col(col) >= F.lit(start.isoformat(sep=" ")).cast("timestamp"))
+                & (F.col(col) < F.lit(end.isoformat(sep=" ")).cast("timestamp"))
+            )
+    for col in nanos:
         # integer DIV keeps the long exact (nanos ≈ 1.7e18 > 2^53 would
         # lose precision through a double division)
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` DIV 1000)"))
     return df
+
+
+def _epoch_nanos(dt: "datetime") -> int:
+    from datetime import timezone
+
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)  # engine time is UTC
+    return int(dt.timestamp() * 1_000_000) * 1_000
 
 
 def register_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
