@@ -148,8 +148,9 @@ def _split_top_level_args(arg_text: str) -> list[str]:
             cur.append(ch)
     args.append("".join(cur).strip())
     return args
-_PARTITIONTIME_RE = re.compile(r"`?_PARTITIONTIME`?")
+_PARTITIONTIME_RE = re.compile(r"`?_PARTITIONTIME`?", re.IGNORECASE)
 _COUNTIF_RE = re.compile(r"\bCOUNTIF\s*\(", re.IGNORECASE)
+_ARRAY_LITERAL_RE = re.compile(r"(?<![\w`\)\]])\[([^\[\]]*)\]")
 
 
 def _replace_balanced_call(text: str, pattern: re.Pattern, render) -> str:
@@ -239,6 +240,10 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
 
     # COUNTIF(p) → COUNT_IF(p)
     text = _COUNTIF_RE.sub("COUNT_IF(", text)
+
+    # BQ array literal [a, b] → array(a, b). `[` preceded by an
+    # identifier/)/] is element access — left alone.
+    text = _ARRAY_LITERAL_RE.sub(lambda m: f"array({m.group(1)})", text)
 
     # type spellings
     text = _NUMERIC_RE.sub("AS DECIMAL(38,9)", text)

@@ -279,6 +279,36 @@ class Engine:
         raise ValueError(f"unsupported load method {method}")
 
     # ------------------------------------------------------------------
+    def collect_spillover_dates(
+        self,
+        spillover_sql: str,
+        dstart: datetime,
+        dend: datetime,
+        execution_time: datetime,
+        timezone: str = "UTC",
+    ) -> list[date]:
+        """Legacy spillover: run the spillover query (first column =
+        dates) and return the distinct partition dates to re-run
+        (reference: transformation.py:489-522)."""
+        window = CustomWindow(
+            localise_datetime(dstart, timezone), localise_datetime(dend, timezone)
+        )
+        rendered = render_macros(
+            spillover_sql,
+            window=window,
+            execution_time=localise_datetime(execution_time, timezone),
+        )
+        rows = self.spark.sql(transpile(rendered)).collect()
+        out: list[date] = []
+        for row in rows:
+            value = row[0]
+            if isinstance(value, datetime):
+                value = value.date()
+            if value is not None and value not in out:
+                out.append(value)
+        return out
+
+    # ------------------------------------------------------------------
     def _render_and_plan(
         self, sql_query: str, window: Window, execution_time: datetime, dest: str
     ) -> tuple[DataFrame, str]:
@@ -286,7 +316,58 @@ class Engine:
             sql_query, window=window, execution_time=execution_time, destination_table=dest
         )
         spark_sql = transpile(rendered)
-        return self.spark.sql(spark_sql), rendered
+        statements = split_statements(spark_sql)
+        if len(statements) == 1:
+            return self.spark.sql(statements[0]), rendered
+        # script-with-headers (BQ runs these natively; we execute the
+        # DDL headers and plan the single SELECT body lazily)
+        variables: dict[str, Any] = {}
+        last_df: DataFrame | None = None
+        for stmt in statements:
+            stmt = _substitute_variables(stmt, variables)
+            if self._exec_script_header(stmt, variables):
+                continue
+            if classify_statement(stmt) == "select":
+                if last_df is not None:
+                    raise ValueError("script must have exactly one SELECT body")
+                last_df = self.spark.sql(stmt)
+            else:
+                raise ValueError(
+                    f"unsupported statement in read-path script: {stmt[:60]!r}"
+                )
+        if last_df is None:
+            raise ValueError("script has no SELECT body")
+        return last_df, rendered
+
+    def _exec_script_header(self, stmt: str, variables: dict[str, Any]) -> bool:
+        """Execute a DDL/variable header statement; False if ``stmt``
+        isn't a header."""
+        kind = classify_statement(stmt)
+        if kind == "declare":
+            m = re.match(r"DECLARE\s+(\w+)", stmt, re.IGNORECASE)
+            if m:
+                variables[m.group(1)] = None
+            return True
+        if kind == "set":
+            self._run_set(stmt, variables)
+            return True
+        if kind == "create_temp_function":
+            self._register_temp_function(stmt)
+            return True
+        if kind == "create_temp_table":
+            m = re.match(
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?(\w+)`?\s+AS\s*(.*)$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m is None:
+                raise ValueError(f"cannot parse CREATE TEMP TABLE: {stmt[:80]!r}")
+            name, body = m.group(1), m.group(2).strip()
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1]
+            self.spark.sql(body).createOrReplaceTempView(name)
+            return True
+        return False
 
     def _dry_run_validate(self, rendered: str) -> None:
         """Dry-run = Catalyst analysis without execution (the analogue
@@ -308,28 +389,10 @@ class Engine:
         for raw_stmt in split_statements(script):
             stmt = transpile(raw_stmt)
             stmt = _substitute_variables(stmt, variables)
+            if self._exec_script_header(stmt, variables):
+                continue
             kind = classify_statement(stmt)
-            if kind == "declare":
-                m = re.match(r"DECLARE\s+(\w+)", stmt, re.IGNORECASE)
-                if m:
-                    variables[m.group(1)] = None
-            elif kind == "set":
-                self._run_set(stmt, variables)
-            elif kind == "create_temp_function":
-                self._register_temp_function(stmt)
-            elif kind == "create_temp_table":
-                m = re.match(
-                    r"CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?(\w+)`?\s+AS\s*(.*)$",
-                    stmt,
-                    re.IGNORECASE | re.DOTALL,
-                )
-                if m is None:
-                    raise ValueError(f"cannot parse CREATE TEMP TABLE: {stmt[:80]!r}")
-                name, body = m.group(1), m.group(2).strip()
-                if body.startswith("(") and body.endswith(")"):
-                    body = body[1:-1]
-                self.spark.sql(body).createOrReplaceTempView(name)
-            elif kind == "merge":
+            if kind == "merge":
                 parsed = parse_merge(stmt)
                 fqn = fqn_for_spark_name(self.catalog, parsed.target) or default_destination
                 if fqn is None:
