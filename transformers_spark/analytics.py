@@ -1,0 +1,323 @@
+"""Analytic-SQL coverage beyond the reference corpus.
+
+The reference's query surface contains no OVER-clause analytics,
+grouping sets, or subquery forms (SURVEY.md §2.B) — BigQuery has them,
+so a switching user expects them. Spark provides all of these
+natively; each entry here is a Spark-first plan paired with a DuckDB
+oracle, same determinism discipline as queries.py (decimal sums,
+explicit tie-breaks, ROUND before ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .sources.testdata import register_tables
+
+__all__ = ["analytics_specs"]
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + lag per customer: top-2 orders by price with the
+    gap since the previous order."""
+    register_tables(spark, sf_dir, ("orders",))
+    orders = spark.table("orders")
+    by_cust = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    time_order = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,4)").cast("double").alias("price"),
+            F.row_number().over(by_cust).alias("price_rank"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(time_order)
+            ).alias("days_since_prev"),
+        )
+        .filter(F.col("price_rank") <= 2)
+    )
+
+
+ORACLE_WINDOW_TOP_ORDERS = """
+SELECT * FROM (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS price,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      AS price_rank,
+    datediff('day',
+      lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      o_orderdate) AS days_since_prev
+  FROM orders
+) WHERE price_rank <= 2
+"""
+
+
+def q_moving_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving aggregate over daily per-type event value (frame =
+    6 preceding .. current). Exact decimal sums inside the frame; the
+    average is a double division at the end."""
+    register_tables(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .groupBy(
+            F.col("event_type"), F.col("ts").cast("date").alias("event_date")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(12,4)")).alias("day_value"))
+    )
+    frame = (
+        W.partitionBy("event_type").orderBy("event_date").rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "event_date",
+        F.col("day_value").cast("double").alias("day_value"),
+        (
+            F.sum("day_value").over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("moving_avg_7d"),
+    )
+
+
+ORACLE_MOVING_WINDOW_VALUE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         SUM(CAST(value AS DECIMAL(12,4))) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, event_date,
+  CAST(day_value AS DOUBLE) AS day_value,
+  CAST(SUM(day_value) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status) with explicit grouping flags."""
+    register_tables(spark, sf_dir, ("orders",))
+    orders = spark.table("orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,4)").alias("price"),
+    )
+    return (
+        orders.rollup("order_year", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("volume"),
+        )
+        .select(
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "volume",
+        )
+    )
+
+
+ORACLE_ROLLUP_ORDER_VOLUME = """
+SELECT
+  COALESCE(CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS VARCHAR), 'ALL') AS order_year,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS volume
+FROM orders
+GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), o_orderstatus)
+"""
+
+
+def q_nation_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern: customers above their nation's
+    average balance (decorrelated into a join — same plan Catalyst
+    produces for the subquery form)."""
+    register_tables(spark, sf_dir, ("customer", "nation"))
+    cust = spark.table("customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(12,4)").cast("double").alias("acctbal"),
+        )
+    )
+
+
+ORACLE_NATION_ABOVE_AVG = """
+WITH nation_avg AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_nationkey,
+       CAST(CAST(c_acctbal AS DECIMAL(12,4)) AS DOUBLE) AS acctbal
+FROM customer JOIN nation_avg USING (c_nationkey)
+WHERE c_acctbal > nation_avg
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS shape)."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions + LIKE + conditional aggregation."""
+    register_tables(spark, sf_dir, ("part",))
+    part = spark.table("part")
+    return (
+        part.select(
+            F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+            F.col("p_retailprice").cast("decimal(12,4)").alias("price"),
+        )
+        .groupBy("brand_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("is_brass").alias("n_brass"),
+            F.max("name_len").alias("max_name_len"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+ORACLE_PART_BRAND_STATS = """
+SELECT
+  UPPER(substr(p_brand, 1, 5)) AS brand_prefix,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brass,
+  CAST(MAX(length(p_name)) AS BIGINT) AS max_name_len,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY 1
+"""
+
+
+def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: lag + cumulative sum of
+    gap-breaks — the batch twin of streaming/windows.sessionize."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select("user_id", "ts")
+    order = W.partitionBy("user_id").orderBy("ts", "user_id")
+    gap_break = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+        > 30 * 60
+    ).cast("int")
+    with_session = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.coalesce(gap_break, F.lit(0))).over(
+            W.partitionBy("user_id").orderBy("ts", "user_id").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ).alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_BATCH_SESSIONIZATION = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, user_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by year."""
+    register_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = spark.table("lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(7,4)")
+    joined = (
+        li.join(spark.table("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(spark.table("supplier")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.sum(revenue).cast("double").alias("volume"))
+
+
+ORACLE_NATION_PAIR_VOLUME = """
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(7,4)))
+       AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def analytics_specs() -> list:
+    from .queries import QuerySpec as QS
+
+    return [
+        QS("window_top_orders", "row_number + lag per customer (OVER clause)", q_window_top_orders, ORACLE_WINDOW_TOP_ORDERS),
+        QS("moving_window_value", "7-row moving aggregate frame", q_moving_window_value, ORACLE_MOVING_WINDOW_VALUE),
+        QS("rollup_order_volume", "ROLLUP grouping sets with totals", q_rollup_order_volume, ORACLE_ROLLUP_ORDER_VOLUME),
+        QS("nation_above_avg_customers", "Correlated-aggregate decorrelation", q_nation_above_avg_customers, ORACLE_NATION_ABOVE_AVG),
+        QS("customers_without_orders", "Anti join / NOT EXISTS", q_customers_without_orders, ORACLE_CUSTOMERS_WITHOUT_ORDERS),
+        QS("part_brand_stats", "String functions + LIKE + conditional agg", q_part_brand_stats, ORACLE_PART_BRAND_STATS),
+        QS("batch_sessionization", "Gap-based sessionization via window functions", q_batch_sessionization, ORACLE_BATCH_SESSIONIZATION),
+        QS("nation_pair_volume", "TPC-H Q7-shape nation-pair volume", q_nation_pair_volume, ORACLE_NATION_PAIR_VOLUME),
+    ]

@@ -431,9 +431,10 @@ HAVING COUNT(*) >= 1
 
 
 def _all_specs() -> list["QuerySpec"]:
+    from .analytics import analytics_specs
     from .operators.specs import pipeline_specs
 
-    return _CORE_SPECS + pipeline_specs()
+    return _CORE_SPECS + pipeline_specs() + analytics_specs()
 
 
 _CORE_SPECS: list[QuerySpec] = [
