@@ -1,0 +1,106 @@
+"""MERGE/DELETE parser unit tests, including the reference's generated
+delete+insert template shape (reference: executor/bumblebee/query.py:
+6-62 MERGE ... ON FALSE ... WHEN NOT MATCHED BY SOURCE AND ...)."""
+
+import pytest
+
+from transformers_spark.dialect import transpile
+from transformers_spark.dml import parse_delete, parse_merge
+
+ON_FALSE_TEMPLATE = """
+MERGE INTO
+  `g_project_playground`.`sample_replace` AS target
+USING
+  (
+      Select * from `opt__partitions`
+  ) AS source
+ON FALSE
+WHEN NOT MATCHED BY SOURCE AND ARRAY_CONTAINS(partitions, DATE(`event_timestamp`))
+THEN DELETE
+WHEN NOT MATCHED THEN INSERT
+  (
+     `hakai`,`rasengan`
+  )
+VALUES
+  (
+      `hakai`,`rasengan`
+  );
+"""
+
+
+def test_parse_on_false_template():
+    stmt = parse_merge(ON_FALSE_TEMPLATE)
+    assert stmt.target == "g_project_playground.sample_replace"
+    assert stmt.target_alias == "target"
+    assert stmt.source_sql.strip().startswith("Select * from")
+    assert stmt.on.upper() == "FALSE"
+    kinds = [c.kind for c in stmt.clauses]
+    assert kinds == ["by_source_delete", "not_matched_insert"]
+    assert "ARRAY_CONTAINS" in stmt.clauses[0].pred
+    assert stmt.clauses[1].insert_cols == ["hakai", "rasengan"]
+
+
+def test_parse_dml_sample_shape():
+    sql = transpile(
+        """MERGE `g-project.playground.counts` S
+using
+(
+select count(1) as count, date(t) as date from `g-project.playground.src` group by date
+) N
+on S.date = N.date
+WHEN MATCHED then
+UPDATE SET `count` = N.count
+when not matched then
+INSERT (`date`, `count`) VALUES(N.date, N.count)"""
+    )
+    stmt = parse_merge(sql)
+    assert stmt.target == "g_project_playground.counts"
+    assert stmt.target_alias == "S"
+    assert stmt.source_alias == "N"
+    assert stmt.on == "S.date = N.date"
+    upd = stmt.clauses[0]
+    assert upd.kind == "matched_update"
+    assert upd.assignments == {"count": "N.count"}
+    ins = stmt.clauses[1]
+    assert ins.insert_cols == ["date", "count"]
+    assert ins.insert_vals == ["N.date", "N.count"]
+
+
+def test_parse_matched_delete_with_pred():
+    stmt = parse_merge(
+        "MERGE t USING s ON t.id = s.id WHEN MATCHED AND s.stale THEN DELETE"
+    )
+    assert stmt.clauses[0].kind == "matched_delete"
+    assert stmt.clauses[0].pred.strip() == "s.stale"
+    assert stmt.source_table == "s"
+
+
+def test_parse_using_table_with_alias():
+    stmt = parse_merge(
+        "MERGE INTO db.t AS tgt USING db.src AS st ON tgt.k = st.k "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (st.k)"
+    )
+    assert stmt.source_table == "db.src"
+    assert stmt.source_alias == "st"
+
+
+def test_parse_when_inside_source_subquery_not_split():
+    stmt = parse_merge(
+        "MERGE t USING (select case when x=1 then 2 end as y from a.b.c) s "
+        "ON t.y = s.y WHEN MATCHED THEN UPDATE SET y = s.y"
+    )
+    assert "case when" in stmt.source_sql
+    assert len(stmt.clauses) == 1
+
+
+def test_parse_merge_rejects_non_merge():
+    with pytest.raises(ValueError):
+        parse_merge("SELECT 1")
+
+
+def test_parse_delete():
+    target, pred = parse_delete(
+        "DELETE FROM `g_project_playground`.`t` WHERE load_timestamp = '2020-06-02';"
+    )
+    assert target == "g_project_playground.t"
+    assert pred == "load_timestamp = '2020-06-02'"

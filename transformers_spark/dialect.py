@@ -333,10 +333,13 @@ def split_headers_and_body(sql: str) -> tuple[list[str], str]:
 _COMMENT_RE = re.compile(r"(--[^\n]*|/\*.*?\*/)", re.DOTALL)
 _HELPER_RE = re.compile(r"/\*\s*(@[a-zA-Z0-9_-]+)\s*\*/")
 _TABLE_REF_RE = re.compile(
-    r"""(?:FROM|JOIN|MERGE(?:\s+INTO)?|USING)\s+`?([\w\-]+\.\w+\.[\w\-$]+)`?""",
+    r"""(?:FROM|JOIN|MERGE(?:\s+INTO)?|USING)\s+`?([\w\-]+\.[\w\-]+\.[\w\-$]+)`?""",
     re.IGNORECASE,
 )
-_WITH_NAME_RE = re.compile(r"(?:\bWITH\s+|,\s*)([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+_WITH_NAME_RE = re.compile(
+    r"(?:\bWITH\s+|,\s*)(`[^`]+`|[A-Za-z_][\w\-]*(?:\.[\w\-]+)*)\s+AS\s*\(",
+    re.IGNORECASE,
+)
 _IGNORE_UPSTREAM = "@ignoreupstream"
 
 
@@ -350,12 +353,14 @@ def table_references(sql: str, destination: str | None = None) -> list[str]:
     for i, piece in enumerate(pieces):
         if _HELPER_RE.search(piece or "") and _IGNORE_UPSTREAM in piece:
             rest = "".join(p for p in pieces[i + 1 :] if not _COMMENT_RE.fullmatch(p or ""))
-            m = re.match(r"\s*`?([\w\-]+\.\w+\.[\w\-$]+)`?", rest)
+            m = re.match(r"\s*`?([\w\-]+\.[\w\-]+\.[\w\-$]+)`?", rest)
             if m:
                 ignored.add(m.group(1))
     # strip comments (preserving nothing) then collect refs
     stripped = _COMMENT_RE.sub(" ", sql)
-    cte_names = {m.group(1).lower() for m in _WITH_NAME_RE.finditer(stripped)}
+    cte_names = {
+        m.group(1).strip("`").lower() for m in _WITH_NAME_RE.finditer(stripped)
+    }
     refs: list[str] = []
     for m in _TABLE_REF_RE.finditer(stripped):
         ref = m.group(1)

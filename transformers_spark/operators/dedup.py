@@ -209,6 +209,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    min_matching_bands: int = 2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash-LSH candidate pairs →
+    connected components → per-document verdict
+    ``(doc_id, keep_id, is_duplicate)`` where ``keep_id`` is the
+    smallest id in the document's duplicate component (its own id if
+    unique). This is the full 100 TB dedup pass: two shuffles for
+    candidates, O(log diameter) label-propagation rounds for grouping,
+    one left join to produce the verdict."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, shingle_n).filter(
+        F.col("matching_bands") >= min_matching_bands
+    )
+    components = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(components, F.col("doc_id") == components.vertex, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("keep_id"),
+            (
+                F.coalesce(F.col("component"), F.col("doc_id")) != F.col("doc_id")
+            ).alias("is_duplicate"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

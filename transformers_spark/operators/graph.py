@@ -1,0 +1,66 @@
+"""Iterative graph helpers: connected components via label
+propagation — the grouping step of a near-duplicate pipeline.
+
+Implementation is alternating-direction min-label propagation over the
+edge list: each round every vertex takes the minimum label among
+itself and its neighbors. Rounds are driver-side Spark jobs; the label
+table is checkpointed by localCheckpoint() each round so the lineage
+(and the shuffle DAG) doesn't grow with iterations. Converges in
+O(log diameter) rounds for the short, dense components near-dup
+detection produces; ``max_iterations`` bounds pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component =
+    min vertex id of its connected component."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "vertex")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

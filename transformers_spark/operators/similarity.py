@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["cosine_topk", "lsh_bucketed_topk", "hyperplane_weights"]
+__all__ = ["cosine_topk", "lsh_bucketed_topk", "ivf_topk", "hyperplane_weights"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -66,6 +66,80 @@ def cosine_topk(
                 6,
             ).alias("cosine"),
         )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to
+    their nearest centroid (coarse quantizer); each query scores only
+    the ``n_probe`` nearest cells.
+
+    Centroids are the corpus vectors with id < n_centroids — a
+    deterministic stand-in for a k-means codebook (swap in Spark ML
+    KMeans for production recall; the plan shape is identical). Work
+    is |corpus|×|centroids| assignment (centroids broadcast) + scoring
+    proportional to probed-cell sizes — never |corpus|×|queries|.
+    """
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centvec")
+    )
+
+    def assign(df: DataFrame, prefix: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            "*",
+            F.round(
+                _dot(F.col("vec"), F.col("centvec"))
+                / (_norm(F.col("vec")) * _norm(F.col("centvec"))),
+                6,
+            ).alias("cent_cos"),
+        )
+        win = W.partitionBy(f"{prefix}_id").orderBy(
+            F.desc("cent_cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(win))
+            .filter(F.col("cell_rank") <= top)
+            .select(f"{prefix}_id", "vec", F.col("centroid_id").alias("cell"))
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vec")),
+        "corpus",
+        1,
+    ).select(F.col("corpus_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell")
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")),
+        "query",
+        n_probe,
+    ).select("query_id", F.col("vec").alias("qvec"), "cell")
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()  # a neighbor probed via several cells counts once
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

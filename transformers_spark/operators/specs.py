@@ -17,6 +17,7 @@ from ..sources.testdata import register_tables
 from .dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_PERM,
+    dedup_pipeline,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -24,7 +25,7 @@ from .dedup import (
 )
 from .hashing import MERSENNE_P, duck_h32, duck_perm_hash, lcg_constants
 from .multimodal import decode_image_features, fake_image_decoder
-from .similarity import cosine_topk, hyperplane_weights, lsh_bucketed_topk
+from .similarity import cosine_topk, hyperplane_weights, ivf_topk, lsh_bucketed_topk
 from .text import STOPWORDS, lang_id, quality_scores, text_stats
 
 try:  # shared QuerySpec type (avoid circular import at module load)
@@ -160,6 +161,78 @@ votes AS (
   FROM hashed GROUP BY doc
 )
 SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return dedup_pipeline(spark.table("documents"))
+
+
+def _oracle_dedup_pipeline() -> str:
+    """Recursive-CTE twin of pairs → connected components → verdict."""
+    pairs_sql = _oracle_minhash().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs WHERE matching_bands >= 2
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs WHERE matching_bands >= 2
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+),
+components AS (SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS keep_id,
+       COALESCE(c.component, d.doc_id) != d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN components c ON d.doc_id = c.vertex
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5)
+
+
+ORACLE_IVF_ANN = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS centvec FROM vecs WHERE vec_id < 16),
+c_assign AS (
+  SELECT vec_id AS neighbor_id, v AS cvec, centroid_id AS cell
+  FROM vecs CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY ROUND(list_dot_product(v, centvec)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centvec, centvec))), 6) DESC,
+             centroid_id ASC) <= 1
+),
+q_assign AS (
+  SELECT vec_id AS query_id, v AS qvec, centroid_id AS cell
+  FROM vecs CROSS JOIN cent
+  WHERE vec_id < {N_QUERY_VECS}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY ROUND(list_dot_product(v, centvec)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centvec, centvec))), 6) DESC,
+             centroid_id ASC) <= 4
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id,
+    ROUND(list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cosine
+  FROM c_assign JOIN q_assign USING (cell)
+  WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INT) AS rank,
+       cosine
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= 5
 """
 
 
@@ -345,6 +418,8 @@ def pipeline_specs() -> list:
         QS("dedup_minhash_lsh", "MinHash+LSH near-dup candidate pairs (banded buckets)", q_minhash_lsh, _oracle_minhash()),
         QS("dedup_ngram_jaccard", "Exact 3-gram Jaccard pairs via inverted-index join", q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
         QS("dedup_simhash", "32-bit SimHash fingerprints (bit-vote)", q_simhash, _oracle_simhash()),
+        QS("dedup_pipeline", "Full near-dup pass: LSH pairs → connected components → verdicts", q_dedup_pipeline, _oracle_dedup_pipeline()),
+        QS("similarity_ivf_ann", "IVF coarse-quantizer approximate top-k (probed cells)", q_ivf_ann_topk, ORACLE_IVF_ANN),
         QS("text_stats", "Token/char/punctuation stats per document", q_text_stats, ORACLE_TEXT_STATS),
         QS("text_quality", "Heuristic quality scores (length/stopword/digit/punct)", q_quality_scores, _oracle_quality()),
         QS("text_lang_id", "Stopword-vote language identification", q_lang_id, _oracle_lang_id()),
