@@ -1,0 +1,46 @@
+"""Scale utilities: salted joins and bucketed tables."""
+
+from pyspark.sql import functions as F
+
+from transformers_spark.operators.skew import salted_join
+from transformers_spark.sources.bucketed import (
+    bucketed_join_is_shuffle_free,
+    exchange_count,
+    write_bucketed,
+)
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )  # heavy skew: 3 keys
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "unmatched")], ["k", "name"]
+    )
+    plain = big.join(small, "k").groupBy("k", "name").count().collect()
+    salted = salted_join(big, small, "k", salt=8).groupBy("k", "name").count().collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (99, "y")], ["k", "v"])
+    small = spark.createDataFrame([(1, "one")], ["k", "name"])
+    out = salted_join(big, small, "k", how="left", salt=4).collect()
+    names = {r["k"]: r["name"] for r in out}
+    assert names == {1: "one", 99: None}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from transformers_spark.sources.testdata import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdb")
+    write_bucketed(orders, "bucketdb.orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(lineitem, "bucketdb.lineitem_b", ["l_orderkey"], n_buckets=8)
+    assert bucketed_join_is_shuffle_free(
+        spark, "bucketdb.lineitem_b", "bucketdb.orders_b", "l_orderkey", "o_orderkey"
+    )
+    # sanity: the same sort-merge join on plain (unbucketed) data DOES shuffle
+    plain = lineitem.hint("merge").join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    assert exchange_count(plain) > 0

@@ -433,8 +433,9 @@ HAVING COUNT(*) >= 1
 def _all_specs() -> list["QuerySpec"]:
     from .analytics import analytics_specs
     from .operators.specs import pipeline_specs
+    from .streaming.specs import streaming_specs
 
-    return _CORE_SPECS + pipeline_specs() + analytics_specs()
+    return _CORE_SPECS + pipeline_specs() + analytics_specs() + streaming_specs()
 
 
 _CORE_SPECS: list[QuerySpec] = [

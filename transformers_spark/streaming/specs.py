@@ -1,0 +1,68 @@
+"""Correctness-gate entry for the streaming path.
+
+Structured Streaming's windowed aggregation, drained with an
+``availableNow`` trigger over a file source, must equal the same
+aggregation computed in batch — so the batch SQL IS the oracle. This
+puts the streaming engine itself (micro-batching, state store, window
+assignment) under the hash-compare gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.testdata import load_table
+from .windows import run_available_now, streaming_event_counts
+
+__all__ = ["q_streaming_hourly_counts", "ORACLE_STREAMING_HOURLY", "streaming_specs"]
+
+_STREAM_CACHE_ROOT = "/tmp/transformers_spark_stream"
+
+
+def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a micros-precision streaming copy of the events
+    table (the raw file is nanos, which the streaming reader can't
+    take); one per sf_dir, reused across calls."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(_STREAM_CACHE_ROOT, key)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    source = _stream_source_dir(spark, sf_dir)
+    sdf = streaming_event_counts(spark, source, window="1 hour", watermark="2 hours")
+    name = "stream_hourly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_available_now(sdf, name, output_mode="complete")
+
+
+ORACLE_STREAMING_HOURLY = """
+SELECT
+  date_trunc('hour', ts)                    AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR  AS window_end,
+  event_type,
+  COUNT(*)                                  AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def streaming_specs() -> list:
+    from ..queries import QuerySpec as QS
+
+    return [
+        QS(
+            "streaming_hourly_counts",
+            "Structured Streaming windowed aggregation (availableNow drain) vs batch oracle",
+            q_streaming_hourly_counts,
+            ORACLE_STREAMING_HOURLY,
+        ),
+    ]

@@ -58,7 +58,8 @@ def streaming_event_counts(
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal sum: exact regardless of micro-batch arrival order
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
