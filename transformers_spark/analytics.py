@@ -308,6 +308,110 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20."""
+    register_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    nation = spark.table("nation")
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(7,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEM_LOSSES = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(7,4)))
+       AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_shipping_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix per line status with boolean
+    CASE counts."""
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = spark.table("orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(high).alias("high_priority_count"),
+        F.sum(1 - high).alias("low_priority_count"),
+    )
+
+
+ORACLE_SHIPPING_PRIORITY_MIX = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_priority_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_priority_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate over a join — exercises
+    CNF conversion and predicate pushdown through the join."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_size") >= 40) & (F.col("l_discount") < 0.03))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(7,4)")
+    return joined.filter(pred).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(7,4)))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+   OR (p_size >= 40 AND l_discount < 0.03)
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -320,4 +424,7 @@ def analytics_specs() -> list:
         QS("part_brand_stats", "String functions + LIKE + conditional agg", q_part_brand_stats, ORACLE_PART_BRAND_STATS),
         QS("batch_sessionization", "Gap-based sessionization via window functions", q_batch_sessionization, ORACLE_BATCH_SESSIONIZATION),
         QS("nation_pair_volume", "TPC-H Q7-shape nation-pair volume", q_nation_pair_volume, ORACLE_NATION_PAIR_VOLUME),
+        QS("returned_item_losses", "TPC-H Q10-shape top-20 lost revenue", q_returned_item_losses, ORACLE_RETURNED_ITEM_LOSSES),
+        QS("shipping_priority_mix", "TPC-H Q12-shape CASE counting", q_shipping_priority_mix, ORACLE_SHIPPING_PRIORITY_MIX),
+        QS("disjunctive_revenue", "TPC-H Q19-shape OR-of-ANDs predicate", q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE),
     ]

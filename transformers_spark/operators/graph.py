@@ -26,11 +26,13 @@ def connected_components(
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; component =
     min vertex id of its connected component."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # Materialize the edge list once: it's typically the output of an
+    # expensive candidate-pair plan (MinHash etc.) that would otherwise
+    # be recomputed by the union below and by EVERY propagation round.
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
