@@ -393,6 +393,43 @@ QUALIFY row_number() OVER w <= 5
 """
 
 
+def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: keep documents that are (a) the
+    representative of their near-dup component, (b) above a quality
+    floor, and (c) confidently language-identified — the composite
+    filter a pretraining pipeline runs before tokenization."""
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    verdicts = dedup_pipeline(docs).filter(~F.col("is_duplicate")).select("doc_id")
+    quality = quality_scores(docs).filter(F.col("quality") >= 0.5).select("doc_id")
+    langs = lang_id(docs).filter(F.col("best_score") >= 1).select(
+        "doc_id", "predicted_lang"
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(verdicts, "doc_id")
+        .join(quality, "doc_id")
+        .join(langs, "doc_id")
+        .select("doc_id", "source", "n_chars", "predicted_lang")
+    )
+
+
+def _oracle_curated() -> str:
+    dedup_sql = _oracle_dedup_pipeline().strip().rstrip(";")
+    quality_sql = _oracle_quality().strip().rstrip(";")
+    lang_sql = _oracle_lang_id().strip().rstrip(";")
+    return f"""
+WITH verdicts AS ({dedup_sql}),
+quality AS ({quality_sql}),
+langs AS ({lang_sql})
+SELECT d.doc_id, d.source, d.n_chars, l.predicted_lang
+FROM documents d
+JOIN verdicts v ON v.doc_id = d.doc_id AND NOT v.is_duplicate
+JOIN quality q ON q.doc_id = d.doc_id AND q.quality >= 0.5
+JOIN langs  l ON l.doc_id = d.doc_id AND l.best_score >= 1
+"""
+
+
 # --- multimodal (rows-only: Arrow mapInPandas isn't SQL) ---------------
 
 
@@ -420,6 +457,7 @@ def pipeline_specs() -> list:
         QS("dedup_simhash", "32-bit SimHash fingerprints (bit-vote)", q_simhash, _oracle_simhash()),
         QS("dedup_pipeline", "Full near-dup pass: LSH pairs → connected components → verdicts", q_dedup_pipeline, _oracle_dedup_pipeline()),
         QS("similarity_ivf_ann", "IVF coarse-quantizer approximate top-k (probed cells)", q_ivf_ann_topk, ORACLE_IVF_ANN),
+        QS("curated_documents", "Composite curation filter: dedup + quality + language", q_curated_documents, _oracle_curated()),
         QS("text_stats", "Token/char/punctuation stats per document", q_text_stats, ORACLE_TEXT_STATS),
         QS("text_quality", "Heuristic quality scores (length/stopword/digit/punct)", q_quality_scores, _oracle_quality()),
         QS("text_lang_id", "Stopword-vote language identification", q_lang_id, _oracle_lang_id()),

@@ -52,6 +52,41 @@ def run_task(
     return result
 
 
+def main() -> None:
+    """Container-style entrypoint (reference: executor/main.py:10-39):
+    everything from env vars — DSTART/DEND/EXECUTION_TIME, JOB_DIR
+    (walked for query.sql), task config from PROJECT/DATASET/TABLE/
+    LOAD_METHOD/..., DRY_RUN, XCOM_PATH.
+
+    Run: ``python -m transformers_spark.runner``
+    """
+    import os
+
+    from .session import get_spark
+
+    dstart = os.environ["DSTART"]
+    dend = os.environ["DEND"]
+    execution_time = os.environ.get(
+        "EXECUTION_TIME", datetime.utcnow().isoformat() + "+00:00"
+    )
+    dry_run = os.environ.get("DRY_RUN", "false").lower() in ("true", "1", "yes", "y")
+    job_dir = os.environ.get("JOB_DIR", "/data")
+    query_file = None
+    for dirpath, _, files in os.walk(os.path.join(job_dir, "in")):
+        for filename in files:
+            if filename == "query.sql":
+                query_file = os.path.join(dirpath, filename)
+    if query_file is None:
+        raise FileNotFoundError(f"no query.sql under {job_dir}/in")
+    spark = get_spark(app_name="transformers-spark-task")
+    try:
+        run_task_files(
+            spark, None, query_file, dstart, dend, execution_time, dry_run=dry_run
+        )
+    finally:
+        spark.stop()
+
+
 def run_task_files(
     spark: SparkSession,
     properties_file: str | None,
@@ -73,3 +108,7 @@ def run_task_files(
     return run_task(
         spark, task_config, sql_query, dstart, dend, execution_time, dry_run, xcom_path
     )
+
+
+if __name__ == "__main__":
+    main()

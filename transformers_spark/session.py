@@ -48,9 +48,19 @@ def get_spark(
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool | None = None,
 ) -> SparkSession:
+    """``hive=True`` (or env TRANSFORMERS_SPARK_HIVE=1) enables the
+    embedded Hive metastore so catalog entries (tables, partitioning
+    TBLPROPERTIES) persist across sessions/processes — required for the
+    container-style CLI where create-table and run-task are separate
+    invocations. Default stays in-memory (fast, test-friendly)."""
     cpus = default_parallelism()
     builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    if hive is None:
+        hive = os.environ.get("TRANSFORMERS_SPARK_HIVE", "0").lower() in ("1", "true")
+    if hive:
+        builder = builder.enableHiveSupport()
     conf = dict(ENGINE_CONF)
     # On local[N] there is no cluster to absorb a wide shuffle; 2×cores
     # is plenty. On a real cluster this is overridden (or left to AQE).
