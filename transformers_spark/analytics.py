@@ -412,6 +412,63 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
 """
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: events.props is a JSON string; pull
+    ``$.k``, cast, aggregate. JVM-side get_json_object — no UDF."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS_STATS = """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering: first 5 distinct
+    user ids per event type, plus array functions over the result."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    users = F.slice(F.sort_array(F.collect_set("user_id")), 1, 5)
+    return (
+        ev.groupBy("event_type")
+        .agg(users.alias("first_users"))
+        .select(
+            "event_type",
+            "first_users",
+            F.size("first_users").alias("n_listed"),
+            F.array_contains("first_users", 0).alias("has_user_zero"),
+        )
+    )
+
+
+ORACLE_ARRAY_AGG_USERS = """
+SELECT event_type,
+  list_sort(list(DISTINCT user_id))[1:5] AS first_users,
+  len(list_sort(list(DISTINCT user_id))[1:5]) AS n_listed,
+  list_contains(list_sort(list(DISTINCT user_id))[1:5], 0) AS has_user_zero
+FROM events
+GROUP BY event_type
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -427,4 +484,6 @@ def analytics_specs() -> list:
         QS("returned_item_losses", "TPC-H Q10-shape top-20 lost revenue", q_returned_item_losses, ORACLE_RETURNED_ITEM_LOSSES),
         QS("shipping_priority_mix", "TPC-H Q12-shape CASE counting", q_shipping_priority_mix, ORACLE_SHIPPING_PRIORITY_MIX),
         QS("disjunctive_revenue", "TPC-H Q19-shape OR-of-ANDs predicate", q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE),
+        QS("json_props_stats", "JSON extraction from a string column (get_json_object)", q_json_props_stats, ORACLE_JSON_PROPS_STATS),
+        QS("array_agg_users", "Deterministic array aggregation + array functions", q_array_agg_users, ORACLE_ARRAY_AGG_USERS),
     ]
