@@ -180,6 +180,46 @@ group by ts
     assert any(r["n"] == 111 for r in rows)  # out of scope, kept
 
 
+def test_replace_merge_filter_is_partition_scoped(spark, engine):
+    """Out-of-scope partitions' files must not be rewritten."""
+    import glob
+    import os
+
+    dest = "g-project.playground.merge_scope_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_ts", "timestamp"), ("n", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="event_ts"),
+    )
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} "
+        "VALUES (TIMESTAMP'2024-01-01 12:00:00', 999, DATE'2024-01-01'),"
+        "       (TIMESTAMP'2024-01-09 00:00:00', 111, DATE'2024-01-09')"
+    )
+    location = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {engine.catalog.spark_name(dest)}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    out_of_scope_files = sorted(glob.glob(os.path.join(location, "dt=2024-01-09", "*")))
+    assert out_of_scope_files
+    c = cfg(
+        "merge_scope_dest",
+        LoadMethod.REPLACE_MERGE,
+        filter_expression="date(event_ts) >= date('__dstart__') AND date(event_ts) < date('__dend__')",
+    )
+    sql = f"""
+select ts as event_ts, count(1) as n from `{SRC_FQN}`
+where ts >= '__dstart__' and ts < '__dend__' group by ts
+"""
+    engine.transform(c, sql, datetime(2024, 1, 1), datetime(2024, 1, 3), EXEC_TIME)
+    after = sorted(glob.glob(os.path.join(location, "dt=2024-01-09", "*")))
+    assert after == out_of_scope_files  # same physical files, untouched
+    rows = engine.catalog.read(dest).collect()
+    assert not any(r["n"] == 999 for r in rows)  # in-scope old row deleted
+    assert any(r["n"] == 111 for r in rows)  # out-of-scope kept
+
+
 def test_merge_dml_upsert(spark, engine):
     dest = "g-project.playground.booking_counts"
     engine.catalog.create_table(dest, [("date", "date"), ("count", "bigint")])

@@ -210,12 +210,58 @@ class Writer:
     ) -> None:
         """Delete destination rows matching ``filter_expression`` (over
         destination columns, incl. ``dt``/_PARTITIONTIME), then insert
-        all result rows (REPLACE_MERGE with PARTITION_FILTER)."""
+        all result rows (REPLACE_MERGE with PARTITION_FILTER).
+
+        Partition-scoped on partitioned tables: only partitions that
+        contain matching rows or receive new rows are rewritten —
+        at 100 TB a date-scoped PARTITION_FILTER touches the window's
+        partitions, not the table. Non-partitioned tables fall back to
+        the whole-table staged rewrite.
+        """
         meta = self.catalog.get_table(fqn)
         new = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
         dest = self.spark.table(meta.spark_name)
-        keep = dest.filter(~F.coalesce(F.expr(filter_expression), F.lit(False)))
-        self._overwrite_via_stage(meta, keep.unionByName(new))
+        matches = F.coalesce(F.expr(filter_expression), F.lit(False))
+        if not meta.partition.is_partitioned:
+            self._overwrite_via_stage(meta, dest.filter(~matches).unionByName(new))
+            return
+        # affected = partitions with deletions ∪ partitions of inserts
+        affected = (
+            dest.filter(matches)
+            .select(PARTITION_COL)
+            .union(new.select(PARTITION_COL))
+            .distinct()
+        )
+        kept_in_scope = dest.join(
+            F.broadcast(affected), PARTITION_COL, "left_semi"
+        ).filter(~matches)
+        # insertInto is positional — pin user columns + dt in table order
+        order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
+        combined = kept_in_scope.select(*order).unionByName(new.select(*order))
+        # stage (the plan reads the partitions it replaces), then
+        # dynamic-overwrite exactly the affected partitions
+        stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+        combined.write.format("parquet").saveAsTable(stage_name)
+        try:
+            with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+                self.spark.table(stage_name).write.insertInto(
+                    meta.spark_name, overwrite=True
+                )
+            # deletions may empty a partition entirely: dynamic
+            # overwrite won't touch it, so drop any affected partition
+            # absent from the staged data
+            staged_parts = {
+                r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
+            }
+            for row in affected.collect():
+                day = row[0]
+                if day is not None and day not in staged_parts:
+                    self.spark.sql(
+                        f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
+                        f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
+                    )
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
 
     def overwrite_from_plan_reading_destination(self, fqn: str, df: DataFrame) -> None:
         """Full overwrite where df's plan scans the destination (DML
