@@ -8,9 +8,13 @@ equivalent for the correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from transformers_spark.queries import QUERIES, oracle_sqls, query_fns
 from transformers_spark.session import apply_engine_conf
