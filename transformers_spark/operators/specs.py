@@ -397,19 +397,36 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation: keep documents that are (a) the
     representative of their near-dup component, (b) above a quality
     floor, and (c) confidently language-identified — the composite
-    filter a pretraining pipeline runs before tokenization."""
+    filter a pretraining pipeline runs before tokenization.
+
+    Quality and language are pure column expressions, so (b) and (c)
+    are one map-only projection — no self-joins. The dedup verdict
+    reduces to a left-anti join against just the duplicate ids (the
+    only rows where keep_id != doc_id), not the full per-doc verdict
+    table: at 100 TB that anti-join's build side is only the dup set."""
+    from .graph import connected_components
+    from .text import lang_exprs, quality_expr
+
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    verdicts = dedup_pipeline(docs).filter(~F.col("is_duplicate")).select("doc_id")
-    quality = quality_scores(docs).filter(F.col("quality") >= 0.5).select("doc_id")
-    langs = lang_id(docs).filter(F.col("best_score") >= 1).select(
-        "doc_id", "predicted_lang"
+    pairs = minhash_lsh_pairs(docs).filter(F.col("matching_bands") >= 2)
+    dups = (
+        connected_components(pairs)
+        .filter(F.col("vertex") != F.col("component"))
+        .select(F.col("vertex").alias("doc_id"))
     )
+    pred, best = lang_exprs(F.col("text"))
     return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(verdicts, "doc_id")
-        .join(quality, "doc_id")
-        .join(langs, "doc_id")
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            pred.alias("predicted_lang"),
+            quality_expr(F.col("text")).alias("quality"),
+            best.alias("best_score"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("best_score") >= 1))
+        .join(dups, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars", "predicted_lang")
     )
 

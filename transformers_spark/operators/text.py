@@ -18,7 +18,9 @@ __all__ = [
     "normalized_text",
     "doc_fingerprint",
     "text_stats",
+    "quality_expr",
     "quality_scores",
+    "lang_exprs",
     "lang_id",
     "STOPWORDS",
 ]
@@ -73,14 +75,16 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality in [0,1]: rewards stopword presence
-    and reasonable length, penalizes digits/punctuation soup."""
-    toks = tokens(F.col(text_col))
-    n_chars = F.length(F.col(text_col)).cast("double")
+def quality_expr(text_col: Column) -> Column:
+    """Heuristic document quality in [0,1] (rounded to 6 places):
+    rewards stopword presence and reasonable length, penalizes
+    digits/punctuation soup. Pure column expression — composable into
+    any projection without a join."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col).cast("double")
     n_tokens = F.size(toks).cast("double")
-    digit_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
-    punct_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    digit_chars = n_chars - F.length(F.regexp_replace(text_col, r"[0-9]", ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
     stop_hits = _stopword_hits(toks, STOPWORDS["en"]).cast("double")
     length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
     stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
@@ -92,32 +96,46 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         + F.lit(0.2) * (1 - digit_penalty)
         - F.lit(0.2) * punct_penalty
     )
+    return F.round(F.greatest(F.least(quality, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards stopword presence
+    and reasonable length, penalizes digits/punctuation soup."""
+    col = F.col(text_col)
+    toks = tokens(col)
+    n_chars = F.length(col).cast("double")
+    digit_chars = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    stop_hits = _stopword_hits(toks, STOPWORDS["en"]).cast("double")
     return df.select(
         F.col(id_col),
-        F.round(F.greatest(F.least(quality, F.lit(1.0)), F.lit(0.0)), 6).alias("quality"),
+        quality_expr(col).alias("quality"),
         F.round(digit_chars / n_chars, 6).alias("digit_ratio"),
         F.round(punct_chars / n_chars, 6).alias("punct_ratio"),
         F.round(stop_hits, 6).cast("bigint").alias("stopword_hits"),
     )
 
 
+def lang_exprs(text_col: Column) -> tuple[Column, Column]:
+    """(predicted_lang, best_score) column expressions for stopword-vote
+    language ID. Ties break alphabetically by language code
+    (deterministic). Composable into any projection without a join."""
+    toks = tokens(F.lower(text_col))
+    langs = sorted(STOPWORDS)
+    scores = {lang: _stopword_hits(toks, STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.coalesce(*[F.when(scores[lang] == best, F.lit(lang)) for lang in langs])
+    return pred, best.cast("bigint")
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID. Ties break alphabetically by language
     code (deterministic). A real deployment would swap in a trained
     n-gram model via pandas UDF; the shape (map-only, no shuffle) holds."""
-    toks = tokens(F.lower(F.col(text_col)))
-    scores = [
-        _stopword_hits(toks, words).alias(f"score_{lang}")
-        for lang, words in sorted(STOPWORDS.items())
-    ]
-    scored = df.select(F.col(id_col), *scores)
-    langs = sorted(STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.coalesce(
-        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
-    )
-    return scored.select(
+    pred, best = lang_exprs(F.col(text_col))
+    return df.select(
         F.col(id_col),
         pred.alias("predicted_lang"),
-        best.cast("bigint").alias("best_score"),
+        best.alias("best_score"),
     )
