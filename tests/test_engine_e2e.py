@@ -320,3 +320,67 @@ def test_create_never_missing_table_raises(spark, engine):
         engine.transform(
             c, DAILY_COUNT_SQL, datetime(2024, 1, 1), datetime(2024, 1, 2), EXEC_TIME
         )
+
+
+def test_merge_errors_on_multi_source_match(spark, engine):
+    """BigQuery parity: a target row updated by >1 source row is an error,
+    not a silent duplicate."""
+    dest = "g-project.playground.merge_multi_dest"
+    engine.catalog.create_table(dest, [("k", "bigint"), ("v", "bigint")])
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} VALUES (1, 10), (2, 20)"
+    )
+    merge_sql = """
+MERGE `g-project.playground.merge_multi_dest` T
+USING (SELECT * FROM VALUES (1, 100), (1, 200) AS s(k, v)) S
+ON T.k = S.k
+WHEN MATCHED THEN UPDATE SET v = S.v
+"""
+    c = cfg("merge_multi_dest", LoadMethod.MERGE)
+    with pytest.raises(Exception, match="more than one source row"):
+        engine.transform(c, merge_sql, datetime(2024, 1, 1), datetime(2024, 1, 2), EXEC_TIME)
+
+
+def test_merge_pred_failing_matches_keep_row_once(spark, engine):
+    """A target row whose matches all fail the AND-pred stays, exactly once —
+    and multiple failing matches must not multiply it."""
+    dest = "g-project.playground.merge_pred_dest"
+    engine.catalog.create_table(dest, [("k", "bigint"), ("v", "bigint")])
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} VALUES (1, 10), (2, 20)"
+    )
+    merge_sql = """
+MERGE `g-project.playground.merge_pred_dest` T
+USING (SELECT * FROM VALUES (1, 1), (1, 2), (2, 99) AS s(k, v)) S
+ON T.k = S.k
+WHEN MATCHED AND S.v > 50 THEN UPDATE SET v = S.v
+"""
+    c = cfg("merge_pred_dest", LoadMethod.MERGE)
+    engine.transform(c, merge_sql, datetime(2024, 1, 1), datetime(2024, 1, 2), EXEC_TIME)
+    rows = sorted((r["k"], r["v"]) for r in engine.catalog.read(dest).collect())
+    # k=1: both matches fail pred -> unchanged, emitted once. k=2: updated.
+    assert rows == [(1, 10), (2, 99)]
+
+
+def test_merge_ordered_update_then_delete_clauses(spark, engine):
+    """First applicable WHEN MATCHED clause wins, in statement order."""
+    dest = "g-project.playground.merge_ordered_dest"
+    engine.catalog.create_table(dest, [("k", "bigint"), ("v", "bigint")])
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} "
+        "VALUES (1, 10), (2, 20), (3, 30)"
+    )
+    merge_sql = """
+MERGE `g-project.playground.merge_ordered_dest` T
+USING (SELECT * FROM VALUES (1, 100), (2, -1), (4, 40) AS s(k, v)) S
+ON T.k = S.k
+WHEN MATCHED AND S.v > 0 THEN UPDATE SET v = S.v
+WHEN MATCHED THEN DELETE
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)
+"""
+    c = cfg("merge_ordered_dest", LoadMethod.MERGE)
+    engine.transform(c, merge_sql, datetime(2024, 1, 1), datetime(2024, 1, 2), EXEC_TIME)
+    rows = sorted((r["k"], r["v"]) for r in engine.catalog.read(dest).collect())
+    # k=1 updated (first clause), k=2 deleted (second clause),
+    # k=3 untouched (no source match), k=4 inserted.
+    assert rows == [(1, 100), (3, 30), (4, 40)]

@@ -15,10 +15,12 @@ templates in executor/bumblebee/query.py:6-62):
 
     DELETE FROM target WHERE pred
 
-Execution decomposes the merge into three key-local joins (inner +
-two anti-joins) so expressions keep their user-written aliases; all
-three shuffle on the same join keys, and the final result replaces
-the target through a staging table.
+Execution keys every target row with a row id, resolves matched
+(target, source) pairs to their first applicable WHEN clause, errors
+when one target row would be updated/deleted by multiple source rows
+(BigQuery parity), and re-emits untouched rows via one anti-join on
+the compact row-id set; the final result replaces the target through
+a staging table.
 """
 
 from __future__ import annotations
@@ -215,13 +217,59 @@ def fqn_for_spark_name(catalog: Catalog, spark_name: str) -> str | None:
     return None
 
 
+_ROWID = "__ts_merge_rowid"
+_CLAUSE = "__ts_merge_clause"
+_NMATCH = "__ts_merge_nmatch"
+
+
+def _first_applicable(clauses: list[MergeClause]) -> "F.Column":
+    """Index of the first clause whose AND-pred passes (NULL if none) —
+    standard MERGE clause-ordering semantics."""
+    whens = [
+        F.when(
+            F.coalesce(F.expr(c.pred), F.lit(False)) if c.pred else F.lit(True),
+            F.lit(i),
+        )
+        for i, c in enumerate(clauses)
+    ]
+    return F.coalesce(*whens, F.lit(None).cast("int"))
+
+
 def execute_merge(
     spark: SparkSession, catalog: Catalog, writer: Writer, stmt: MergeStatement, fqn: str
 ) -> int:
-    """Run a parsed MERGE against destination ``fqn``. Returns affected
-    row estimate (inserted + updated + deleted)."""
+    """Run a parsed MERGE against destination ``fqn``.
+
+    Semantics follow the SQL standard / BigQuery (reference:
+    executor/samples/tasks/dml/query.sql, executor/bumblebee/query.py:
+    6-62), keyed on a per-target-row identity so each target row is
+    emitted exactly once:
+
+    * matched (target, source) pairs resolve to the FIRST matched
+      clause (in statement order) whose AND-pred passes;
+    * a target row updated/deleted by MORE than one source row raises
+      (BigQuery errors here; silently picking one or duplicating the
+      row would corrupt the table) — the guard is a window count over
+      the row id, evaluated inside the plan via ``raise_error``;
+    * every target row not updated/deleted passes through unchanged —
+      one anti-join on the compact row-id set, so matched-but-
+      unaffected and unmatched rows need no separate branches;
+    * unmatched source rows insert via their first applicable
+      NOT MATCHED clause.
+
+    Row identity is ``monotonically_increasing_id`` on the target scan
+    (partition ordinal + row position — stable across the plan's
+    branches for one execution, the same identity Delta's merge derives
+    from file+position). Scale note: the duplicate-match guard costs
+    one extra shuffle of the matched set; the pass-through anti-join
+    shuffles only row ids.
+    """
     meta = catalog.get_table(fqn)
-    target = catalog.read(fqn, include_partition_col=False).alias(stmt.target_alias)
+    target = (
+        catalog.read(fqn, include_partition_col=False)
+        .withColumn(_ROWID, F.monotonically_increasing_id())
+        .alias(stmt.target_alias)
+    )
     if stmt.source_sql is not None:
         source = spark.sql(stmt.source_sql)
     else:
@@ -230,68 +278,78 @@ def execute_merge(
     on = F.expr(stmt.on)
     cols = meta.column_names
 
-    matched_update = next((c for c in stmt.clauses if c.kind == "matched_update"), None)
-    matched_delete = next((c for c in stmt.clauses if c.kind == "matched_delete"), None)
-    insert_clause = next((c for c in stmt.clauses if c.kind == "not_matched_insert"), None)
-    by_source = next((c for c in stmt.clauses if c.kind == "by_source_delete"), None)
+    matched_clauses = [c for c in stmt.clauses if c.kind in ("matched_update", "matched_delete")]
+    insert_clauses = [c for c in stmt.clauses if c.kind == "not_matched_insert"]
+    by_source_clauses = [c for c in stmt.clauses if c.kind == "by_source_delete"]
 
     pieces: list[DataFrame] = []
+    changed_ids: list[DataFrame] = []  # single-column (_ROWID) frames
 
-    # Target rows that matched at least one source row.
-    if matched_update is not None:
-        joined = target.join(source, on, "inner")
-        if matched_update.pred:
-            joined = joined.filter(F.expr(matched_update.pred))
-        proj = [
-            F.expr(matched_update.assignments[c]).alias(c)
-            if c in matched_update.assignments
-            else F.col(f"{stmt.target_alias}.`{c}`").alias(c)
-            for c in cols
-        ]
-        pieces.append(joined.select(*proj))
-        # matched rows where the AND-pred failed stay unchanged
-        if matched_update.pred:
-            kept = target.join(source, on, "inner").filter(
-                ~F.coalesce(F.expr(matched_update.pred), F.lit(False))
-            )
-            pieces.append(kept.select(*[F.col(f"{stmt.target_alias}.`{c}`").alias(c) for c in cols]))
-    elif matched_delete is not None:
-        if matched_delete.pred:
-            kept = target.join(source, on, "inner").filter(
-                ~F.coalesce(F.expr(matched_delete.pred), F.lit(False))
-            )
-            pieces.append(kept.select(*[F.col(f"{stmt.target_alias}.`{c}`").alias(c) for c in cols]))
-        # else: all matched rows deleted → contribute nothing
-    else:
-        # no matched clause: matched target rows pass through unchanged
-        pieces.append(
-            target.join(source, on, "left_semi").select(
-                *[F.col(f"`{c}`").alias(c) for c in cols]
-            )
+    if matched_clauses:
+        from pyspark.sql.window import Window
+
+        affected = (
+            target.join(source, on, "inner")
+            .withColumn(_CLAUSE, _first_applicable(matched_clauses))
+            .filter(F.col(_CLAUSE).isNotNull())
+            .withColumn(_NMATCH, F.count(F.lit(1)).over(Window.partitionBy(_ROWID)))
         )
+        # The guard rides on the row-id column consumed by the
+        # pass-through anti-join below, so it cannot be pruned away and
+        # fires for BOTH update and delete multi-matches.
+        guard = F.when(
+            F.col(_NMATCH) > 1,
+            F.raise_error(
+                F.lit(
+                    "MERGE error: a target row in "
+                    + meta.fqn
+                    + " matched more than one source row for UPDATE/DELETE"
+                )
+            ),
+        ).otherwise(F.col(_ROWID))
+        changed_ids.append(affected.select(guard.alias(_ROWID)))
+        for i, clause in enumerate(matched_clauses):
+            if clause.kind != "matched_update":
+                continue  # deletes contribute no rows
+            proj = [
+                F.expr(clause.assignments[c]).alias(c)
+                if c in clause.assignments
+                else F.col(f"{stmt.target_alias}.`{c}`").alias(c)
+                for c in cols
+            ]
+            pieces.append(affected.filter(F.col(_CLAUSE) == i).select(*proj))
 
-    # Target rows with no source match.
-    unmatched_target = target.join(source, on, "left_anti")
-    if by_source is not None:
-        if by_source.pred:
-            unmatched_target = unmatched_target.filter(
-                ~F.coalesce(F.expr(by_source.pred), F.lit(False))
-            )
-        else:
-            unmatched_target = unmatched_target.limit(0)
-    pieces.append(unmatched_target.select(*[F.col(f"`{c}`").alias(c) for c in cols]))
+    if by_source_clauses:
+        deleted = (
+            target.join(source, on, "left_anti")
+            .withColumn(_CLAUSE, _first_applicable(by_source_clauses))
+            .filter(F.col(_CLAUSE).isNotNull())
+        )
+        changed_ids.append(deleted.select(F.col(_ROWID)))
 
-    # Source rows with no target match → inserts.
-    if insert_clause is not None:
-        unmatched_source = source.join(target, on, "left_anti")
-        if insert_clause.pred:
-            unmatched_source = unmatched_source.filter(F.expr(insert_clause.pred))
-        val_by_col = dict(zip(insert_clause.insert_cols, insert_clause.insert_vals))
-        proj = [
-            F.expr(val_by_col[c]).alias(c) if c in val_by_col else F.lit(None).alias(c)
-            for c in cols
-        ]
-        pieces.append(unmatched_source.select(*proj))
+    # Everything not updated/deleted passes through unchanged.
+    kept = target
+    if changed_ids:
+        changed = changed_ids[0]
+        for extra in changed_ids[1:]:
+            changed = changed.unionByName(extra)
+        kept = target.join(changed, _ROWID, "left_anti")
+    pieces.append(kept.select(*[F.col(f"`{c}`").alias(c) for c in cols]))
+
+    # Source rows with no target match → first applicable INSERT clause.
+    if insert_clauses:
+        unmatched_source = (
+            source.join(target, on, "left_anti")
+            .withColumn(_CLAUSE, _first_applicable(insert_clauses))
+            .filter(F.col(_CLAUSE).isNotNull())
+        )
+        for i, clause in enumerate(insert_clauses):
+            val_by_col = dict(zip(clause.insert_cols, clause.insert_vals))
+            proj = [
+                F.expr(val_by_col[c]).alias(c) if c in val_by_col else F.lit(None).alias(c)
+                for c in cols
+            ]
+            pieces.append(unmatched_source.filter(F.col(_CLAUSE) == i).select(*proj))
 
     # Cast every piece to the destination schema before the union so
     # branch-specific expression types can't poison the union.

@@ -40,6 +40,7 @@ from .dialect import (
 from .dml import execute_delete, execute_merge, fqn_for_spark_name, parse_delete, parse_merge
 from .loaders import Writer
 from .macros import render_macros
+from .session import apply_engine_conf
 from .windowing import CustomWindow, Window, localise_datetime
 
 __all__ = ["Engine", "TransformResult", "BREAK_MARKER", "compile_assets"]
@@ -105,6 +106,11 @@ class Engine:
         catalog: Catalog | None = None,
         udf_registry: dict[str, tuple[Callable, str]] | None = None,
     ):
+        # The session may be user-created (the driver hands us its own);
+        # apply runtime-settable engine conf (UTC, AQE, nanos-parquet,
+        # dynamic partition overwrite) so library behavior doesn't depend
+        # on who built the session.
+        apply_engine_conf(spark)
         self.spark = spark
         self.catalog = catalog or Catalog(spark)
         self.writer = Writer(spark, self.catalog)

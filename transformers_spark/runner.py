@@ -6,13 +6,14 @@ executor/bumblebee/bq2bq.py:15-51, executor/main.py:10-39).
 
 from __future__ import annotations
 
+import re
 import time
 from datetime import datetime
 
 from pyspark.sql import SparkSession
 
 from .config import TaskConfig, task_config_from_env, task_config_from_properties
-from .engine import Engine, TransformResult
+from .engine import Engine, TransformResult, compile_assets
 from .stats import collect_job_stats, write_xcom
 from .windowing import parse_datetime
 
@@ -105,6 +106,20 @@ def run_task_files(
         task_config = task_config_from_env()
     with open(query_file) as fh:
         sql_query = fh.read()
+    # In the reference lifecycle the scheduler's Go plugin compiles
+    # {{ .DSTART }}-style templates per-day BEFORE the container runs
+    # (task/bq2bq/main.go:88-168). When the engine is run standalone the
+    # raw template can land here directly — compile it the same way.
+    if re.search(r"\{\{\s*\.(?:DSTART|DEND|EXECUTION_TIME)", sql_query):
+        if isinstance(dstart, str):
+            dstart = parse_datetime(dstart)
+        if isinstance(dend, str):
+            dend = parse_datetime(dend)
+        if isinstance(execution_time, str):
+            execution_time = parse_datetime(execution_time)
+        sql_query = compile_assets(
+            sql_query, dstart, dend, task_config.load_method, execution_time
+        )
     return run_task(
         spark, task_config, sql_query, dstart, dend, execution_time, dry_run, xcom_path
     )
