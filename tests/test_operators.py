@@ -102,3 +102,42 @@ def test_frame_sample_plan(spark):
     rows = {r["media_id"]: r["sample_frames"] for r in frame_sample_plan(df, 30, 4).collect()}
     assert rows["v1"] == [0, 30, 60, 90]
     assert rows["v2"] == [0]
+
+
+def test_winnowing_fingerprints_detect_shared_run(spark):
+    from transformers_spark.operators.text import winnowing_fingerprints
+
+    # Docs 1 and 2 share a long run; doc 3 is disjoint content.
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, shared + " alpha beta"), (2, "gamma delta " + shared), (3, "zz " * 30)],
+        ["doc_id", "text"],
+    )
+    rows = winnowing_fingerprints(df).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    overlap_12 = fps[1] & fps[2]
+    overlap_13 = fps[1] & fps[3]
+    assert len(overlap_12) > 0  # shared run → shared fingerprints
+    assert len(overlap_12) > len(overlap_13)
+    # identical doc → identical fingerprint set
+    df2 = spark.createDataFrame([(9, shared + " alpha beta")], ["doc_id", "text"])
+    fps9 = {r["fingerprint"] for r in winnowing_fingerprints(df2).collect()}
+    assert fps9 == fps[1]
+
+
+def test_embedding_neardup_pairs_threshold_and_symmetry(spark):
+    from transformers_spark.operators.similarity import embedding_neardup_pairs
+
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.01] + [0.0] * 62
+    far = [0.0] * 63 + [1.0]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["vec_id", "embedding"]
+    )
+    rows = embedding_neardup_pairs(df, threshold=0.9).collect()
+    pairs = {(r["d1"], r["d2"]) for r in rows}
+    assert (0, 1) in pairs  # near-identical pair found
+    assert all(d1 < d2 for d1, d2 in pairs)  # each pair once, ordered
+    assert (0, 2) not in pairs and (1, 2) not in pairs

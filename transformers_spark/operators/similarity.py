@@ -19,7 +19,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["cosine_topk", "lsh_bucketed_topk", "ivf_topk", "hyperplane_weights"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "ivf_topk",
+    "hyperplane_weights",
+    "hyperplane_signature",
+    "embedding_neardup_pairs",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -176,6 +183,63 @@ def _hyperplane_sign(vec: Column, weights: list[float]) -> Column:
     return (weighted >= 0).cast("int")
 
 
+def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
+    """Bucket id: the sign bits of <vec, w_p> packed into a long."""
+    bits = [
+        (_hyperplane_sign(vec, weights[p]) * F.lit(2**p)).cast("long")
+        for p in range(len(weights))
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (d1, d2, cosine) for every
+    pair sharing a random-hyperplane bucket with cosine ≥ threshold.
+
+    The scale path for near-dup over embeddings: bucketing makes the
+    self-join work proportional to Σ bucket², never |corpus|²; each
+    vector lands in exactly one bucket so no pair is emitted twice.
+    Raise ``planes`` as the corpus grows (2^planes buckets) — high-cos
+    pairs agree on most hyperplane signs, so recall degrades slowly.
+    """
+    weights = hyperplane_weights(planes, dim)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), weights).alias("bucket"),
+    )
+    a = sigs.select(
+        F.col("id").alias("d1"), F.col("vec").alias("v1"), "bucket"
+    )
+    b = sigs.select(
+        F.col("id").alias("d2"), F.col("vec").alias("v2"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                _dot(F.col("v1"), F.col("v2"))
+                / (_norm(F.col("v1")) * _norm(F.col("v2"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -193,14 +257,7 @@ def lsh_bucketed_topk(
     weights = hyperplane_weights(planes, dim)
 
     def signature(vec: Column) -> Column:
-        bits = [
-            (_hyperplane_sign(vec, weights[p]) * F.lit(2**p)).cast("long")
-            for p in range(planes)
-        ]
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
-        return total
+        return hyperplane_signature(vec, weights)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -25,8 +25,14 @@ from .dedup import (
 )
 from .hashing import MERSENNE_P, duck_h32, duck_perm_hash, lcg_constants
 from .multimodal import decode_image_features, fake_image_decoder
-from .similarity import cosine_topk, hyperplane_weights, ivf_topk, lsh_bucketed_topk
-from .text import STOPWORDS, lang_id, quality_scores, text_stats
+from .similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplane_weights,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from .text import STOPWORDS, lang_id, quality_scores, text_stats, winnowing_fingerprints
 
 try:  # shared QuerySpec type (avoid circular import at module load)
     from ..queries import QuerySpec
@@ -361,14 +367,43 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5)
 
 
-def _oracle_lsh_ann() -> str:
-    weights = hyperplane_weights(planes=8, dim=64)
-    sig_terms = " + ".join(
+def _duck_sig_terms(planes: int = 8, dim: int = 64) -> str:
+    """Hyperplane-signature literal expression over ``v`` — the DuckDB
+    twin of similarity.hyperplane_signature (same md5-derived weights)."""
+    weights = hyperplane_weights(planes, dim)
+    return " + ".join(
         "(CASE WHEN list_dot_product(v, [{w}]) >= 0 THEN {pow} ELSE 0 END)".format(
             w=", ".join(repr(x) for x in weights[p]), pow=2**p
         )
-        for p in range(8)
+        for p in range(planes)
     )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("embeddings",))
+    # Synthetic embeddings are near-uniform (max in-bucket cosine ~0.47
+    # at sf0.01); 0.3 keeps the result non-trivial. Real corpora use the
+    # operator default (0.9).
+    return embedding_neardup_pairs(spark.table("embeddings"), threshold=0.3)
+
+
+def _oracle_embedding_neardup() -> str:
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, CAST({_duck_sig_terms()} AS BIGINT) AS bucket FROM vecs),
+scored AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+          6) AS cosine
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT d1, d2, cosine FROM scored WHERE cosine >= 0.3
+"""
+
+
+def _oracle_lsh_ann() -> str:
+    sig_terms = _duck_sig_terms()
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -447,6 +482,32 @@ JOIN langs  l ON l.doc_id = d.doc_id AND l.best_score >= 1
 """
 
 
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return winnowing_fingerprints(spark.table("documents"))
+
+
+# k=8, window=4 — keep in sync with winnowing_fingerprints defaults.
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH norm AS (
+  SELECT doc_id, {DUCK_NORMALIZED} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, [substr(t, i, 8) for i in range(1, length(t) - 6)] AS gs
+  FROM norm WHERE length(t) >= 11
+),
+hashes AS (
+  SELECT doc_id, [('0x' || substr(md5(g), 1, 8))::BIGINT for g in gs] AS hs
+  FROM grams
+),
+mins AS (
+  SELECT doc_id, [list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)] AS ms
+  FROM hashes
+)
+SELECT doc_id, unnest(list_distinct(ms)) AS fingerprint FROM mins
+"""
+
+
 # --- multimodal (rows-only: Arrow mapInPandas isn't SQL) ---------------
 
 
@@ -480,5 +541,7 @@ def pipeline_specs() -> list:
         QS("text_lang_id", "Stopword-vote language identification", q_lang_id, _oracle_lang_id()),
         QS("similarity_cosine_topk", "Exact brute-force cosine top-k neighbors", q_cosine_topk, ORACLE_COSINE_TOPK),
         QS("similarity_lsh_ann", "Random-hyperplane LSH-bucketed approximate top-k", q_lsh_ann_topk, _oracle_lsh_ann()),
+        QS("dedup_embedding_cosine", "Embedding-cosine near-dup pairs (hyperplane-bucketed)", q_embedding_neardup, _oracle_embedding_neardup()),
+        QS("text_fingerprint", "Winnowing rolling-hash document fingerprints", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
     ]
