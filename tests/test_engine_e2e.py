@@ -384,3 +384,41 @@ WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)
     # k=1 updated (first clause), k=2 deleted (second clause),
     # k=3 untouched (no source match), k=4 inserted.
     assert rows == [(1, 100), (3, 30), (4, 40)]
+
+
+def test_delete_dml_partition_scoped(spark, engine):
+    """DELETE on a dt-partitioned table rewrites only partitions with
+    matching rows; a fully-emptied partition is dropped."""
+    from transformers_spark.catalog import PartitionKind, PartitionSpec
+
+    dest = "g-project.playground.delete_part_dest"
+    engine.catalog.create_table(
+        dest,
+        [("d", "date"), ("v", "bigint")],
+        partition=PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="d"),
+    )
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} (d, v, dt) "
+        "VALUES (DATE'2024-01-01', 1, DATE'2024-01-01'), "
+        "(DATE'2024-01-01', 2, DATE'2024-01-01'), "
+        "(DATE'2024-01-02', 3, DATE'2024-01-02'), "
+        "(DATE'2024-01-03', 4, DATE'2024-01-03')"
+    )
+    c = cfg("delete_part_dest", LoadMethod.MERGE)
+    # empties the 01-01 partition, leaves 01-02/01-03 untouched
+    engine.transform(
+        c,
+        "DELETE FROM `__destination_table__` WHERE d < DATE'2024-01-02'",
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 2),
+        EXEC_TIME,
+    )
+    rows = sorted(r["v"] for r in engine.catalog.read(dest).collect())
+    assert rows == [3, 4]
+    parts = {
+        r[0]
+        for r in spark.sql(
+            f"SELECT DISTINCT dt FROM {engine.catalog.spark_name(dest)}"
+        ).collect()
+    }
+    assert str(min(parts)) == "2024-01-02"  # emptied partition dropped

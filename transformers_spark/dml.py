@@ -377,7 +377,4 @@ def parse_delete(sql: str) -> tuple[str, str]:
 def execute_delete(
     spark: SparkSession, catalog: Catalog, writer: Writer, fqn: str, predicate: str
 ) -> None:
-    meta = catalog.get_table(fqn)
-    dest = spark.table(meta.spark_name)
-    keep = dest.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
-    writer.overwrite_from_plan_reading_destination(fqn, keep)
+    writer.delete_where(fqn, predicate)

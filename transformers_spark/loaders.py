@@ -238,8 +238,37 @@ class Writer:
         # insertInto is positional — pin user columns + dt in table order
         order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
         combined = kept_in_scope.select(*order).unionByName(new.select(*order))
-        # stage (the plan reads the partitions it replaces), then
-        # dynamic-overwrite exactly the affected partitions
+        self._replace_affected_partitions(meta, combined, affected)
+
+    def delete_where(self, fqn: str, predicate: str) -> None:
+        """``DELETE FROM t WHERE pred`` (reference:
+        samples/tasks/delete/query.sql). Partition-scoped on partitioned
+        tables: only partitions containing matching rows are rewritten,
+        so a date-scoped predicate touches the window's partitions, not
+        the table. Non-partitioned tables fall back to the whole-table
+        staged rewrite."""
+        meta = self.catalog.get_table(fqn)
+        dest = self.spark.table(meta.spark_name)
+        matches = F.coalesce(F.expr(predicate), F.lit(False))
+        if not meta.partition.is_partitioned:
+            self._overwrite_via_stage(meta, dest.filter(~matches))
+            return
+        affected = dest.filter(matches).select(PARTITION_COL).distinct()
+        kept_in_scope = dest.join(
+            F.broadcast(affected), PARTITION_COL, "left_semi"
+        ).filter(~matches)
+        # insertInto is positional — pin user columns + dt in table order
+        order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
+        self._replace_affected_partitions(meta, kept_in_scope.select(*order), affected)
+
+    def _replace_affected_partitions(
+        self, meta: TableMeta, combined: DataFrame, affected: DataFrame
+    ) -> None:
+        """Stage ``combined`` (its plan reads the partitions it
+        replaces), dynamic-overwrite exactly those partitions, and drop
+        any affected partition the delete emptied entirely (dynamic
+        overwrite won't touch a partition absent from the staged
+        data)."""
         stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
         combined.write.format("parquet").saveAsTable(stage_name)
         try:
@@ -247,9 +276,6 @@ class Writer:
                 self.spark.table(stage_name).write.insertInto(
                     meta.spark_name, overwrite=True
                 )
-            # deletions may empty a partition entirely: dynamic
-            # overwrite won't touch it, so drop any affected partition
-            # absent from the staged data
             staged_parts = {
                 r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
             }
