@@ -95,3 +95,52 @@ def test_window_days_cover_exactly(start, days):
     assert len(day_list) == days
     assert day_list[0] == w.start
     assert all((b - a) == timedelta(days=1) for a, b in zip(day_list, day_list[1:]))
+
+
+def test_udtf_registry_script(spark):
+    """CREATE TEMP TABLE FUNCTION maps to a registered pyspark UDTF,
+    callable in the FROM clause of the script body."""
+    from transformers_spark.engine import Engine
+    from transformers_spark.functions.udtfs import DEFAULT_UDTF_REGISTRY
+
+    eng = Engine(spark, udtf_registry=DEFAULT_UDTF_REGISTRY)
+    script = """
+CREATE TEMP TABLE FUNCTION splitToWords(t STRING, d STRING)
+RETURNS TABLE<word STRING, pos INT64> AS (SELECT 1);
+SELECT word, pos FROM splitToWords('alpha beta gamma', ' ') ORDER BY pos;
+"""
+    results = eng.run_script(script)
+    rows = [(r["word"], r["pos"]) for r in results[-1]]
+    assert rows == [("alpha", 0), ("beta", 1), ("gamma", 2)]
+
+
+def test_udtf_unregistered_name_raises(spark):
+    from transformers_spark.engine import Engine
+
+    eng = Engine(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no Python implementation"):
+        eng.run_script(
+            "CREATE TEMP TABLE FUNCTION nosuch(t STRING) AS (SELECT 1);\nSELECT 1;"
+        )
+
+
+def test_udtf_lateral_join(spark):
+    """UDTF over a column via LATERAL — the per-row explode shape."""
+    from transformers_spark.engine import Engine
+    from transformers_spark.functions.udtfs import DEFAULT_UDTF_REGISTRY
+
+    eng = Engine(spark, udtf_registry=DEFAULT_UDTF_REGISTRY)
+    eng.run_script(
+        "CREATE TEMP TABLE FUNCTION topNTokens(t STRING, n INT64) AS (SELECT 1);\nSELECT 1;"
+    )
+    spark.createDataFrame(
+        [(1, "x x y"), (2, "z")], ["id", "body"]
+    ).createOrReplaceTempView("udtf_src")
+    rows = spark.sql(
+        "SELECT id, token, n_occurrences FROM udtf_src, "
+        "LATERAL topNTokens(body, 1)"
+    ).collect()
+    got = sorted((r["id"], r["token"], r["n_occurrences"]) for r in rows)
+    assert got == [(1, "x", 2), (2, "z", 1)]

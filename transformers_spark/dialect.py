@@ -294,6 +294,7 @@ def split_statements(sql: str) -> list[str]:
 _DDL_HEAD_RE = re.compile(r"^\s*(CREATE|DECLARE|DROP|ALTER)\b", re.IGNORECASE)
 _STMT_KIND_RES = [
     ("create_temp_function", re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\b", re.IGNORECASE)),
+    ("create_temp_table_function", re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+FUNCTION\b", re.IGNORECASE)),
     ("create_temp_table", re.compile(r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\b", re.IGNORECASE)),
     ("declare", re.compile(r"^\s*DECLARE\b", re.IGNORECASE)),
     ("set", re.compile(r"^\s*SET\b", re.IGNORECASE)),

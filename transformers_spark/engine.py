@@ -105,6 +105,7 @@ class Engine:
         spark: SparkSession,
         catalog: Catalog | None = None,
         udf_registry: dict[str, tuple[Callable, str]] | None = None,
+        udtf_registry: dict[str, Any] | None = None,
     ):
         # The session may be user-created (the driver hands us its own);
         # apply runtime-settable engine conf (UTC, AQE, nanos-parquet,
@@ -118,6 +119,9 @@ class Engine:
         # replacement for BQ JS temp functions (reference:
         # samples/tasks/select/federated_table/query.sql:1-6)
         self.udf_registry = udf_registry or {}
+        # name → pyspark @udtf class; the table-valued analogue of
+        # udf_registry (BQ CREATE TEMP TABLE FUNCTION)
+        self.udtf_registry = udtf_registry or {}
 
     # ------------------------------------------------------------------
     def transform(
@@ -360,6 +364,9 @@ class Engine:
         if kind == "create_temp_function":
             self._register_temp_function(stmt)
             return True
+        if kind == "create_temp_table_function":
+            self._register_temp_table_function(stmt)
+            return True
         if kind == "create_temp_table":
             m = re.match(
                 r"CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?(\w+)`?\s+AS\s*(.*)$",
@@ -459,6 +466,25 @@ class Engine:
                 "JS function bodies are not portable — register one via "
                 "Engine(udf_registry={...})"
             )
+
+    def _register_temp_table_function(self, stmt: str) -> None:
+        """BQ ``CREATE TEMP TABLE FUNCTION name(...)`` → registered
+        Python UDTF. Like scalar temp functions, the statement's SQL
+        body is not executed — the NAME maps to a Python implementation
+        (Arrow-batched pyspark ``@udtf``), callable in the FROM clause."""
+        m = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+FUNCTION\s+`?(\w+)`?",
+            stmt,
+            re.IGNORECASE,
+        )
+        name = m.group(1)
+        if name not in self.udtf_registry:
+            raise ValueError(
+                f"temp table function {name!r} has no Python implementation "
+                "registered; register a pyspark @udtf class via "
+                "Engine(udtf_registry={...})"
+            )
+        self.spark.udtf.register(name, self.udtf_registry[name])
 
 
 _NOT_LITERAL = object()
