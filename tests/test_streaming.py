@@ -51,3 +51,22 @@ def test_sessionize_bounded_state(spark, events_dir):
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
     assert len(rows) > 0
+
+
+def test_sessionize_event_time_timeout(spark, events_dir):
+    """EventTimeTimeout closes idle sessions as the watermark advances
+    with the data — more sessions emitted than the no-timeout drain,
+    without any wall-clock waiting."""
+    base = run_available_now(
+        sessionize(spark, events_dir), "sess_none2", output_mode="append"
+    ).collect()
+    evt = run_available_now(
+        sessionize(spark, events_dir, timeout="event", max_files_per_trigger=1),
+        "sess_event",
+        output_mode="append",
+    ).collect()
+    for r in evt:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    # watermark-driven closes can only add sessions vs the no-timeout run
+    assert len(evt) >= len(base)

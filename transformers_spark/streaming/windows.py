@@ -91,15 +91,15 @@ _SESSION_STATE_SCHEMA = StructType(
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
-def _make_session_fn(use_timeout: bool):
+def _make_session_fn(timeout: str):
     def session_fn(key, batches, state):
-        return _session_fn(key, batches, state, use_timeout)
+        return _session_fn(key, batches, state, timeout)
 
     return session_fn
 
 
 def _session_fn(
-    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState, use_timeout: bool = True
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState, timeout: str = "none"
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: emit a session when a user's event gap
     exceeds 30 minutes (or state times out). State carries three longs
@@ -135,8 +135,12 @@ def _session_fn(
         last_ms = max(last_ms, t)
         n += 1
     state.update((start_ms, last_ms, n))
-    if use_timeout:
+    if timeout == "processing":
         state.setTimeoutDuration(SESSION_GAP_MS)
+    elif timeout == "event":
+        # close when the WATERMARK (data time, not wall clock) passes
+        # the session's gap boundary — deterministic given the data
+        state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
     if rows:
         yield pd.DataFrame(
             {
@@ -149,31 +153,47 @@ def _session_fn(
 
 
 def sessionize(
-    spark: SparkSession, source_dir: str, idle_timeout: bool = False
+    spark: SparkSession,
+    source_dir: str,
+    timeout: str = "none",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Gap-based sessionization via applyInPandasWithState.
 
-    ``idle_timeout=True`` (live streams) closes idle sessions with a
-    processing-time timeout. Leave it off for bounded ``availableNow``
-    drains — timeout-driven empty micro-batches would otherwise spin
-    until the wall-clock gap elapses; open sessions simply stay in the
-    (checkpointed) state for the next run, which is the semantics a
-    resumable batch-over-stream pipeline wants.
+    ``timeout`` picks how idle sessions close:
+
+    * ``"none"`` — bounded ``availableNow`` drains: open sessions stay
+      in checkpointed state for the next run (resumable batch-over-
+      stream semantics; no wall-clock spin).
+    * ``"event"`` — the production default for event-time correctness:
+      a session closes when the WATERMARK passes its last event +
+      30 min. Deterministic given the data, independent of wall clock,
+      and it fires during availableNow drains as later files advance
+      the watermark.
+    * ``"processing"`` — live streams only: wall-clock idle timeout.
+      Do not combine with availableNow (timeout-driven empty
+      micro-batches spin until the wall-clock gap elapses).
     """
-    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout
-        else GroupStateTimeout.NoTimeout
-    )
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(source_dir)
+    conf = {
+        "none": GroupStateTimeout.NoTimeout,
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        "event": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+    if timeout == "event":
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(idle_timeout),
+            _make_session_fn(timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=timeout,
+            timeoutConf=conf,
         )
     )
 
