@@ -141,3 +141,34 @@ def test_embedding_neardup_pairs_threshold_and_symmetry(spark):
     assert (0, 1) in pairs  # near-identical pair found
     assert all(d1 < d2 for d1, d2 in pairs)  # each pair once, ordered
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_kmeans_centroids_converge_and_improve_recall(spark):
+    from transformers_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from transformers_spark.sources.testdata import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001", ("embeddings",))
+    emb = spark.table("embeddings")
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 8
+    assert all(len(r["centvec"]) == 64 for r in rows)
+    # determinism: same input -> same codebook
+    again = kmeans_centroids(emb, n_centroids=8, iters=2).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    km = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_probe=4, centroids=cents).collect()
+    }
+    # trained codebook must find a reasonable share of true neighbors
+    assert len(km & exact) / len(exact) >= 0.3

@@ -23,6 +23,7 @@ __all__ = [
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "kmeans_centroids",
     "hyperplane_weights",
     "hyperplane_signature",
     "embedding_neardup_pairs",
@@ -82,6 +83,84 @@ def cosine_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Lloyd's k-means codebook for IVF, returned as a small
+    (centroid_id, centvec) DataFrame for :func:`ivf_topk`.
+
+    Spark-ML-KMeans-shaped execution: centers live on the driver
+    (k × dim doubles — tiny) and are re-broadcast each iteration;
+    assignment is one map-side-combinable ``min(struct(dist, id))``
+    aggregation per vector (no sort, no window), and the center update
+    is a (cell, dim)-keyed mean over ``posexplode`` of the assigned
+    vectors. Per iteration: one broadcast join + two partial-agg
+    shuffles whose width is |corpus|×dim — at 100 TB, train on a
+    ``sample_fraction`` (FAISS-style: codebooks converge on small
+    samples) and assign the full corpus once afterwards.
+
+    Deterministic: init is the ``n_centroids`` lowest-id vectors and
+    every step is an exact aggregate, so repeated runs agree.
+    """
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    if sample_fraction:
+        vecs = vecs.sample(fraction=sample_fraction, seed=20260813)
+    spark = corpus.sparkSession
+    centers = [
+        [float(x) for x in r["vec"]]
+        for r in vecs.orderBy("vid").limit(n_centroids).collect()
+    ]
+    dim = len(centers[0])
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)], ["centroid_id", "centvec"]
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vid",
+                "vec",
+                F.struct(
+                    # squared L2 distance (standard Lloyd objective)
+                    F.aggregate(
+                        F.zip_with(
+                            "vec",
+                            "centvec",
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    F.col("centroid_id").alias("cid"),
+                ).alias("cand"),
+            )
+            .groupBy("vid")
+            .agg(F.min("cand").alias("best"), F.first("vec").alias("vec"))
+            .select(F.col("best.cid").alias("cell"), "vec")
+        )
+        new_centers = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cell")
+            .agg(F.map_from_arrays(F.collect_list("pos"), F.collect_list("mean")).alias("m"))
+            .collect()
+        )
+        by_cell = {r["cell"]: r["m"] for r in new_centers}
+        centers = [
+            [by_cell[i][d] for d in range(dim)] if i in by_cell else centers[i]
+            for i in range(n_centroids)
+        ]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], ["centroid_id", "centvec"]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -90,19 +169,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to
     their nearest centroid (coarse quantizer); each query scores only
     the ``n_probe`` nearest cells.
 
-    Centroids are the corpus vectors with id < n_centroids — a
-    deterministic stand-in for a k-means codebook (swap in Spark ML
-    KMeans for production recall; the plan shape is identical). Work
-    is |corpus|×|centroids| assignment (centroids broadcast) + scoring
-    proportional to probed-cell sizes — never |corpus|×|queries|.
+    The default codebook is the corpus vectors with id < n_centroids —
+    deterministic and DuckDB-oracle-reproducible. Pass
+    ``centroids=kmeans_centroids(corpus)`` for a trained codebook
+    (better recall; same plan shape). Work is |corpus|×|centroids|
+    assignment (centroids broadcast) + scoring proportional to
+    probed-cell sizes — never |corpus|×|queries|.
     """
-    cent = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centvec")
+    cent = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centvec")
+        )
     )
 
     def assign(df: DataFrame, prefix: str, top: int) -> DataFrame:

@@ -30,6 +30,7 @@ from .similarity import (
     embedding_neardup_pairs,
     hyperplane_weights,
     ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_topk,
 )
 from .text import STOPWORDS, lang_id, quality_scores, text_stats, winnowing_fingerprints
@@ -482,6 +483,17 @@ JOIN langs  l ON l.doc_id = d.doc_id AND l.best_score >= 1
 """
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a Lloyd's-trained codebook. Rows-only check: k-means
+    iterations are a driver-coordinated loop, not one SQL statement."""
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5, centroids=cents
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     return winnowing_fingerprints(spark.table("documents"))
@@ -542,6 +554,7 @@ def pipeline_specs() -> list:
         QS("similarity_cosine_topk", "Exact brute-force cosine top-k neighbors", q_cosine_topk, ORACLE_COSINE_TOPK),
         QS("similarity_lsh_ann", "Random-hyperplane LSH-bucketed approximate top-k", q_lsh_ann_topk, _oracle_lsh_ann()),
         QS("dedup_embedding_cosine", "Embedding-cosine near-dup pairs (hyperplane-bucketed)", q_embedding_neardup, _oracle_embedding_neardup()),
+        QS("similarity_ivf_kmeans", "IVF top-k with Lloyd's-trained codebook (iterative)", q_ivf_kmeans_topk, None),
         QS("text_fingerprint", "Winnowing rolling-hash document fingerprints", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
     ]
