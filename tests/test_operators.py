@@ -172,3 +172,52 @@ def test_kmeans_centroids_converge_and_improve_recall(spark):
     }
     # trained codebook must find a reasonable share of true neighbors
     assert len(km & exact) / len(exact) >= 0.3
+
+
+def test_fast_hasher_preserves_dedup_semantics(spark):
+    """xxhash64 fast path: identical docs still collide on every
+    signature; results stay internally consistent (values differ from
+    the portable path by construction)."""
+    from transformers_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    sigs = {
+        r["doc"]: tuple(r[i] for i in range(1, 17))
+        for r in minhash_signatures(df, hasher="fast").collect()
+    }
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
+    pairs = {(r["d1"], r["d2"]): r["matching_bands"]
+             for r in minhash_lsh_pairs(df, hasher="fast").collect()}
+    assert pairs.get((1, 2)) == 4  # identical docs agree on all bands
+    sh = {r["doc"]: r["simhash"] for r in simhash_fingerprints(df, hasher="fast").collect()}
+    assert sh[1] == sh[2]
+
+
+def test_fast_hasher_winnowing(spark):
+    from transformers_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],
+        ["doc_id", "text"],
+    )
+    rows = winnowing_fingerprints(df, hasher="fast").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] == by_doc[2] and len(by_doc[1]) > 0
+
+
+def test_unknown_hasher_raises():
+    from transformers_spark.operators.hashing import hash32
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hasher"):
+        hash32("sha1")

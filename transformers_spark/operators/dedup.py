@@ -14,9 +14,10 @@ Designed scale-first:
 * **simhash**: 32-bit weighted bit-vote fingerprint; near-dups =
   fingerprints at small Hamming distance, found via band buckets.
 
-All hashes are md5-derived (operators/hashing.py) so every operator
-here is reproducible in the DuckDB oracle — no engine-native hashing
-in result-bearing paths.
+Hashing is pluggable (``hasher=``): the default md5-derived hash
+(operators/hashing.py) makes every operator reproducible in the DuckDB
+oracle; ``hasher="fast"`` switches the signature paths to JVM xxhash64
+for production runs where cross-engine reproducibility isn't needed.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import MERSENNE_P, h32, lcg_constants
+from .hashing import MERSENNE_P, hash32, lcg_constants
 from .text import doc_fingerprint, tokens
 
 __all__ = [
@@ -73,6 +74,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     shingle_n: int = 2,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}): min over shingles of K permuted hashes.
 
@@ -91,7 +93,7 @@ def minhash_signatures(
         out = out.filter(F.size(toks) >= shingle_n)  # too-short docs have no n-grams
     hashed = out.select(
         F.col(id_col).alias("doc"),
-        F.transform(_word_ngrams(toks, shingle_n), h32).alias("hs"),
+        F.transform(_word_ngrams(toks, shingle_n), hash32(hasher)).alias("hs"),
     )
     sigs = F.aggregate(
         F.col("hs"),
@@ -122,6 +124,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 2,
     max_bucket_size: int = 1000,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (d1 < d2) with the number of
     agreeing bands. Docs pair iff an entire band of their signatures
@@ -129,14 +132,19 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, hasher)
     band_cols = []
     for band in range(bands):
         members = [F.col(f"sig_{band * rows_per_band + j}") for j in range(rows_per_band)]
         band_cols.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("-", *members)).alias("bucket"),
+                (
+                    F.md5(F.concat_ws("-", *members))
+                    if hasher == "portable"
+                    # fast path: 64-bit bucket id, no hex string
+                    else F.xxhash64(*members).cast("string")
+                ).alias("bucket"),
             )
         )
     buckets = sigs.select(
@@ -249,6 +257,7 @@ def dedup_pipeline(
     bands: int = DEFAULT_BANDS,
     min_matching_bands: int = 2,
     shingle_n: int = 2,
+    hasher: str = "portable",
 ) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash-LSH candidate pairs →
     connected components → per-document verdict
@@ -259,7 +268,9 @@ def dedup_pipeline(
     one left join to produce the verdict."""
     from .graph import connected_components
 
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, shingle_n).filter(
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_perm, bands, shingle_n, hasher=hasher
+    ).filter(
         F.col("matching_bands") >= min_matching_bands
     )
     components = connected_components(pairs)
@@ -277,7 +288,10 @@ def dedup_pipeline(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "portable",
 ) -> DataFrame:
     """32-bit SimHash: per token-hash bit, vote +1/-1; fingerprint bit
     = sign of the vote. Fully map-only: a doc's token hashes never leave
@@ -289,7 +303,7 @@ def simhash_fingerprints(
     machinery)."""
     hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(tokens(F.col(text_col)), h32).alias("hs"),
+        F.transform(tokens(F.col(text_col)), hash32(hasher)).alias("hs"),
     )
     n = F.size("hs")
     fingerprint = None

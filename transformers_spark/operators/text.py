@@ -51,6 +51,7 @@ def winnowing_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "portable",
 ) -> DataFrame:
     """Rolling-hash document fingerprints via winnowing (Schleimer et
     al., SIGMOD'03): hash every char ``k``-gram of the normalized text,
@@ -64,7 +65,7 @@ def winnowing_fingerprints(
     array_distinct → explode): map-only, no shuffle, and the hash is the
     portable md5-derived ``h32`` so a DuckDB oracle reproduces it.
     """
-    from .hashing import h32
+    from .hashing import hash32
 
     # Each stage is its own projection: nesting all four higher-order
     # expressions into one would re-evaluate the inner arrays per lambda
@@ -80,7 +81,9 @@ def winnowing_fingerprints(
             lambda i: F.col("norm").substr(i, F.lit(k)),
         ).alias("grams"),
     )
-    hashes = grams.select("doc_id", F.transform("grams", h32).alias("hashes"))
+    hashes = grams.select(
+        "doc_id", F.transform("grams", hash32(hasher)).alias("hashes")
+    )
     mins = hashes.select(
         "doc_id",
         F.transform(
