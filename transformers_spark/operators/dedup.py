@@ -57,7 +57,12 @@ def exact_dedup_groups(
 
 
 def _word_ngrams(toks: Column, n: int) -> Column:
-    """Distinct word n-grams as strings (space-joined)."""
+    """Distinct word n-grams as strings (space-joined).
+
+    ``toks`` MUST be a materialized column reference, not an inline
+    expression: the lambda re-evaluates ``toks`` (via ``slice``) once
+    per gram position, so an inline ``split(text)`` would re-tokenize
+    the document for every position (measured 5× slower at sf0.1)."""
     if n == 1:
         return F.array_distinct(toks)
     return F.array_distinct(
@@ -87,13 +92,14 @@ def minhash_signatures(
     consts = lcg_constants(num_perm)
     a_arr = F.array(*[F.lit(a) for a, _ in consts])
     b_arr = F.array(*[F.lit(b) for _, b in consts])
-    toks = tokens(F.col(text_col))
-    out = df
+    # tokenize into ITS OWN projection before gram construction — see
+    # _word_ngrams on why feeding it the inline split is 5× slower
+    out = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
     if shingle_n > 1:
-        out = out.filter(F.size(toks) >= shingle_n)  # too-short docs have no n-grams
+        out = out.filter(F.size("toks") >= shingle_n)  # too-short docs have no n-grams
     hashed = out.select(
-        F.col(id_col).alias("doc"),
-        F.transform(_word_ngrams(toks, shingle_n), hash32(hasher)).alias("hs"),
+        "doc",
+        F.transform(_word_ngrams(F.col("toks"), shingle_n), hash32(hasher)).alias("hs"),
     )
     sigs = F.aggregate(
         F.col("hs"),
@@ -191,9 +197,10 @@ def ngram_jaccard_pairs(
     Inverted-index join: shuffle keys are grams, so co-grouped docs
     meet locally; ``max_doc_freq`` removes stop-grams that would
     explode the join (skew guard — at 100 TB this cap is mandatory)."""
-    toks = tokens(F.col(text_col))
-    gram_arr = _word_ngrams(toks, n)
-    base = df.filter(F.size(toks) >= n) if n > 1 else df
+    # tokenize in its own projection (see _word_ngrams: inline split
+    # re-tokenizes per gram position, 5× slower)
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    base = toked.filter(F.size("toks") >= n) if n > 1 else toked
     # Each doc's gram-set size rides along with every posting, so the
     # per-pair union size |A|+|B|-shared is known locally — no separate
     # sizes aggregation and no post-hoc joins (two full shuffles saved;
@@ -204,7 +211,7 @@ def ngram_jaccard_pairs(
     # expression, the Project that lands above Generate would rebuild
     # the whole array once per exploded row (measured 30× slower).
     grams = base.select(
-        F.col(id_col).alias("doc"), gram_arr.alias("grams")
+        "doc", _word_ngrams(F.col("toks"), n).alias("grams")
     ).select(
         "doc",
         F.size("grams").alias("sz"),
