@@ -221,3 +221,64 @@ def test_unknown_hasher_raises():
 
     with _pytest.raises(ValueError, match="unknown hasher"):
         hash32("sha1")
+
+
+def test_audio_features_plumbing(spark):
+    from transformers_spark.operators.multimodal import (
+        decode_audio_features,
+        fake_audio_decoder,
+    )
+
+    df = spark.createDataFrame(
+        [("a1", "audio", "audio/wav", bytearray(b"\x01payload")),
+         ("a2", "audio", "audio/wav", None)],
+        "media_id string, modality string, mime_type string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio_features(df, decoder=fake_audio_decoder).collect()}
+    assert rows["a1"]["sample_rate"] in (8000, 16000, 22050, 44100)
+    assert rows["a1"]["n_bytes"] == 8
+    assert rows["a2"]["duration_ms"] == 0
+
+
+def test_resize_images_plumbing(spark):
+    from transformers_spark.operators.multimodal import fake_resizer, resize_images
+
+    df = spark.createDataFrame(
+        [("m1", "image", "image/png", bytearray(b"abcdef"))],
+        "media_id string, modality string, mime_type string, payload binary",
+    )
+    row = resize_images(df, target_w=32, target_h=32, resizer=fake_resizer).collect()[0]
+    assert (row["width"], row["height"]) == (32, 32)
+    assert len(row["payload"]) == 32 * 32 // 8
+
+
+def test_real_decoders_raise_decoder_unavailable(spark):
+    from transformers_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_audio_features,
+        resize_images,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("m1", "audio", "audio/wav", bytearray(b"x"))],
+        "media_id string, modality string, mime_type string, payload binary",
+    )
+    with _pytest.raises(Exception):  # DecoderUnavailable surfaces via Py4J
+        decode_audio_features(df).collect()
+    with _pytest.raises(Exception):
+        resize_images(df).collect()
+
+
+def test_token_counts_bpe_vs_ws(spark):
+    from transformers_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times."), (2, "plain words only")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in token_counts(df).collect()}
+    # "Hello , world ! 42 times ." -> 7 BPE-ish units, 4 ws tokens
+    assert rows[1]["n_ws_tokens"] == 4
+    assert rows[1]["n_bpe_tokens"] == 7
+    assert rows[2]["n_ws_tokens"] == rows[2]["n_bpe_tokens"] == 3

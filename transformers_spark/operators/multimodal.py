@@ -34,10 +34,16 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURES_SCHEMA",
+    "AUDIO_FEATURES_SCHEMA",
+    "RESIZED_SCHEMA",
     "DecoderUnavailable",
     "attach_media_metadata",
     "decode_image_features",
+    "decode_audio_features",
+    "resize_images",
     "fake_image_decoder",
+    "fake_audio_decoder",
+    "fake_resizer",
     "frame_sample_plan",
 ]
 
@@ -126,6 +132,126 @@ def decode_image_features(
             )
 
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("rms_level", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), True),
+    ]
+)
+
+
+def fake_audio_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an audio decode: derives
+    (duration_ms, sample_rate, rms_level) from the payload bytes.
+    Replace with torchaudio/ffmpeg in production."""
+    if not payload:
+        return (0, 0, 0)
+    duration = 100 + (len(payload) * 7) % 600000
+    rate = (8000, 16000, 22050, 44100)[payload[0] % 4]
+    rms = sum(payload[:64]) % 32768
+    return (int(duration), int(rate), int(rms))
+
+
+def _real_audio_decoder(payload: bytes) -> tuple[int, int, int]:
+    raise DecoderUnavailable(
+        "audio codecs (torchaudio/ffmpeg) are not installed in this "
+        "environment; pass decoder=fake_audio_decoder or install them"
+    )
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction via mapInPandas — same
+    iterator-of-batches plumbing as the image path."""
+    decode = decoder or _real_audio_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = batch[payload_col].map(
+                lambda b: decode(bytes(b)) if b is not None else (0, 0, 0)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col].astype(str),
+                    "duration_ms": feats.map(lambda f: f[0]).astype("int32"),
+                    "sample_rate": feats.map(lambda f: f[1]).astype("int32"),
+                    "rms_level": feats.map(lambda f: f[2]).astype("int32"),
+                    "n_bytes": batch[payload_col]
+                    .map(lambda b: 0 if b is None else len(b))
+                    .astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: re-derives a payload whose length
+    scales with the target area (so batch-memory behavior is realistic).
+    Replace with PIL ``Image.resize`` in production."""
+    if not payload:
+        return b""
+    target = max(1, (w * h) // 8)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def _real_resizer(payload: bytes, w: int, h: int) -> bytes:
+    raise DecoderUnavailable(
+        "image codecs (PIL) are not installed in this environment; "
+        "pass resizer=fake_resizer or install pillow"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize via mapInPandas: binary in, binary
+    out, constant (width, height) metadata attached. Bound per-batch
+    memory with spark.sql.execution.arrow.maxRecordsPerBatch when
+    payloads are large."""
+    resize = resizer or _real_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col].astype(str),
+                    "payload": batch[payload_col].map(
+                        lambda b: resize(bytes(b), target_w, target_h)
+                        if b is not None
+                        else None
+                    ),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def frame_sample_plan(

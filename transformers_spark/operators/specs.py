@@ -24,7 +24,12 @@ from .dedup import (
     simhash_fingerprints,
 )
 from .hashing import MERSENNE_P, duck_h32, duck_perm_hash, lcg_constants
-from .multimodal import decode_image_features, fake_image_decoder
+from .multimodal import (
+    decode_audio_features,
+    decode_image_features,
+    fake_audio_decoder,
+    fake_image_decoder,
+)
 from .similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -33,7 +38,15 @@ from .similarity import (
     kmeans_centroids,
     lsh_bucketed_topk,
 )
-from .text import STOPWORDS, lang_id, quality_scores, text_stats, winnowing_fingerprints
+from .text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    lang_id,
+    quality_scores,
+    text_stats,
+    token_counts,
+    winnowing_fingerprints,
+)
 
 try:  # shared QuerySpec type (avoid circular import at module load)
     from ..queries import QuerySpec
@@ -520,6 +533,19 @@ SELECT doc_id, unnest(list_distinct(ms)) AS fingerprint FROM mins
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return token_counts(spark.table("documents"))
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # --- multimodal (rows-only: Arrow mapInPandas isn't SQL) ---------------
 
 
@@ -535,6 +561,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return decode_image_features(media, decoder=fake_image_decoder)
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing: binary payloads through the Arrow-batched
+    audio feature extractor (deterministic fake codec)."""
+    register_tables(spark, sf_dir, ("documents",))
+    media = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio/wav").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_audio_features(media, decoder=fake_audio_decoder)
 
 
 def pipeline_specs() -> list:
@@ -557,4 +596,6 @@ def pipeline_specs() -> list:
         QS("similarity_ivf_kmeans", "IVF top-k with Lloyd's-trained codebook (iterative)", q_ivf_kmeans_topk, None),
         QS("text_fingerprint", "Winnowing rolling-hash document fingerprints", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
+        QS("multimodal_audio_features", "Arrow mapInPandas audio feature plumbing (stub codec)", q_multimodal_audio, None),
+        QS("text_token_counts", "Whitespace + BPE-ish regex token counting", q_token_counts, ORACLE_TOKEN_COUNTS),
     ]

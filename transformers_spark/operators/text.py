@@ -23,8 +23,15 @@ __all__ = [
     "lang_exprs",
     "lang_id",
     "winnowing_fingerprints",
+    "token_counts",
+    "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
+
+# BPE-ish pre-tokenizer classes (GPT-2-style, ASCII-simplified so the
+# same pattern runs in Spark (Java regex) and DuckDB (RE2)): letter
+# runs, digit runs, and single punctuation marks each become one token.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 WHITESPACE = r"\s+"
 
@@ -43,6 +50,23 @@ def normalized_text(col: Column) -> Column:
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic content fingerprint (md5 of normalized text)."""
     return F.md5(normalized_text(col))
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways: whitespace tokens (the cheap budget
+    estimate) and BPE-ish pre-tokenizer units (letter runs / digit runs
+    / punctuation — a far better proxy for LLM token cost on prose).
+    Map-only projection, no shuffle."""
+    txt = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(txt)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
 
 
 def winnowing_fingerprints(
