@@ -32,10 +32,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup so the first timed query isn't charged for
-    # classloading; runs a scan+agg+write through the same machinery.
+    # classloading; runs a scan+agg+write through the same machinery,
+    # plus one tiny parquet read to initialize the file-source path
+    # (footer reader, vectorized column readers).
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    region = os.path.join(sf_dir, "region.parquet")
+    if os.path.exists(region):
+        spark.read.parquet(region).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

@@ -38,9 +38,20 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = _stream_source_dir(spark, sf_dir)
-    sdf = streaming_event_counts(spark, source, window="1 hour", watermark="2 hours")
-    name = "stream_hourly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return run_available_now(sdf, name, output_mode="complete")
+    # State partition count is fixed at the query's FIRST run and each
+    # partition carries a state-store instance — size it to the state
+    # (~few thousand window×type keys here), not to the CPU count:
+    # 64 stores for 4k keys measured 2-8s of pure init/commit overhead
+    # vs 1.3s at 8. Long-running production streams size this to
+    # cluster cores × per-key state instead.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf = streaming_event_counts(spark, source, window="1 hour", watermark="2 hours")
+        name = "stream_hourly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_available_now(sdf, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 ORACLE_STREAMING_HOURLY = """
