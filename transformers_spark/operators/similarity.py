@@ -15,6 +15,8 @@ centroids) is the natural next step and slots into the same shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -40,6 +42,54 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
+
+
+def _norm_lit(w: list[float]) -> float:
+    """Driver-side twin of :func:`_norm`: sequential left-to-right sum
+    of squares, matching the Spark/DuckDB fold order bit-for-bit."""
+    acc = 0.0
+    for x in w:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _collect_codebook(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize a (small, by construction) codebook on the driver so
+    cell assignment can run map-only with literal centroid vectors.
+    FAISS-style: the coarse quantizer is k×dim doubles regardless of
+    corpus size, so this collect is O(k·dim), never O(corpus)."""
+    return sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centvec"]])
+        for r in centroids.collect()
+    )
+
+
+def _probe_cells(vec: Column, codebook: list[tuple[int, list[float]]], n_probe: int) -> Column:
+    """Array of the ``n_probe`` nearest cell ids for ``vec`` by rounded
+    cosine (desc, centroid_id asc) — the map-only replacement for the
+    crossJoin+window assignment: no row expansion, no shuffle. The
+    codebook rides as ONE packed array-of-arrays literal and the
+    candidate loop is a single ``transform`` over centroid indices, so
+    the expression tree (and its codegen) stays k-independent."""
+    cent_arr = F.array(*[F.lit([float(x) for x in cvec]) for _, cvec in codebook])
+    ids = F.lit([cid for cid, _ in codebook])
+    norms = F.lit([_norm_lit(cvec) for _, cvec in codebook])
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(codebook))),
+            lambda i: F.struct(
+                (
+                    -F.round(
+                        _dot(vec, F.element_at(cent_arr, i))
+                        / (_norm(vec) * F.element_at(norms, i)),
+                        6,
+                    )
+                ).alias("neg_cos"),
+                F.element_at(ids, i).alias("cid"),
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
 
 
 def cosine_topk(
@@ -110,52 +160,60 @@ def kmeans_centroids(
     vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=20260813)
+    vecs = vecs.persist()  # scanned once per iteration — keep it hot
     spark = corpus.sparkSession
-    centers = [
-        [float(x) for x in r["vec"]]
-        for r in vecs.orderBy("vid").limit(n_centroids).collect()
-    ]
-    dim = len(centers[0])
-    for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centers)], ["centroid_id", "centvec"]
-        )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent_df))
-            .select(
-                "vid",
-                "vec",
-                F.struct(
-                    # squared L2 distance (standard Lloyd objective)
-                    F.aggregate(
-                        F.zip_with(
-                            "vec",
-                            "centvec",
-                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    F.col("centroid_id").alias("cid"),
-                ).alias("cand"),
-            )
-            .groupBy("vid")
-            .agg(F.min("cand").alias("best"), F.first("vec").alias("vec"))
-            .select(F.col("best.cid").alias("cell"), "vec")
-        )
-        new_centers = (
-            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("mean"))
-            .groupBy("cell")
-            .agg(F.map_from_arrays(F.collect_list("pos"), F.collect_list("mean")).alias("m"))
-            .collect()
-        )
-        by_cell = {r["cell"]: r["m"] for r in new_centers}
+    try:
         centers = [
-            [by_cell[i][d] for d in range(dim)] if i in by_cell else centers[i]
-            for i in range(n_centroids)
+            [float(x) for x in r["vec"]]
+            for r in vecs.orderBy("vid").limit(n_centroids).collect()
         ]
+        dim = len(centers[0])
+        for _ in range(iters):
+            # Nearest center by squared L2 (standard Lloyd objective),
+            # tie-break lowest centroid id. Centers ride as one packed
+            # array-of-arrays literal, so assignment is map-only — no
+            # crossJoin row expansion, no per-vector groupBy; the only
+            # shuffle moves k cells × (dim sums + count), combined
+            # map-side.
+            cent_arr = F.array(*[F.lit([float(x) for x in c]) for c in centers])
+            best = F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                    lambda i: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                "vec",
+                                F.element_at(cent_arr, i + 1),
+                                lambda a, b: (a.cast("double") - b)
+                                * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("dist"),
+                        i.alias("cid"),
+                    ),
+                )
+            )
+            assigned = vecs.select(best["cid"].alias("cell"), "vec")
+            stats = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("vec", d + 1).cast("double")).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            by_cell = {
+                r["cell"]: [r[f"s{d}"] / r["n"] for d in range(dim)] for r in stats
+            }
+            centers = [
+                by_cell.get(i, centers[i]) for i in range(n_centroids)
+            ]
+    finally:
+        vecs.unpersist()
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], ["centroid_id", "centvec"]
     )
@@ -178,8 +236,10 @@ def ivf_topk(
     The default codebook is the corpus vectors with id < n_centroids —
     deterministic and DuckDB-oracle-reproducible. Pass
     ``centroids=kmeans_centroids(corpus)`` for a trained codebook
-    (better recall; same plan shape). Work is |corpus|×|centroids|
-    assignment (centroids broadcast) + scoring proportional to
+    (better recall; same plan shape). The codebook is collected to the
+    driver (k×dim doubles — tiny by construction) and embedded as
+    literals, so cell assignment is MAP-ONLY: no |corpus|×k row
+    expansion, no window shuffle. Scoring work is proportional to
     probed-cell sizes — never |corpus|×|queries|.
     """
     cent = (
@@ -189,36 +249,22 @@ def ivf_topk(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centvec")
         )
     )
+    codebook = _collect_codebook(cent)
 
-    def assign(df: DataFrame, prefix: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            "*",
-            F.round(
-                _dot(F.col("vec"), F.col("centvec"))
-                / (_norm(F.col("vec")) * _norm(F.col("centvec"))),
-                6,
-            ).alias("cent_cos"),
-        )
-        win = W.partitionBy(f"{prefix}_id").orderBy(
-            F.desc("cent_cos"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("cell_rank", F.row_number().over(win))
-            .filter(F.col("cell_rank") <= top)
-            .select(f"{prefix}_id", "vec", F.col("centroid_id").alias("cell"))
-        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _probe_cells(F.col(vec_col), codebook, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_probe_cells(F.col(vec_col), codebook, n_probe)).alias("cell"),
+    )
 
-    c = assign(
-        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vec")),
-        "corpus",
-        1,
-    ).select(F.col("corpus_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell")
-    q = assign(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")),
-        "query",
-        n_probe,
-    ).select("query_id", F.col("vec").alias("qvec"), "cell")
-
+    # Each corpus vector lives in exactly one cell and each (query,
+    # cell) probe is distinct, so (query, neighbor) pairs are already
+    # unique — no dedup pass needed.
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -231,7 +277,6 @@ def ivf_topk(
                 6,
             ).alias("cosine"),
         )
-        .distinct()  # a neighbor probed via several cells counts once
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
