@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import MERSENNE_P, hash32, lcg_constants
+from .skew import fan_out
 from .text import doc_fingerprint, tokens
 
 __all__ = [
@@ -84,42 +85,39 @@ def minhash_signatures(
     """(id, sig_0..sig_{K-1}): min over shingles of K permuted hashes.
 
     Map-only: the shingle set never leaves its row. Each doc's grams are
-    hashed once (``transform``), then a single ``aggregate`` folds them
-    into the K per-permutation minima. Zero shuffles — at 100 TB this is
-    a pure scan→project stage, vs. the classic explode+groupBy which
-    shuffles (or at best partially aggregates) every shingle. Measured
-    ~16× faster than the explode form at sf0.1."""
+    hashed once (``transform``), then each permutation takes its minimum
+    with a flat ``array_min(transform(...))`` — one pass per
+    permutation, no per-gram accumulator allocation (the fold form that
+    rebuilt a K-wide array per shingle measured 2-4× slower at sf0.1).
+    Zero shuffles — at 100 TB this is a pure scan→project stage, vs.
+    the classic explode+groupBy which shuffles (or at best partially
+    aggregates) every shingle."""
     consts = lcg_constants(num_perm)
-    a_arr = F.array(*[F.lit(a) for a, _ in consts])
-    b_arr = F.array(*[F.lit(b) for _, b in consts])
     # tokenize into ITS OWN projection before gram construction — see
-    # _word_ngrams on why feeding it the inline split is 5× slower
-    out = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    # _word_ngrams on why feeding it the inline split is 5× slower;
+    # fan_out: the gram hashing is CPU-bound and must not inherit a
+    # single-file scan's one-task partitioning
+    out = fan_out(df).select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
     if shingle_n > 1:
         out = out.filter(F.size("toks") >= shingle_n)  # too-short docs have no n-grams
     hashed = out.select(
         "doc",
         F.transform(_word_ngrams(F.col("toks"), shingle_n), hash32(hasher)).alias("hs"),
     )
-    sigs = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_perm),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda x, i: F.least(
-                x,
-                (
-                    F.element_at(a_arr, i + 1).cast("long") * (h % MERSENNE_P)
-                    + F.element_at(b_arr, i + 1)
+    sig_cols = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h: (F.lit(a).cast("long") * (h % MERSENNE_P) + F.lit(b))
+                    % MERSENNE_P,
                 )
-                % MERSENNE_P,
             ),
-        ),
-    )
-    return hashed.select(
-        "doc", *[F.element_at(sigs, i + 1).alias(f"sig_{i}") for i in range(num_perm)]
-    )
+            F.lit(MERSENNE_P).cast("long"),  # no shingles → the fold identity
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    return hashed.select("doc", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -199,7 +197,7 @@ def ngram_jaccard_pairs(
     explode the join (skew guard — at 100 TB this cap is mandatory)."""
     # tokenize in its own projection (see _word_ngrams: inline split
     # re-tokenizes per gram position, 5× slower)
-    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    toked = fan_out(df).select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
     base = toked.filter(F.size("toks") >= n) if n > 1 else toked
     # Each doc's gram-set size rides along with every posting, so the
     # per-pair union size |A|+|B|-shared is known locally — no separate
@@ -308,7 +306,7 @@ def simhash_fingerprints(
     ``2·(set-bit count) > n_tokens``. Near-dup search then buckets on
     fingerprint bands (pair search composes with minhash_lsh_pairs
     machinery)."""
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.transform(tokens(F.col(text_col)), hash32(hasher)).alias("hs"),
     )

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .skew import fan_out
+
 __all__ = [
     "cosine_topk",
     "lsh_bucketed_topk",
@@ -64,6 +66,15 @@ def _collect_codebook(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     )
 
 
+def _double_array_lit(values: list[float]) -> Column:
+    """Array-of-doubles literal built as ONE parsed SQL expression.
+    Per-element ``F.lit`` costs a py4j round-trip each (1.3s for a
+    16×64 codebook, measured); one expr string parses JVM-side in ms.
+    ``repr`` emits the shortest round-tripping decimal, so the parsed
+    double is bit-identical to the Python value."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values) + ")")
+
+
 def _probe_cells(vec: Column, codebook: list[tuple[int, list[float]]], n_probe: int) -> Column:
     """Array of the ``n_probe`` nearest cell ids for ``vec`` by rounded
     cosine (desc, centroid_id asc) — the map-only replacement for the
@@ -71,9 +82,16 @@ def _probe_cells(vec: Column, codebook: list[tuple[int, list[float]]], n_probe: 
     codebook rides as ONE packed array-of-arrays literal and the
     candidate loop is a single ``transform`` over centroid indices, so
     the expression tree (and its codegen) stays k-independent."""
-    cent_arr = F.array(*[F.lit([float(x) for x in cvec]) for _, cvec in codebook])
-    ids = F.lit([cid for cid, _ in codebook])
-    norms = F.lit([_norm_lit(cvec) for _, cvec in codebook])
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+            for _, cvec in codebook
+        )
+        + ")"
+    )
+    ids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in codebook) + ")")
+    norms = _double_array_lit([_norm_lit(cvec) for _, cvec in codebook])
     ranked = F.array_sort(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(codebook))),
@@ -109,7 +127,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -145,19 +163,18 @@ def kmeans_centroids(
     (centroid_id, centvec) DataFrame for :func:`ivf_topk`.
 
     Spark-ML-KMeans-shaped execution: centers live on the driver
-    (k × dim doubles — tiny) and are re-broadcast each iteration;
-    assignment is one map-side-combinable ``min(struct(dist, id))``
-    aggregation per vector (no sort, no window), and the center update
-    is a (cell, dim)-keyed mean over ``posexplode`` of the assigned
-    vectors. Per iteration: one broadcast join + two partial-agg
-    shuffles whose width is |corpus|×dim — at 100 TB, train on a
-    ``sample_fraction`` (FAISS-style: codebooks converge on small
-    samples) and assign the full corpus once afterwards.
+    (k × dim doubles — tiny) and ride into each iteration as one packed
+    literal, so assignment is a pure projection; the center update is a
+    single k-row aggregate (per-dim sums + count, combined map-side).
+    Per iteration the only shuffle moves k × (dim+1) values — at
+    100 TB, train on a ``sample_fraction`` (FAISS-style: codebooks
+    converge on small samples) and assign the full corpus once
+    afterwards.
 
     Deterministic: init is the ``n_centroids`` lowest-id vectors and
     every step is an exact aggregate, so repeated runs agree.
     """
-    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    vecs = fan_out(corpus).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=20260813)
     vecs = vecs.persist()  # scanned once per iteration — keep it hot
@@ -175,7 +192,14 @@ def kmeans_centroids(
             # crossJoin row expansion, no per-vector groupBy; the only
             # shuffle moves k cells × (dim sums + count), combined
             # map-side.
-            cent_arr = F.array(*[F.lit([float(x) for x in c]) for c in centers])
+            cent_arr = F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                    for c in centers
+                )
+                + ")"
+            )
             best = F.array_min(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_centroids - 1)),
@@ -251,7 +275,7 @@ def ivf_topk(
     )
     codebook = _collect_codebook(cent)
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _probe_cells(F.col(vec_col), codebook, 1)[0].alias("cell"),
@@ -304,7 +328,7 @@ def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
 
 def _hyperplane_sign(vec: Column, weights: list[float]) -> Column:
     """Sign bit of <vec, w> with w a literal weight vector."""
-    w = F.array(*[F.lit(x) for x in weights])
+    w = _double_array_lit(weights)
     weighted = F.aggregate(
         F.zip_with(vec, w, lambda v, wi: v.cast("double") * wi),
         F.lit(0.0),
@@ -343,7 +367,7 @@ def embedding_neardup_pairs(
     pairs agree on most hyperplane signs, so recall degrades slowly.
     """
     weights = hyperplane_weights(planes, dim)
-    sigs = df.select(
+    sigs = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_signature(F.col(vec_col), weights).alias("bucket"),
@@ -389,7 +413,7 @@ def lsh_bucketed_topk(
     def signature(vec: Column) -> Column:
         return hyperplane_signature(vec, weights)
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         signature(F.col(vec_col)).alias("bucket"),

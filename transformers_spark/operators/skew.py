@@ -1,4 +1,4 @@
-"""Skew-handling join utilities.
+"""Skew- and parallelism-handling utilities.
 
 AQE's skew-join splitting handles most cases at runtime
 (``session.ENGINE_CONF``); ``salted_join`` is the explicit fallback
@@ -21,7 +21,54 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "fan_out"]
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow input to the cluster's default parallelism before
+    a CPU-heavy map stage.
+
+    A map-only operator inherits the scan's partitioning; when the
+    input is one small file (or a few unsplittable ones), the whole
+    stage pins to that many cores no matter how wide the cluster is.
+    At 100 TB a scan arrives in thousands of splits and this is a
+    no-op; the round-robin shuffle it adds on narrow inputs is bounded
+    by the input's (small, by premise) size.
+
+    The narrowness probe reads leaf-scan file names + local sizes only
+    — never ``df.rdd`` (which forces full physical planning and
+    codegen just to count partitions). Non-file or non-local sources
+    are left untouched.
+    """
+    import math
+    import os
+    import re
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    digits = re.match(r"\d+", raw)
+    max_bytes = int(digits.group()) if digits else 134217728
+    splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return df  # remote storage: sizing needs an RPC, leave alone
+        try:
+            size = os.stat(unquote(parsed.path)).st_size
+        except OSError:
+            return df
+        splits += max(1, math.ceil(size / max_bytes))
+        if splits >= target:
+            return df  # Spark will already split this wide
+    return df.repartition(target)
 
 
 def salted_join(

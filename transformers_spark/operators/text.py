@@ -90,11 +90,14 @@ def winnowing_fingerprints(
     portable md5-derived ``h32`` so a DuckDB oracle reproduces it.
     """
     from .hashing import hash32
+    from .skew import fan_out
 
     # Each stage is its own projection: nesting all four higher-order
     # expressions into one would re-evaluate the inner arrays per lambda
     # element (O(n²) regex + md5 per row, ~20× slower measured).
-    norm = df.select(
+    # ~n_chars md5 calls per doc make this CPU-bound: fan narrow inputs
+    # out to every core first (4× at sf0.1 on a single-file scan).
+    norm = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         normalized_text(F.col(text_col)).alias("norm"),
     ).filter(F.length("norm") >= F.lit(k + window - 1))
