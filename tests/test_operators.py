@@ -282,3 +282,77 @@ def test_token_counts_bpe_vs_ws(spark):
     assert rows[1]["n_ws_tokens"] == 4
     assert rows[1]["n_bpe_tokens"] == 7
     assert rows[2]["n_ws_tokens"] == rows[2]["n_bpe_tokens"] == 3
+
+
+def test_asof_join_backward_inclusive(spark):
+    from datetime import datetime
+
+    from transformers_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 10, t("2024-01-01 10:00:00")),  # after both quotes
+            (2, 10, t("2024-01-01 08:30:00")),  # between quotes
+            (3, 10, t("2024-01-01 08:00:00")),  # exactly at first quote
+            (4, 10, t("2024-01-01 07:00:00")),  # before any quote
+            (5, 11, t("2024-01-01 12:00:00")),  # key with no right rows
+        ],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, t("2024-01-01 08:00:00")),
+            (10, 101, t("2024-01-01 09:00:00")),
+        ],
+        ["key", "quote", "qts"],
+    )
+    out = {
+        r["id"]: r["quote"]
+        for r in asof_join(
+            left, right, on="key", left_time="ts", right_time="qts",
+            right_cols=["quote"],
+        ).collect()
+    }
+    assert out == {1: 101, 2: 100, 3: 100, 4: None, 5: None}
+
+
+def test_range_count_join_window_bounds(spark):
+    from datetime import datetime
+
+    from transformers_spark.operators.temporal import range_count_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 7, t("2024-01-01 00:00:00")), (2, 7, t("2024-01-02 12:00:00"))],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (7, t("2024-01-01 00:00:00")),  # == left ts: excluded (open lower)
+            (7, t("2024-01-01 05:00:00")),  # inside
+            (7, t("2024-01-02 00:00:00")),  # exactly +24h: included (closed upper)
+            (7, t("2024-01-02 00:00:01")),  # outside for id=1, before id=2
+        ],
+        ["key", "rts"],
+    )
+    out = {
+        r["id"]: r["n"]
+        for r in range_count_join(
+            left, right, on="key", left_time="ts", right_time="rts",
+            window_us=24 * 3600 * 1_000_000, count_col="n",
+        ).collect()
+    }
+    assert out == {1: 2, 2: 0}
+
+
+def test_kmv_exact_below_capacity_and_estimates_above(spark):
+    from transformers_spark.operators.sketch import kmv_distinct
+
+    rows = [("small", f"v{i}") for i in range(10)] * 3 + [
+        ("big", f"u{i}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r["grp"]: r["est_distinct"] for r in kmv_distinct(df, ["grp"], "val", k=64).collect()}
+    assert out["small"] == 10  # below capacity: exact
+    assert 350 <= out["big"] <= 700  # estimator within sane bounds

@@ -576,10 +576,144 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(media, decoder=fake_audio_decoder)
 
 
+# --- temporal joins & sketches ----------------------------------------
+
+RANGE_DAY_US = 24 * 3600 * 1_000_000
+
+
+def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase event annotated with the
+    user's most recent click at-or-before it (backward-inclusive as-of
+    join — operators/temporal.py)."""
+    from .temporal import asof_join
+
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    # no-match -> -1, not NULL: nullable BIGINTs round-trip as NaN
+    # through pandas on the oracle side, which breaks value compares
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF_LATEST_CLICK = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       COALESCE(c.event_id, -1) AS click_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_next_day_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: per view event, how many purchases the
+    same user makes within the following 24h (bucketed range join —
+    operators/temporal.py)."""
+    from .temporal import range_count_join
+
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return range_count_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        window_us=RANGE_DAY_US,
+        count_col="n_purchases",
+    ).select("view_id", "user_id", "n_purchases")
+
+
+ORACLE_RANGE_NEXT_DAY = """
+SELECT v.event_id AS view_id,
+       v.user_id AS user_id,
+       CAST(count(p.ts) AS BIGINT) AS n_purchases
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 86400000000
+GROUP BY 1, 2
+"""
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch vs the exact count, per event type
+    (operators/sketch.py): k=64 < 150 distinct users, so the estimation
+    path is genuinely exercised."""
+    from .sketch import kmv_distinct
+
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    est = kmv_distinct(ev, ["event_type"], "user_id", k=64, est_col="est_users")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_users", "exact_users"
+    )
+
+
+def _oracle_kmv() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {duck_h32("CAST(user_id AS VARCHAR)")} AS h FROM events
+),
+rk AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+),
+kept AS (
+  SELECT event_type, count(*) AS n, max(h) AS kth FROM rk WHERE rk <= 64 GROUP BY 1
+)
+SELECT kept.event_type,
+       CAST(CASE WHEN n < 64 THEN n
+                 ELSE floor(63.0 * 4294967296.0 / kth) END AS BIGINT) AS est_users,
+       e.exact_users
+FROM kept
+JOIN (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+) e USING (event_type)
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
     return [
+        QS("asof_latest_click", "Backward-inclusive as-of join: purchase -> latest prior click", q_asof_latest_click, ORACLE_ASOF_LATEST_CLICK),
+        QS("range_next_day_purchases", "Bucketed interval join: purchases within 24h of a view", q_range_next_day_purchases, ORACLE_RANGE_NEXT_DAY),
+        QS("sketch_kmv_users", "KMV distinct-count sketch vs exact, per event type", q_kmv_distinct_users, _oracle_kmv()),
         QS("dedup_exact", "Exact dedup groups via normalized-content fingerprint", q_dedup_exact, ORACLE_DEDUP_EXACT),
         QS("dedup_minhash_lsh", "MinHash+LSH near-dup candidate pairs (banded buckets)", q_minhash_lsh, _oracle_minhash()),
         QS("dedup_ngram_jaccard", "Exact 3-gram Jaccard pairs via inverted-index join", q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
