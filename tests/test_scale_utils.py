@@ -44,3 +44,55 @@ def test_bucketed_join_has_no_shuffle(spark):
     # sanity: the same sort-merge join on plain (unbucketed) data DOES shuffle
     plain = lineitem.hint("merge").join(orders, lineitem.l_orderkey == orders.o_orderkey)
     assert exchange_count(plain) > 0
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of join must plan as union + one window pass: exactly one
+    Exchange per input lineage hash-partitioned on the join key — never
+    a range/theta join that expands |L|x|R|."""
+    from datetime import datetime
+
+    from transformers_spark.operators.temporal import asof_join
+
+    t = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 10, t("2024-01-01 10:00:00"))], ["id", "key", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(10, 5, t("2024-01-01 09:00:00"))], ["key", "quote", "qts"]
+    )
+    plan = (
+        asof_join(left, right, on="key", left_time="ts", right_time="qts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(key" in plan
+    assert plan.count("Exchange") <= 2  # one per union branch at most
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_count_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash equi-join on
+    (key, bucket) with the range predicate as a post-filter — not a
+    nested-loop theta join."""
+    from datetime import datetime
+
+    from transformers_spark.operators.temporal import range_count_join
+
+    t = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 7, t("2024-01-01 00:00:00"))], ["id", "key", "ts"]
+    )
+    right = spark.createDataFrame([(7, t("2024-01-01 05:00:00"))], ["key", "rts"])
+    plan = (
+        range_count_join(
+            left, right, on="key", left_time="ts", right_time="rts",
+            window_us=24 * 3600 * 1_000_000,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan  # equi-join keys include the time bucket
