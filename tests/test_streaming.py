@@ -70,3 +70,45 @@ def test_sessionize_event_time_timeout(spark, events_dir):
         assert r["n_events"] >= 1
     # watermark-driven closes can only add sessions vs the no-timeout run
     assert len(evt) >= len(base)
+
+
+def test_streaming_distinct_matches_batch(spark, events_dir):
+    from transformers_spark.streaming.windows import streaming_distinct
+
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in run_available_now(
+            streaming_distinct(spark, events_dir), "stream_dd", output_mode="append"
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert got == want
+
+
+def test_streaming_distinct_within_watermark_bounded_state(spark, events_dir):
+    """The watermarked variant keeps bounded state; its emissions are a
+    superset of the distinct set (late re-emits allowed), and every
+    distinct key appears."""
+    from transformers_spark.streaming.windows import streaming_distinct
+
+    rows = run_available_now(
+        streaming_distinct(spark, events_dir, watermark="1 hour"),
+        "stream_ddw",
+        output_mode="append",
+    ).collect()
+    got = {(r["user_id"], r["event_type"]) for r in rows}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert len(rows) >= len(want)

@@ -469,10 +469,42 @@ GROUP BY event_type
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles of event value per type via the WITHIN GROUP
+    ordered-set aggregate. ``percentile_disc`` returns an actual data
+    value (no interpolation), so the doubles are exact and
+    engine-portable — the deterministic stand-in where production would
+    use ``approx_percentile`` sketches at 100 TB."""
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+ORACLE_VALUE_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       CAST(count(*) AS BIGINT)   AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
     return [
+        QS("value_quantiles", "Ordered-set percentile_disc quantiles per event type", q_value_quantiles, ORACLE_VALUE_QUANTILES),
         QS("window_top_orders", "row_number + lag per customer (OVER clause)", q_window_top_orders, ORACLE_WINDOW_TOP_ORDERS),
         QS("moving_window_value", "7-row moving aggregate frame", q_moving_window_value, ORACLE_MOVING_WINDOW_VALUE),
         QS("rollup_order_volume", "ROLLUP grouping sets with totals", q_rollup_order_volume, ORACLE_ROLLUP_ORDER_VOLUME),

@@ -15,9 +15,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.testdata import load_table
-from .windows import run_available_now, streaming_event_counts
+from .windows import run_available_now, streaming_distinct, streaming_event_counts
 
-__all__ = ["q_streaming_hourly_counts", "ORACLE_STREAMING_HOURLY", "streaming_specs"]
+__all__ = [
+    "q_streaming_hourly_counts",
+    "q_streaming_distinct_pairs",
+    "ORACLE_STREAMING_HOURLY",
+    "ORACLE_STREAMING_DISTINCT",
+    "streaming_specs",
+]
 
 _STREAM_CACHE_ROOT = "/tmp/transformers_spark_stream"
 
@@ -66,6 +72,23 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup drained with availableNow: the append
+    output over exactly the dedup keys equals batch SELECT DISTINCT."""
+    source = _stream_source_dir(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see hourly note
+    try:
+        sdf = streaming_distinct(spark, source)
+        name = "stream_distinct_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_available_now(sdf, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+ORACLE_STREAMING_DISTINCT = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def streaming_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -75,5 +98,11 @@ def streaming_specs() -> list:
             "Structured Streaming windowed aggregation (availableNow drain) vs batch oracle",
             q_streaming_hourly_counts,
             ORACLE_STREAMING_HOURLY,
+        ),
+        QS(
+            "streaming_dedup_pairs",
+            "Stateful streaming dropDuplicates (availableNow drain) vs batch DISTINCT",
+            q_streaming_distinct_pairs,
+            ORACLE_STREAMING_DISTINCT,
         ),
     ]

@@ -30,7 +30,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["EVENT_SCHEMA", "streaming_event_counts", "sessionize", "run_available_now"]
+__all__ = [
+    "EVENT_SCHEMA",
+    "streaming_event_counts",
+    "streaming_distinct",
+    "sessionize",
+    "run_available_now",
+]
 
 EVENT_SCHEMA = StructType(
     [
@@ -69,6 +75,36 @@ def streaming_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_distinct(
+    spark: SparkSession,
+    source_dir: str,
+    cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str | None = None,
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: each distinct key is emitted once, on
+    first arrival; state holds one entry per distinct key.
+
+    Projecting to exactly the dedup keys makes the append output equal
+    batch ``SELECT DISTINCT`` regardless of arrival order — which is
+    what puts the stateful dedup operator itself under the oracle gate.
+
+    ``watermark`` switches to ``dropDuplicatesWithinWatermark``: state
+    is evicted once the watermark passes a key (bounded state, the
+    100 TB shape) at the cost of re-emitting duplicates that arrive
+    later than the watermark delay — so only the unbounded form is
+    batch-equivalent and oracle-checkable.
+    """
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    if watermark is not None:
+        return (
+            events.withWatermark(time_col, watermark)
+            .select(*cols, time_col)
+            .dropDuplicatesWithinWatermark(list(cols))
+        )
+    return events.select(*cols).dropDuplicates(list(cols))
 
 
 SESSION_SCHEMA = StructType(
