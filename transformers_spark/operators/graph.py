@@ -32,7 +32,13 @@ def connected_components(
     edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True
     )
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Checkpoint the symmetrized list too: it joins into EVERY round,
+    # and without this each round re-runs the union+distinct shuffle.
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
