@@ -67,3 +67,18 @@ def test_entry_smoke(spark):
     names = entry_mod.queries().keys()
     oracles = entry_mod.oracle_sql()
     assert set(oracles).issubset(set(names))
+
+
+def test_windowed_query_does_not_poison_shared_events_view(spark, sf_dir):
+    """q_windowed_daily_events registers a pre-filtered events source;
+    it must live under its own view name — replacing the shared
+    "events" view would silently window every later events query in
+    the session (the registration cache skips already-registered
+    views)."""
+    from transformers_spark.sources.testdata import register_tables
+
+    register_tables(spark, sf_dir, ("events",))  # populate the cache
+    full = spark.table("events").count()
+    QUERIES["windowed_daily_events"].build(spark, sf_dir).count()
+    register_tables(spark, sf_dir, ("events",))  # cache hit: no-op
+    assert spark.table("events").count() == full

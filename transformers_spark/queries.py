@@ -76,12 +76,20 @@ def q_windowed_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Register a pushdown-friendly pre-windowed view: the raw-nanos
     # range filter reaches the parquet scan; the macro-rendered SQL
     # filter on the converted column then only re-asserts the exact
-    # half-open semantics.
+    # half-open semantics. Registered under its OWN name — replacing
+    # the shared "events" view with a filtered one would poison every
+    # later query in the session (register_tables skips views it
+    # already registered for this sf_dir).
     load_table(
         spark, sf_dir, "events",
         time_filter=("ts", EVENTS_WINDOW.start, EVENTS_WINDOW.end),
-    ).createOrReplaceTempView("events")
-    return spark.sql(render_macros(WINDOWED_EVENTS_SQL, window=EVENTS_WINDOW))
+    ).createOrReplaceTempView("events_windowed")
+    return spark.sql(
+        render_macros(
+            WINDOWED_EVENTS_SQL.replace("FROM events", "FROM events_windowed"),
+            window=EVENTS_WINDOW,
+        )
+    )
 
 
 def _windowed_events_oracle() -> str:
