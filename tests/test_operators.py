@@ -356,3 +356,21 @@ def test_kmv_exact_below_capacity_and_estimates_above(spark):
     out = {r["grp"]: r["est_distinct"] for r in kmv_distinct(df, ["grp"], "val", k=64).collect()}
     assert out["small"] == 10  # below capacity: exact
     assert 350 <= out["big"] <= 700  # estimator within sane bounds
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from transformers_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words here also"),
+            (3, "common words apple apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, top_k=1)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # the doc-unique term beats the corpus-wide one even at lower tf
+    assert top[1] == "common"  # tf=3, df=3 -> 3; zebra tf=1, df=1 -> 3; tie -> 'common' asc
+    assert top[3] == "apple"   # tf=2, df=1 -> 6 beats common 1*3/3

@@ -44,6 +44,7 @@ from .text import (
     lang_id,
     quality_scores,
     text_stats,
+    tfidf_top_terms,
     token_counts,
     winnowing_fingerprints,
 )
@@ -533,6 +534,32 @@ SELECT doc_id, unnest(list_distinct(ms)) AS fingerprint FROM mins
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("documents",))
+    return tfidf_top_terms(spark.table("documents"))
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+filt AS (SELECT doc, term FROM terms WHERE length(term) >= 3),
+tf AS (SELECT doc, term, count(*) AS tf FROM filt GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc, term,
+         ROUND(tf * (SELECT count(*) FROM documents)::DOUBLE / df, 6) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc AS doc_id, term, CAST(row_number() OVER w AS INT) AS rank, score
+FROM scored
+WINDOW w AS (PARTITION BY doc ORDER BY score DESC, term ASC)
+QUALIFY row_number() OVER w <= 3
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     return token_counts(spark.table("documents"))
@@ -729,6 +756,7 @@ def pipeline_specs() -> list:
         QS("dedup_embedding_cosine", "Embedding-cosine near-dup pairs (hyperplane-bucketed)", q_embedding_neardup, _oracle_embedding_neardup()),
         QS("similarity_ivf_kmeans", "IVF top-k with Lloyd's-trained codebook (iterative)", q_ivf_kmeans_topk, None),
         QS("text_fingerprint", "Winnowing rolling-hash document fingerprints", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+        QS("text_tfidf_terms", "Log-free TF-IDF top-3 salient terms per document", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
         QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
         QS("multimodal_audio_features", "Arrow mapInPandas audio feature plumbing (stub codec)", q_multimodal_audio, None),
         QS("text_token_counts", "Whitespace + BPE-ish regex token counting", q_token_counts, ORACLE_TOKEN_COUNTS),

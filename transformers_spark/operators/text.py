@@ -218,3 +218,47 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         pred.alias("predicted_lang"),
         best.alias("best_score"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Per-document salient terms by a log-free TF-IDF:
+    ``score = tf * N / df`` (term frequency × inverse document
+    frequency without the logarithm — same ranking for fixed tf, and
+    exact integer-ratio doubles, so Spark and a DuckDB oracle agree
+    bit-for-bit where ``ln`` implementations may not).
+
+    Plan shape: one (doc, term) partial-agg shuffle for tf, one
+    term-keyed aggregate for df, a term-keyed join (AQE handles
+    stop-term skew), and a per-doc top-k window over candidate terms
+    only. ``min_term_len`` drops short function words cheaply before
+    any shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    from .skew import fan_out
+
+    n_docs = df.count()  # driver-side scalar: one count job, broadcast as literal
+    terms = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc"), F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.length("term") >= min_term_len))
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc",
+        "term",
+        F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6).alias("score"),
+    )
+    w = W.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("doc").alias(id_col), "term", "rank", "score")
+    )
