@@ -50,10 +50,14 @@ def connected_components(
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("neighbor_component"))
         )
+        # Carry the pre-update label alongside the new one so the
+        # convergence check below is a map-only filter over the
+        # checkpointed result — not a second shuffle join per round.
         updated = (
             labels.join(neighbor_min, "vertex", "left")
             .select(
                 "vertex",
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
@@ -62,13 +66,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "vertex")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("component") != F.col("prev")).limit(1).count()
         )
-        labels = updated
+        labels = updated.select("vertex", "component")
         if changed == 0:
             break
     return labels
