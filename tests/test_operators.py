@@ -374,3 +374,16 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     # the doc-unique term beats the corpus-wide one even at lower tf
     assert top[1] == "common"  # tf=3, df=3 -> 3; zebra tf=1, df=1 -> 3; tie -> 'common' asc
     assert top[3] == "apple"   # tf=2, df=1 -> 6 beats common 1*3/3
+
+
+def test_theta_setops_exact_below_capacity(spark):
+    from transformers_spark.operators.sketch import theta_sketch_setops
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 20)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    r = theta_sketch_setops(df, "grp", "val", "a", "b", k=64).collect()[0]
+    # both sides below k: theta = full hash space, every estimate exact
+    assert r["union_est"] == 20
+    assert r["intersect_est"] == 5
+    assert r["a_not_b_est"] == 5
+    assert abs(r["jaccard"] - 0.25) < 1e-9

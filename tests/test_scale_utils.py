@@ -96,3 +96,20 @@ def test_range_count_join_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "__bucket" in plan  # equi-join keys include the time bucket
+
+
+def test_grouping_sets_is_one_scan_expand(spark):
+    """GROUPING SETS must plan as a single scan + Expand + aggregate —
+    not one scan per grouping set."""
+    df = spark.createDataFrame([("x", "p", 1.0)], ["a", "b", "q"])
+    from pyspark.sql import functions as F
+
+    plan = (
+        df.groupingSets([["a"], ["b"]], "a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan") <= 1

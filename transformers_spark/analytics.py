@@ -132,6 +132,51 @@ GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), o_orderstatus)
 """
 
 
+def q_grouping_sets_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS ((returnflag), (linestatus)) —
+    two independent one-dimension aggregates in ONE pass over the
+    data, a shape ROLLUP/CUBE can't express. Catalyst plans this as a
+    single scan + Expand (one output row per grouping set per input
+    row) + hash aggregate, so at 100 TB the table is read once, not
+    once per breakdown; grouping flags disambiguate the NULLs."""
+    register_tables(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.col("l_quantity").cast("decimal(12,4)").alias("qty"),
+    )
+    return (
+        li.groupingSets([["returnflag"], ["linestatus"]], "returnflag", "linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+            F.grouping("returnflag").cast("int").alias("g_flag"),
+            F.grouping("linestatus").cast("int").alias("g_status"),
+        )
+        .select(
+            F.coalesce(F.col("returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+            "g_flag",
+            "g_status",
+        )
+    )
+
+
+ORACLE_GROUPING_SETS_LINEITEMS = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 def q_nation_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-aggregate pattern: customers above their nation's
     average balance (decorrelated into a join — same plan Catalyst
@@ -508,6 +553,7 @@ def analytics_specs() -> list:
         QS("window_top_orders", "row_number + lag per customer (OVER clause)", q_window_top_orders, ORACLE_WINDOW_TOP_ORDERS),
         QS("moving_window_value", "7-row moving aggregate frame", q_moving_window_value, ORACLE_MOVING_WINDOW_VALUE),
         QS("rollup_order_volume", "ROLLUP grouping sets with totals", q_rollup_order_volume, ORACLE_ROLLUP_ORDER_VOLUME),
+        QS("grouping_sets_lineitems", "Non-hierarchical GROUPING SETS: one-pass multi-breakdown", q_grouping_sets_lineitems, ORACLE_GROUPING_SETS_LINEITEMS),
         QS("nation_above_avg_customers", "Correlated-aggregate decorrelation", q_nation_above_avg_customers, ORACLE_NATION_ABOVE_AVG),
         QS("customers_without_orders", "Anti join / NOT EXISTS", q_customers_without_orders, ORACLE_CUSTOMERS_WITHOUT_ORDERS),
         QS("part_brand_stats", "String functions + LIKE + conditional agg", q_part_brand_stats, ORACLE_PART_BRAND_STATS),

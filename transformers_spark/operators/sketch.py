@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .hashing import hash32
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "theta_sketch_setops"]
 
 HASH_SPACE = 1 << 32
 
@@ -60,4 +60,92 @@ def kmv_distinct(
             .cast("bigint")
             .alias(est_col),
         )
+    )
+
+
+def theta_sketch_setops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta et al., the DataSketches
+    theta family) between two groups' distinct-value sketches:
+    estimated union / intersection / A-minus-B cardinalities and the
+    sketch Jaccard.
+
+    Each group keeps its ``k`` smallest value-hashes; its theta is the
+    k-th smallest (the whole hash space below capacity — there the
+    sketch is lossless and every estimate is exact). Set ops run at
+    the FIXED threshold ``min(theta_a, theta_b)``: both retained sets
+    are filtered to hashes below it, so intersections/differences are
+    exact set algebra over uniform samples and
+    ``est = |S| * 2^32 / theta`` is the standard unbiased estimator.
+
+    Scale shape: the only data-sized cost is the (group, hash)
+    dedup shuffle — same class as exact COUNT(DISTINCT) — after which
+    each group is ONE row of ≤k longs; the set ops join moves a few KB
+    regardless of input size. At 100 TB, persist the per-group sketch
+    rows and combine them repeatedly without re-touching the data.
+    """
+    h = hash32(hasher)(F.col(value_col).cast("string"))
+    hashes = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .select(F.col(group_col).alias("grp"), h.alias("__h"))
+        .distinct()
+    )
+    w = W.partitionBy("grp").orderBy("__h")
+    kept = hashes.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    sketches = (
+        kept.groupBy("grp")
+        .agg(
+            F.sort_array(F.collect_list("__h")).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("__h").alias("kth"),
+        )
+        .select(
+            "grp",
+            F.when(F.col("n") < k, F.lit(float(HASH_SPACE)))
+            .otherwise(F.col("kth").cast("double"))
+            .alias("theta"),
+            "hs",
+        )
+    )
+    a = sketches.filter(F.col("grp") == group_a).select(
+        F.col("grp").alias("group_a"), F.col("theta").alias("ta"), F.col("hs").alias("ha")
+    )
+    b = sketches.filter(F.col("grp") == group_b).select(
+        F.col("grp").alias("group_b"), F.col("theta").alias("tb"), F.col("hs").alias("hb")
+    )
+    th = F.least("ta", "tb")
+    joined = (
+        a.crossJoin(b)  # two one-row sketch frames — trivially broadcast
+        .withColumn("th", th)
+        .withColumn("fa", F.filter("ha", lambda x: x.cast("double") < F.col("th")))
+        .withColumn("fb", F.filter("hb", lambda x: x.cast("double") < F.col("th")))
+        .withColumn("na", F.size("fa"))
+        .withColumn("nb", F.size("fb"))
+        .withColumn("ni", F.size(F.array_intersect("fa", "fb")))
+        .withColumn("nu", F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    scale = F.lit(float(HASH_SPACE)) / F.col("th")
+    return joined.select(
+        "group_a",
+        "group_b",
+        F.floor(F.col("nu").cast("double") * scale).cast("bigint").alias("union_est"),
+        F.floor(F.col("ni").cast("double") * scale).cast("bigint").alias("intersect_est"),
+        F.floor((F.col("na") - F.col("ni")).cast("double") * scale)
+        .cast("bigint")
+        .alias("a_not_b_est"),
+        F.round(
+            F.when(F.col("nu") == 0, F.lit(0.0)).otherwise(
+                F.col("ni").cast("double") / F.col("nu")
+            ),
+            6,
+        ).alias("jaccard"),
     )

@@ -734,6 +734,62 @@ JOIN (
 """
 
 
+def q_theta_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over the viewer vs purchaser user sets
+    (operators/sketch.py): union / intersection / difference estimates
+    from two k=64 sketches — 150 distinct users per side, so the
+    estimation path (not the exact below-capacity path) is exercised."""
+    from .sketch import theta_sketch_setops
+
+    register_tables(spark, sf_dir, ("events",))
+    return theta_sketch_setops(
+        spark.table("events"), "event_type", "user_id", "view", "purchase"
+    )
+
+
+def _oracle_theta_setops() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp, {duck_h32("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+rk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h
+),
+sk AS (
+  SELECT grp, list_sort(list(h)) AS hs, count(*) AS n, max(h) AS kth
+  FROM rk WHERE rk <= 64 GROUP BY 1
+),
+sk2 AS (
+  SELECT grp, CASE WHEN n < 64 THEN 4294967296.0 ELSE kth::DOUBLE END AS theta, hs
+  FROM sk
+),
+j AS (
+  SELECT a.grp AS group_a, b.grp AS group_b,
+         least(a.theta, b.theta) AS th, a.hs AS ha, b.hs AS hb
+  FROM sk2 a, sk2 b WHERE a.grp = 'view' AND b.grp = 'purchase'
+),
+f AS (
+  SELECT group_a, group_b, th,
+         list_filter(ha, x -> x < th) AS fa,
+         list_filter(hb, x -> x < th) AS fb
+  FROM j
+),
+c AS (
+  SELECT group_a, group_b, th, len(fa) AS na, len(fb) AS nb,
+         len(list_filter(fa, x -> list_contains(fb, x))) AS ni
+  FROM f
+)
+SELECT group_a, group_b,
+  CAST(floor((na + nb - ni) * 4294967296.0 / th) AS BIGINT) AS union_est,
+  CAST(floor(ni * 4294967296.0 / th) AS BIGINT) AS intersect_est,
+  CAST(floor((na - ni) * 4294967296.0 / th) AS BIGINT) AS a_not_b_est,
+  ROUND(CASE WHEN na + nb - ni = 0 THEN 0.0
+             ELSE ni::DOUBLE / (na + nb - ni) END, 6) AS jaccard
+FROM c
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -741,6 +797,7 @@ def pipeline_specs() -> list:
         QS("asof_latest_click", "Backward-inclusive as-of join: purchase -> latest prior click", q_asof_latest_click, ORACLE_ASOF_LATEST_CLICK),
         QS("range_next_day_purchases", "Bucketed interval join: purchases within 24h of a view", q_range_next_day_purchases, ORACLE_RANGE_NEXT_DAY),
         QS("sketch_kmv_users", "KMV distinct-count sketch vs exact, per event type", q_kmv_distinct_users, _oracle_kmv()),
+        QS("sketch_theta_setops", "Theta-sketch union/intersect/diff estimates between user sets", q_theta_setops_users, _oracle_theta_setops()),
         QS("dedup_exact", "Exact dedup groups via normalized-content fingerprint", q_dedup_exact, ORACLE_DEDUP_EXACT),
         QS("dedup_minhash_lsh", "MinHash+LSH near-dup candidate pairs (banded buckets)", q_minhash_lsh, _oracle_minhash()),
         QS("dedup_ngram_jaccard", "Exact 3-gram Jaccard pairs via inverted-index join", q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
