@@ -387,3 +387,36 @@ def test_theta_setops_exact_below_capacity(spark):
     assert r["intersect_est"] == 5
     assert r["a_not_b_est"] == 5
     assert abs(r["jaccard"] - 0.25) < 1e-9
+
+
+def test_hash_split_stable_under_repartition(spark):
+    import pytest
+
+    from transformers_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7)).collect()}
+    assert a == b  # assignment keyed on id hash, not partition layout
+    assert set(a.values()) <= {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"train": 50, "val": 10})
+
+
+def test_repetition_ratios_flags_repetitive_doc(spark):
+    from transformers_spark.operators.text import repetition_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "spam spam spam spam spam spam"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_ratios(df).collect()}
+    assert 3 not in out  # below min_words
+    assert out[1]["dup_ngram_frac"] == 0.0
+    assert abs(out[1]["top_word_frac"] - 2 / 6) < 1e-6
+    assert out[2]["dup_ngram_frac"] == 0.75  # 4 identical trigrams
+    assert out[2]["top_word_frac"] == 1.0

@@ -734,6 +734,70 @@ JOIN (
 """
 
 
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: duplicate
+    word-trigram fraction and top-word fraction — map-only, no
+    shuffle (operators/text.py)."""
+    from .text import repetition_ratios
+
+    register_tables(spark, sf_dir, ("documents",))
+    return repetition_ratios(spark.table("documents"))
+
+
+ORACLE_REPETITION_RATIOS = """
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+filt AS (SELECT * FROM toked WHERE len(t) >= 5),
+g AS (
+  SELECT doc_id, t,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gr
+  FROM filt
+)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_words,
+  ROUND(1.0 - len(list_distinct(gr))::DOUBLE / len(gr), 6) AS dup_ngram_frac,
+  ROUND(list_max([len(list_filter(t, x -> x = w))::DOUBLE for w in list_distinct(t)])
+        / len(t), 6) AS top_word_frac
+FROM g
+"""
+
+
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod train/val/test split (operators/split.py)
+    summarized per (split, source): the assignment itself is a map-only
+    projection; only this reporting rollup shuffles."""
+    from .split import hash_split
+
+    register_tables(spark, sf_dir, ("documents",))
+    return (
+        hash_split(spark.table("documents"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT_STATS = """
+WITH b AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+"""
+
+
 def q_theta_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra over the viewer vs purchaser user sets
     (operators/sketch.py): union / intersection / difference estimates
@@ -817,4 +881,6 @@ def pipeline_specs() -> list:
         QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
         QS("multimodal_audio_features", "Arrow mapInPandas audio feature plumbing (stub codec)", q_multimodal_audio, None),
         QS("text_token_counts", "Whitespace + BPE-ish regex token counting", q_token_counts, ORACLE_TOKEN_COUNTS),
+        QS("text_repetition_ratios", "Gopher-style within-doc repetition filters (map-only)", q_repetition_ratios, ORACLE_REPETITION_RATIOS),
+        QS("dataset_hash_split", "Deterministic hash-mod train/val/test split stats", q_hash_split_stats, ORACLE_HASH_SPLIT_STATS),
     ]

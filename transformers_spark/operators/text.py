@@ -24,6 +24,7 @@ __all__ = [
     "lang_id",
     "winnowing_fingerprints",
     "token_counts",
+    "repetition_ratios",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -261,4 +262,60 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(F.col("doc").alias(id_col), "term", "rank", "score")
+    )
+
+
+def repetition_ratios(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_words: int = 5,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters): the fraction of word ``n``-grams that are
+    duplicates of an earlier n-gram in the SAME document, and the
+    fraction of words taken by the single most frequent word.
+
+    Both are pure array expressions over the tokenized text — a
+    map-only plan with NO shuffle, so at 100 TB it scales with scan
+    bandwidth alone. The top-word pass is O(distinct x total) per row
+    (nested ``filter`` under ``transform``), bounded by document
+    length — fine for web-scale docs, and still shuffle-free.
+    """
+    # Materialize the token array in its own projection BEFORE any
+    # higher-order lambda touches it: Catalyst inlines same-select
+    # aliases into each lambda call, re-running the split per element
+    # (O(n_words²) regex work per row).
+    toked = df.select(
+        id_col, tokens(F.lower(F.col(text_col))).alias("__t")
+    ).filter(F.size("__t") >= min_words)
+    grammed = toked.select(
+        id_col,
+        "__t",
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__t"), i + j) for j in range(n)]
+            ),
+        ).alias("__g"),
+    )
+    return grammed.select(
+        id_col,
+        F.size("__t").alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__g")).cast("double") / F.size("__g"),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("__t"),
+                    lambda w: F.size(F.filter(F.col("__t"), lambda x: x == w)),
+                )
+            ).cast("double")
+            / F.size("__t"),
+            6,
+        ).alias("top_word_frac"),
     )
