@@ -112,3 +112,30 @@ def test_streaming_distinct_within_watermark_bounded_state(spark, events_dir):
     }
     assert got == want
     assert len(rows) >= len(want)
+
+
+def test_stream_stream_join_interval_boundaries(spark, tmp_path):
+    """Inclusive [view_ts, view_ts + 1h] window: a purchase exactly at
+    +1h matches, one microsecond later does not; cross-user never."""
+    from datetime import datetime
+
+    from transformers_spark.streaming.windows import (
+        EVENT_SCHEMA,
+        streaming_view_purchase_join,
+    )
+
+    t = datetime.fromisoformat
+    rows = [
+        (1, t("2024-01-01 10:00:00"), 7, "view", 0.0),
+        (2, t("2024-01-01 11:00:00"), 7, "purchase", 1.0),   # exactly +1h
+        (3, t("2024-01-01 11:00:00.000001"), 7, "purchase", 1.0),  # 1us late
+        (4, t("2024-01-01 09:59:59"), 7, "purchase", 1.0),   # before the view
+        (5, t("2024-01-01 10:30:00"), 8, "purchase", 1.0),   # other user
+    ]
+    src = str(tmp_path / "ssj")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    sdf = streaming_view_purchase_join(spark, src)
+    out = run_available_now(sdf, "ssj_test", output_mode="append").collect()
+    assert [(r["view_id"], r["purchase_id"], r["lag_us"]) for r in out] == [
+        (1, 2, 3_600_000_000)
+    ]

@@ -1,3 +1,15 @@
-from .windows import sessionize, streaming_event_counts, run_available_now
+from .windows import (
+    run_available_now,
+    sessionize,
+    streaming_distinct,
+    streaming_event_counts,
+    streaming_view_purchase_join,
+)
 
-__all__ = ["streaming_event_counts", "sessionize", "run_available_now"]
+__all__ = [
+    "streaming_event_counts",
+    "streaming_distinct",
+    "streaming_view_purchase_join",
+    "sessionize",
+    "run_available_now",
+]

@@ -15,7 +15,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.testdata import load_table
-from .windows import run_available_now, streaming_distinct, streaming_event_counts
+from .windows import (
+    run_available_now,
+    streaming_distinct,
+    streaming_event_counts,
+    streaming_view_purchase_join,
+)
 
 __all__ = [
     "q_streaming_hourly_counts",
@@ -89,6 +94,38 @@ def q_streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAMING_DISTINCT = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join drained with
+    availableNow: equals the batch self-join (the oracle) because the
+    watermark exceeds the corpus's time span — see
+    streaming_view_purchase_join's docstring for the production
+    tighter-watermark shape."""
+    source = _stream_source_dir(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see hourly note
+    try:
+        sdf = streaming_view_purchase_join(spark, source)
+        name = "stream_ssjoin_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_available_now(sdf, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+ORACLE_STREAMING_SS_JOIN = """
+SELECT v.event_id AS view_id,
+       v.user_id AS user_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
 def streaming_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -104,5 +141,11 @@ def streaming_specs() -> list:
             "Stateful streaming dropDuplicates (availableNow drain) vs batch DISTINCT",
             q_streaming_distinct_pairs,
             ORACLE_STREAMING_DISTINCT,
+        ),
+        QS(
+            "streaming_view_purchase_join",
+            "Watermarked stream-stream interval join (availableNow drain) vs batch self-join",
+            q_streaming_view_purchase_join,
+            ORACLE_STREAMING_SS_JOIN,
         ),
     ]

@@ -34,6 +34,7 @@ __all__ = [
     "EVENT_SCHEMA",
     "streaming_event_counts",
     "streaming_distinct",
+    "streaming_view_purchase_join",
     "sessionize",
     "run_available_now",
 ]
@@ -105,6 +106,60 @@ def streaming_distinct(
             .dropDuplicatesWithinWatermark(list(cols))
         )
     return events.select(*cols).dropDuplicates(list(cols))
+
+
+def streaming_view_purchase_join(
+    spark: SparkSession,
+    source_dir: str,
+    join_window: str = "1 hour",
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each view matched to the
+    same user's purchases within ``join_window`` after it.
+
+    The time-interval condition plus per-side watermarks is what makes
+    the state BOUNDED: a view can only match purchases in
+    ``[view_ts, view_ts + join_window]``, so once the global watermark
+    passes that range the view is evicted from the join state. In
+    production, set ``watermark`` to the real late-data tolerance
+    (minutes/hours) so state stays small; the default here is wider
+    than the test corpus's 30-day span so an ``availableNow`` drain is
+    exactly batch-equivalent even if the files arrive out of
+    time-order across micro-batches (eviction before a late match
+    would silently drop pairs — correct streaming semantics, but not
+    oracle-comparable).
+    """
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {join_window}"
+        ),
+    ).select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
 
 
 SESSION_SCHEMA = StructType(
