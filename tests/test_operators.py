@@ -420,3 +420,27 @@ def test_repetition_ratios_flags_repetitive_doc(spark):
     assert abs(out[1]["top_word_frac"] - 2 / 6) < 1e-6
     assert out[2]["dup_ngram_frac"] == 0.75  # 4 identical trigrams
     assert out[2]["top_word_frac"] == 1.0
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find (small-edge fast path) and distributed label
+    propagation return identical (vertex, component) labelings; empty
+    edge lists yield an empty result on both."""
+    from transformers_spark.operators.graph import connected_components
+
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (one redundant edge)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["d1", "d2"],
+    )
+    fast = {(r["vertex"], r["component"])
+            for r in connected_components(edges).collect()}
+    dist = {(r["vertex"], r["component"])
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    assert fast == want
+    assert dist == want
+
+    empty = edges.filter(F.lit(False))
+    assert connected_components(empty).count() == 0

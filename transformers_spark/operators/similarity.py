@@ -158,88 +158,51 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    max_train_vectors: int = 65536,
 ) -> DataFrame:
     """Lloyd's k-means codebook for IVF, returned as a small
     (centroid_id, centvec) DataFrame for :func:`ivf_topk`.
 
-    Spark-ML-KMeans-shaped execution: centers live on the driver
-    (k × dim doubles — tiny) and ride into each iteration as one packed
-    literal, so assignment is a pure projection; the center update is a
-    single k-row aggregate (per-dim sums + count, combined map-side).
-    Per iteration the only shuffle moves k × (dim+1) values — at
-    100 TB, train on a ``sample_fraction`` (FAISS-style: codebooks
-    converge on small samples) and assign the full corpus once
-    afterwards.
+    FAISS-style training: the codebook converges on a SAMPLE, so the
+    training set is bounded — the ``max_train_vectors`` lowest-id
+    vectors (one ``TakeOrderedAndProject`` job: per-partition top-k,
+    driver merge — no full sort, no shuffle) — and Lloyd iterations run
+    driver-side in numpy. That keeps iteration cost off the cluster
+    entirely: 64k × 64 doubles is ~32 MB of driver RAM, and each
+    iteration is a vectorized matmul instead of a full-corpus Spark job
+    per step. At 100 TB, pre-thin with ``sample_fraction`` so the
+    id-ordered take scans less; only the bounded sample is ever
+    collected, and the full corpus is touched once afterwards — by
+    :func:`ivf_topk`'s map-only assignment with the codebook as
+    literals.
 
-    Deterministic: init is the ``n_centroids`` lowest-id vectors and
-    every step is an exact aggregate, so repeated runs agree.
+    Deterministic: the sample is id-ordered, init is the
+    ``n_centroids`` lowest-id vectors, numpy float64 reductions are
+    fixed-order, and argmin ties break to the lowest centroid id — so
+    repeated runs agree bit-for-bit.
     """
-    vecs = fan_out(corpus).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    import numpy as np
+
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=20260813)
-    vecs = vecs.persist()  # scanned once per iteration — keep it hot
-    spark = corpus.sparkSession
-    try:
-        centers = [
-            [float(x) for x in r["vec"]]
-            for r in vecs.orderBy("vid").limit(n_centroids).collect()
-        ]
-        dim = len(centers[0])
-        for _ in range(iters):
-            # Nearest center by squared L2 (standard Lloyd objective),
-            # tie-break lowest centroid id. Centers ride as one packed
-            # array-of-arrays literal, so assignment is map-only — no
-            # crossJoin row expansion, no per-vector groupBy; the only
-            # shuffle moves k cells × (dim sums + count), combined
-            # map-side.
-            cent_arr = F.expr(
-                "array("
-                + ",".join(
-                    "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-                    for c in centers
-                )
-                + ")"
-            )
-            best = F.array_min(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-                    lambda i: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                "vec",
-                                F.element_at(cent_arr, i + 1),
-                                lambda a, b: (a.cast("double") - b)
-                                * (a.cast("double") - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        ).alias("dist"),
-                        i.alias("cid"),
-                    ),
-                )
-            )
-            assigned = vecs.select(best["cid"].alias("cell"), "vec")
-            stats = (
-                assigned.groupBy("cell")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("vec", d + 1).cast("double")).alias(f"s{d}")
-                        for d in range(dim)
-                    ],
-                )
-                .collect()
-            )
-            by_cell = {
-                r["cell"]: [r[f"s{d}"] / r["n"] for d in range(dim)] for r in stats
-            }
-            centers = [
-                by_cell.get(i, centers[i]) for i in range(n_centroids)
-            ]
-    finally:
-        vecs.unpersist()
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], ["centroid_id", "centvec"]
+    rows = vecs.orderBy("vid").limit(max_train_vectors).collect()
+    x = np.array([r["vec"] for r in rows], dtype=np.float64)
+    centers = x[:n_centroids].copy()
+    for _ in range(iters):
+        # Nearest center by squared L2 (standard Lloyd objective);
+        # np.argmin returns the FIRST minimum → ties break to the
+        # lowest centroid id. ||x-c||² = ||x||² - 2x·c + ||c||², and
+        # the ||x||² term is rank-invariant, so it's dropped.
+        dists = -2.0 * (x @ centers.T) + (centers * centers).sum(axis=1)
+        cell = np.argmin(dists, axis=1)
+        for i in range(n_centroids):
+            members = x[cell == i]
+            if len(members):  # empty cell keeps its old center
+                centers[i] = members.sum(axis=0) / len(members)
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
+        ["centroid_id", "centvec"],
     )
 
 
