@@ -19,6 +19,16 @@ from .sources.testdata import register_tables
 __all__ = ["analytics_specs"]
 
 
+def _dec(col: str):
+    # Exact decimal for money/quantity math (order-independent sums).
+    return F.col(col).cast("decimal(12,4)")
+
+
+def _dec7(expr):
+    # 1±discount style factors: small, 4 decimal places.
+    return expr.cast("decimal(7,4)")
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number + lag per customer: top-2 orders by price with the
     gap since the previous order."""
@@ -545,6 +555,224 @@ FROM events GROUP BY event_type
 """
 
 
+def q_pivot_segment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order volume per nation broken out by market segment.
+    Spark's ``groupBy().pivot(col, values)`` with explicit pivot values
+    is ONE pass (no extra distinct-values job) and compiles to a plain
+    conditional aggregate — the same shape the oracle spells out, and
+    the only pivot form that scales (an implicit pivot first runs a
+    distinct over the pivot column)."""
+    register_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    joined = (
+        spark.table("orders")
+        .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(spark.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    out = (
+        joined.groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,4)")).cast("double"))
+    )
+    renames = [F.col("n_name")] + [
+        F.coalesce(F.col(s), F.lit(0.0)).alias(f"vol_{s.lower()}") for s in segs
+    ]
+    return out.select(*renames)
+
+
+ORACLE_PIVOT_SEGMENT_VOLUME = """
+SELECT
+  n_name,
+  COALESCE(CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS vol_automobile,
+  COALESCE(CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS vol_building,
+  COALESCE(CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS vol_furniture,
+  COALESCE(CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS vol_household,
+  COALESCE(CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS vol_machinery
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape): revenue
+    from lineitems whose quantity is below 20% of their part's average.
+    Catalyst decorrelates the subquery into an aggregate + join; the
+    per-part aggregate is tiny next to lineitem, so AQE broadcasts it.
+    The 20%-of-average predicate is algebraically rearranged to
+    ``5·qty·cnt < sum_qty`` so both engines compare exact decimals/
+    integers (no divide, no float round-off divergence)."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    li = spark.table("lineitem")
+    brand = spark.table("part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type").startswith("STANDARD"))
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == per_part.pp_partkey)
+        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_small
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#1' AND p_type LIKE 'STANDARD%'
+  AND CAST(l.l_quantity AS DECIMAL(12,4)) * 5 * (
+        SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey
+      ) < (
+        SELECT SUM(CAST(i.l_quantity AS DECIMAL(12,4)))
+        FROM lineitem i WHERE i.l_partkey = l.l_partkey
+      )
+"""
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a HAVING aggregate (TPC-H Q18 shape): orders
+    whose total quantity exceeds a threshold, with customer context.
+    The IN-list becomes a LEFT SEMI join on o_orderkey; the heavy
+    per-order aggregate happens once, before the join."""
+    register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    li = spark.table("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        spark.table("orders")
+        .join(big, F.col("o_orderkey") == big.l_orderkey)
+        .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,4)").cast("double").alias("total_price"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME_ORDERS = """
+SELECT
+  c_name, c_custkey, o_orderkey, o_orderdate,
+  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS total_price,
+  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(12,4))) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS DOUBLE)     AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 180
+)
+"""
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View + scalar MAX subquery (TPC-H Q15 shape): supplier(s) whose
+    quarter revenue equals the global maximum. The revenue aggregate is
+    computed once and self-compared against its own max — on a cluster
+    the max is a one-row broadcast, not a second scan of lineitem.
+    Equality compares exact decimals, so the tie set is well-defined."""
+    register_tables(spark, sf_dir, ("supplier", "lineitem"))
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec7(F.lit(1) - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        spark.table("supplier")
+        .join(revenue, F.col("s_suppkey") == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_REVENUE_SUPPLIERS = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(7,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window + re-aggregation: quartile customers by account
+    balance within each market segment, then summarize each quartile.
+    The total order (balance, then key) makes ntile deterministic; the
+    window shuffle partitions by segment — 5 partitions only, so at
+    scale this wants the segment cardinality to stay small (it does)."""
+    register_tables(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT c_mktsegment, c_acctbal,
+                 NTILE(4) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer
+        )
+        SELECT c_mktsegment, quartile,
+               COUNT(*) AS n_customers,
+               CAST(MIN(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS min_bal,
+               CAST(MAX(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS max_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_bal
+        FROM ranked
+        GROUP BY c_mktsegment, quartile
+        """
+    )
+
+
+ORACLE_CUSTOMER_BALANCE_QUARTILES = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS min_bal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_bal
+FROM ranked
+GROUP BY c_mktsegment, quartile
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -564,4 +792,9 @@ def analytics_specs() -> list:
         QS("disjunctive_revenue", "TPC-H Q19-shape OR-of-ANDs predicate", q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE),
         QS("json_props_stats", "JSON extraction from a string column (get_json_object)", q_json_props_stats, ORACLE_JSON_PROPS_STATS),
         QS("array_agg_users", "Deterministic array aggregation + array functions", q_array_agg_users, ORACLE_ARRAY_AGG_USERS),
+        QS("pivot_segment_volume", "PIVOT with explicit values → one-pass conditional aggregate", q_pivot_segment_volume, ORACLE_PIVOT_SEGMENT_VOLUME),
+        QS("small_quantity_revenue", "TPC-H Q17-shape correlated scalar-aggregate subquery", q_small_quantity_revenue, ORACLE_SMALL_QUANTITY_REVENUE),
+        QS("large_volume_orders", "TPC-H Q18-shape IN-subquery over HAVING aggregate", q_large_volume_orders, ORACLE_LARGE_VOLUME_ORDERS),
+        QS("top_revenue_suppliers", "TPC-H Q15-shape view + scalar MAX subquery", q_top_revenue_suppliers, ORACLE_TOP_REVENUE_SUPPLIERS),
+        QS("customer_balance_quartiles", "NTILE quartiles + re-aggregation", q_customer_balance_quartiles, ORACLE_CUSTOMER_BALANCE_QUARTILES),
     ]
