@@ -612,7 +612,7 @@ def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: each purchase event annotated with the
     user's most recent click at-or-before it (backward-inclusive as-of
     join — operators/temporal.py)."""
-    from .temporal import asof_join
+    from .temporal import asof_join, ts_micros
 
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
@@ -639,7 +639,7 @@ def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.coalesce(
-            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1)
+            ts_micros("ts") - ts_micros("click_ts"), F.lit(-1)
         ).alias("gap_us"),
     )
 

@@ -22,7 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_count_join"]
+__all__ = ["asof_join", "range_count_join", "ts_micros"]
+
+
+def ts_micros(col):
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ; the engine pins the session
+    timezone to UTC (session.py), so the NTZ->TZ cast is wall-clock
+    preserving and the two types yield identical numbers.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -96,8 +107,8 @@ def range_count_join(
     each left row probes exactly two buckets).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    lt = F.unix_micros(F.col(left_time))
-    rt = F.unix_micros(F.col(right_time))
+    lt = ts_micros(left_time)
+    rt = ts_micros(right_time)
     probe = left.select(
         *left.columns,
         lt.alias("__lt"),

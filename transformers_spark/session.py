@@ -35,6 +35,10 @@ ENGINE_CONF: dict[str, str] = {
     # nano-precision longs; the source layer converts them back to
     # timestamps (see sources/testdata.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps read as TIMESTAMP
+    # in the UTC session, not TIMESTAMP_NTZ — matches the DuckDB oracle
+    # and keeps unix_micros()/bigint casts valid on event-time columns.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
