@@ -1,0 +1,199 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Three operations every large-corpus pipeline runs before training,
+none present in the reference (its surface is delegated SQL —
+`SURVEY.md §2.B`), all built from shuffle-conscious DataFrame plans:
+
+* :func:`contamination_report` — benchmark decontamination: find
+  eval-split documents sharing word n-grams with any train-split
+  document (the standard "13-gram overlap" check, parameterized n).
+  The join key is a 60-bit md5-derived gram hash, not the gram string:
+  at 100 TB the gram shuffle is the bottleneck and hashing cuts its
+  width several-fold, while staying portable to the DuckDB oracle
+  (both engines hash identically, so even a collision yields the same
+  answer in both).
+* :func:`cap_per_group` — per-group document caps (e.g. at most K
+  docs per domain). Two-phase top-k: a first row_number pass
+  partitioned by (group, input-partition) keeps at most K rows per
+  input split, so no single reducer ever sorts a heavy-hitter group's
+  full membership; the global pass then ranks the ≤ K·P survivors.
+  Skew-safe by construction — a group with a billion rows costs each
+  reducer at most K rows in phase two.
+* :func:`stratified_sample` — deterministic per-stratum sampling with
+  exact basis-point rates (e.g. keep 25% of 'en', 100% of the rest).
+  Pure map-side projection: bucket = md5('strat:' || id) mod 10000,
+  keep when bucket < rate·10000. Reproducible across runs, engines,
+  and repartitioning; zero shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .skew import fan_out
+from .split import split_expr
+from .text import tokens
+
+__all__ = [
+    "gram_hash60",
+    "contamination_report",
+    "cap_per_group",
+    "stratified_sample",
+]
+
+
+def gram_hash60(col: Column) -> Column:
+    """60-bit integer hash (15 md5 hex digits) — narrow enough for a
+    signed BIGINT in both Spark and DuckDB, wide enough that corpus-
+    scale gram sets (~2^40) stay effectively collision-free."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _distinct_ngrams(toks: Column, n: int) -> Column:
+    # duplicate of dedup._word_ngrams shape (kept local: curation and
+    # dedup evolve independently); toks must be a materialized column,
+    # see that docstring for the 5x re-tokenize hazard
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+    train_split: str = "train",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Per eval-split document: how many of its distinct word
+    ``n``-grams also occur in any train-split document.
+
+    Returns ``(doc_id, split, n_grams, n_contaminated, contamination)``
+    for every non-train document with at least ``n`` tokens. The split
+    assignment is the deterministic hash-mod split (operators/split.py)
+    so the report is stable under appends and re-partitioning.
+
+    Plan shape: one gram-hash shuffle for the eval⋈train semi-join
+    (train side pre-aggregated to distinct hashes — the build side
+    shrinks to the train vocabulary), then one doc-key shuffle for the
+    per-doc rollup. ``hasher`` follows operators/hashing.py: the md5
+    path is oracle-portable; production runs can swap the gram hash
+    for xxhash64 the same way.
+    """
+    split = split_expr(F.col(id_col), weights, hasher).alias("split")
+    toked = fan_out(df.select(F.col(id_col).alias("doc"), split, F.col(text_col))).select(
+        "doc", "split", tokens(F.col(text_col)).alias("toks")
+    )
+    base = toked.filter(F.size("toks") >= n)
+    grams = base.select(
+        "doc", "split", _distinct_ngrams(F.col("toks"), n).alias("grams")
+    ).select(
+        "doc",
+        "split",
+        F.explode_outer("grams").alias("gram"),  # see dedup.py on explode_outer
+    ).filter(F.col("gram").isNotNull()).select(
+        "doc", "split", gram_hash60(F.col("gram")).alias("h")
+    )
+    train_set = grams.filter(F.col("split") == train_split).select("h").distinct()
+    eval_grams = grams.filter(F.col("split") != train_split)
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    return (
+        eval_grams.join(
+            train_set.withColumn("__hit", F.lit(1)), "h", "left"
+        )
+        .groupBy(F.col("doc").alias(id_col), "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "split",
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    descending: bool = True,
+    rank_col: str = "rank",
+    two_phase: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col`` value, ranked by
+    ``order_cols`` (first column descending by default, remaining
+    ascending as deterministic tie-breaks).
+
+    ``two_phase=True`` (default) first ranks within (group, input
+    partition) and keeps each partition's local top-k, so the global
+    ranking pass receives at most k·num_partitions rows per group —
+    a heavy-hitter group (one domain with 10^9 docs at 100 TB) never
+    lands on a single reducer in full. The extra pass shuffles the
+    same bytes once but bounds per-reducer state; disable for small
+    well-distributed inputs.
+    """
+    first = F.col(order_cols[0])
+    order = [first.desc() if descending else first.asc()] + [
+        F.col(c).asc() for c in order_cols[1:]
+    ]
+    if two_phase:
+        local = W.partitionBy(group_col, F.spark_partition_id()).orderBy(*order)
+        df = (
+            fan_out(df)
+            .withColumn("__lr", F.row_number().over(local))
+            .filter(F.col("__lr") <= k)
+            .drop("__lr")
+        )
+    final = W.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(final))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    default_rate_bp: int = 0,
+    id_col: str = "doc_id",
+    kept_col: str = "sample_bucket",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: a row is kept when
+    ``md5('strat:' || id) mod 10000 < rate_bp`` for its stratum's rate
+    in basis points (2500 = keep 25%). Integer arithmetic end-to-end —
+    no float-rate boundary drift between engines — and salted with a
+    'strat:' prefix so the sampling decision is independent of the
+    train/val/test split hash over the same ids.
+
+    Map-only (no shuffle at any scale); rebalancing a 100 TB corpus's
+    language mix is a single scan.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate: Column = F.lit(default_rate_bp)
+    for value, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)

@@ -854,6 +854,92 @@ FROM c
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval-split docs sharing word 4-grams
+    with any train-split doc (operators/curation.py)."""
+    from .curation import contamination_report
+
+    register_tables(spark, sf_dir, ("documents",))
+    return contamination_report(spark.table("documents"), n=4)
+
+
+def _oracle_contamination(n: int = 4) -> str:
+    h60 = "('0x' || substr(md5(gram), 1, 15))::BIGINT"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         {DUCK_TOKENS} AS t
+  FROM documents
+  WHERE len({DUCK_TOKENS}) >= {n}
+),
+grams AS (
+  SELECT doc, split, {h60.replace("gram", f"unnest({_duck_grams(n)})")} AS h
+  FROM toks
+),
+train AS (SELECT DISTINCT h FROM grams WHERE split = 'train'),
+ev AS (SELECT doc, split, h FROM grams WHERE split <> 'train')
+SELECT ev.doc AS doc_id, ev.split,
+       COUNT(*) AS n_grams,
+       CAST(COUNT(train.h) AS BIGINT) AS n_contaminated,
+       ROUND(COUNT(train.h) / COUNT(*), 6) AS contamination
+FROM ev LEFT JOIN train ON ev.h = train.h
+GROUP BY 1, 2
+"""
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (at most 20 docs per source, longest
+    first) via skew-safe two-phase top-k (operators/curation.py)."""
+    from .curation import cap_per_group
+
+    register_tables(spark, sf_dir, ("documents",))
+    return cap_per_group(
+        spark.table("documents").select("doc_id", "source", "n_chars"),
+        group_col="source",
+        order_cols=["n_chars", "doc_id"],
+        k=20,
+    )
+
+
+ORACLE_SOURCE_CAPS = """
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 20
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: rebalance the language mix
+    by keeping 30% of 'en' docs and all others (operators/curation.py)."""
+    from .curation import stratified_sample
+
+    register_tables(spark, sf_dir, ("documents",))
+    return stratified_sample(
+        spark.table("documents").select("doc_id", "lang", "source"),
+        strata_col="lang",
+        rates_bp={"en": 3000},
+        default_rate_bp=10000,
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source,
+       ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000 AS sample_bucket
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000
+      < CASE WHEN lang = 'en' THEN 3000 ELSE 10000 END
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -883,4 +969,7 @@ def pipeline_specs() -> list:
         QS("text_token_counts", "Whitespace + BPE-ish regex token counting", q_token_counts, ORACLE_TOKEN_COUNTS),
         QS("text_repetition_ratios", "Gopher-style within-doc repetition filters (map-only)", q_repetition_ratios, ORACLE_REPETITION_RATIOS),
         QS("dataset_hash_split", "Deterministic hash-mod train/val/test split stats", q_hash_split_stats, ORACLE_HASH_SPLIT_STATS),
+        QS("curation_decontamination", "Eval-vs-train n-gram contamination report (hashed gram join)", q_contamination, _oracle_contamination()),
+        QS("curation_source_caps", "Per-source doc caps via skew-safe two-phase top-k", q_source_caps, ORACLE_SOURCE_CAPS),
+        QS("curation_stratified_sample", "Deterministic basis-point stratified sampling per language", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     ]
