@@ -773,6 +773,114 @@ GROUP BY c_mktsegment, quartile
 """
 
 
+def q_cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (orderstatus, orderpriority): all four grouping
+    combinations — (both), (status), (priority), (grand total) — in one
+    scan+Expand+hash-aggregate pass; grouping flags disambiguate the
+    rolled-up NULLs from data NULLs (same convention as the
+    GROUPING SETS query)."""
+    register_tables(spark, sf_dir, ("orders",))
+    od = spark.table("orders").select(
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("o_orderpriority").alias("orderpriority"),
+        F.col("o_totalprice").cast("decimal(12,4)").alias("price"),
+    )
+    return (
+        od.cube("orderstatus", "orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+            F.grouping("orderstatus").cast("int").alias("g_status"),
+            F.grouping("orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            F.coalesce(F.col("orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+            "g_status",
+            "g_priority",
+        )
+    )
+
+
+ORACLE_CUBE_ORDER_MIX = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price,
+  CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type — mean, sample stddev,
+    and corr(value, hour-of-day) — computed from EXACT decimal power
+    sums (n, Σx, Σx², Σy, Σy², Σxy) rather than Spark's built-in
+    stddev/corr aggregates, whose double accumulation is partitioning-
+    order-dependent and would never hash-match an oracle. The sums are
+    one map-side-combined aggregate pass; the closed-form moments are
+    a scalar projection after. Same single-shuffle cost as the
+    built-ins, bit-stable at any parallelism."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_type",
+        F.col("value").cast("decimal(12,4)").alias("x"),
+        F.hour("ts").cast("decimal(12,4)").alias("y"),
+    )
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    corr_den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        F.round((n * sxy - sx * sy) / corr_den, 6).alias("corr_value_hour"),
+    )
+
+
+ORACLE_EVENT_VALUE_MOMENTS = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,4))) AS sx,
+         SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS sxx,
+         SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))) AS sy,
+         SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))
+             * CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))) AS syy,
+         SUM(CAST(value AS DECIMAL(12,4))
+             * CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_value,
+       ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1.0)), 6) AS stddev_value,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS corr_value_hour
+FROM s
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -793,6 +901,8 @@ def analytics_specs() -> list:
         QS("json_props_stats", "JSON extraction from a string column (get_json_object)", q_json_props_stats, ORACLE_JSON_PROPS_STATS),
         QS("array_agg_users", "Deterministic array aggregation + array functions", q_array_agg_users, ORACLE_ARRAY_AGG_USERS),
         QS("pivot_segment_volume", "PIVOT with explicit values → one-pass conditional aggregate", q_pivot_segment_volume, ORACLE_PIVOT_SEGMENT_VOLUME),
+        QS("cube_order_mix", "Full CUBE with grouping flags (one Expand pass)", q_cube_order_mix, ORACLE_CUBE_ORDER_MIX),
+        QS("event_value_moments", "Exact stddev/corr from decimal power sums", q_event_value_moments, ORACLE_EVENT_VALUE_MOMENTS),
         QS("small_quantity_revenue", "TPC-H Q17-shape correlated scalar-aggregate subquery", q_small_quantity_revenue, ORACLE_SMALL_QUANTITY_REVENUE),
         QS("large_volume_orders", "TPC-H Q18-shape IN-subquery over HAVING aggregate", q_large_volume_orders, ORACLE_LARGE_VOLUME_ORDERS),
         QS("top_revenue_suppliers", "TPC-H Q15-shape view + scalar MAX subquery", q_top_revenue_suppliers, ORACLE_TOP_REVENUE_SUPPLIERS),
