@@ -499,3 +499,31 @@ def test_contamination_report_detects_overlap(spark):
             assert r["contamination"] == 1.0
         else:
             assert r["n_contaminated"] == 0
+
+
+def test_pack_sequences_contiguous_layout(spark):
+    """Documents laid end-to-end in id order: each doc's start equals
+    the previous doc's start + its token count, across range-partition
+    boundaries; seq_id/seq_offset decompose that start by seq_len."""
+    from transformers_spark.operators.curation import pack_sequences
+
+    rows = [(i, (i % 7) + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(8)
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=10, num_ranges=6).collect()}
+    start = 0
+    for i in range(50):
+        r = out[i]
+        assert (r["seq_id"], r["seq_offset"]) == (start // 10, start % 10), i
+        start += (i % 7) + 1
+
+
+def test_bpe_merge_candidates_counts_and_ties(spark):
+    from transformers_spark.operators.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "zz")], ["doc_id", "text"]
+    )
+    got = [(r["rank"], r["pair"], r["n_occurrences"])
+           for r in bpe_merge_candidates(df, top_k=3).collect()]
+    # pairs: doc1 -> (a b),(b a),(a b),(b c); doc2 -> (a b),(b x); doc3 dropped
+    assert got == [(1, "a b", 3), (2, "b a", 1), (3, "b c", 1)]

@@ -41,6 +41,7 @@ __all__ = [
     "contamination_report",
     "cap_per_group",
     "stratified_sample",
+    "pack_sequences",
 ]
 
 
@@ -164,6 +165,73 @@ def cap_per_group(
     return (
         df.withColumn(rank_col, F.row_number().over(final))
         .filter(F.col(rank_col) <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Assign each document its position in a stream of fixed-length
+    training sequences: documents are laid end-to-end in ``id_col``
+    order and cut every ``seq_len`` tokens (greedy contiguous packing
+    — the standard "document packing" pre-step for LLM training).
+
+    Returns ``(id, n_tokens, seq_id, seq_offset)`` where ``seq_id`` is
+    the sequence containing the document's first token and
+    ``seq_offset`` its offset within it.
+
+    The global running total is a **two-phase parallel prefix sum**,
+    not a single-partition window: a naive
+    ``Window.orderBy(id)`` with no partition key funnels the whole
+    corpus through one task — the classic scale cliff. Instead:
+
+    1. range-partition by ``id_col`` (Spark's range partitioner
+       samples boundaries, so ranges are balanced);
+    2. cumulative-sum *within* each range partition — parallel;
+    3. aggregate one subtotal per partition (tiny), prefix-sum those
+       on the driver, and broadcast-join the offsets back.
+
+    Two shuffles + a broadcast of num_partitions rows, any scale.
+    """
+    n_ranges = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.select(
+        F.col(id_col), F.col(count_col).cast("bigint").alias(count_col)
+    ).repartitionByRange(n_ranges, F.col(id_col))
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    local = W.partitionBy("__pid").orderBy(F.col(id_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # persist: the totals collect below and the returned plan both
+    # consume this frame — without it the range partitioning (whose
+    # sampled boundaries are not guaranteed stable across recomputes)
+    # would run twice and could disagree between the two uses
+    with_local = ranged.withColumn("__cum", F.sum(count_col).over(local)).persist()
+    # one row per range partition: (pid, total) — driver-side prefix sum
+    # over a list the size of the partition count, not the data
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in with_local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, total in totals:
+        offsets[pid] = acc
+        acc += total
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    )
+    start = F.col("__cum") + F.col("__off") - F.col(count_col)
+    return (
+        with_local.join(F.broadcast(offset_df), "__pid")
+        .select(
+            F.col(id_col),
+            F.col(count_col),
+            (start / seq_len).cast("bigint").alias("seq_id"),
+            (start % seq_len).cast("bigint").alias("seq_offset"),
+        )
     )
 
 

@@ -940,6 +940,67 @@ WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document packing: lay documents end-to-end in doc_id order and
+    cut 512-token training sequences; the running total is a two-phase
+    parallel prefix sum, never a single-partition window
+    (operators/curation.py)."""
+    from .curation import pack_sequences
+    from .text import tokens
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=512)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH counted AS (
+  SELECT doc_id, len({DUCK_TOKENS}) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM counted
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // 512 AS BIGINT) AS seq_id,
+       CAST(start % 512 AS BIGINT) AS seq_offset
+FROM cum
+"""
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training round: corpus-wide adjacent-token
+    pair counts, top-20 (operators/text.py)."""
+    register_tables(spark, sf_dir, ("documents",))
+    from .text import bpe_merge_candidates
+
+    return bpe_merge_candidates(spark.table("documents"), top_k=20)
+
+
+ORACLE_BPE_MERGE_CANDIDATES = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+),
+pairs AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
+  FROM toks
+),
+counts AS (
+  SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT) AS rank,
+       pair, n_occurrences
+FROM counts
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -972,4 +1033,6 @@ def pipeline_specs() -> list:
         QS("curation_decontamination", "Eval-vs-train n-gram contamination report (hashed gram join)", q_contamination, _oracle_contamination()),
         QS("curation_source_caps", "Per-source doc caps via skew-safe two-phase top-k", q_source_caps, ORACLE_SOURCE_CAPS),
         QS("curation_stratified_sample", "Deterministic basis-point stratified sampling per language", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+        QS("curation_pack_sequences", "Document packing via two-phase parallel prefix sum", q_pack_sequences, ORACLE_PACK_SEQUENCES),
+        QS("text_bpe_merge_candidates", "BPE merge-candidate round: top adjacent-pair counts", q_bpe_merge_candidates, ORACLE_BPE_MERGE_CANDIDATES),
     ]

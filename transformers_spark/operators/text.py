@@ -25,6 +25,7 @@ __all__ = [
     "winnowing_fingerprints",
     "token_counts",
     "repetition_ratios",
+    "bpe_merge_candidates",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -262,6 +263,56 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(F.col("doc").alias(id_col), "term", "rank", "score")
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One round of BPE-style merge-candidate counting at corpus
+    scale: the ``top_k`` most frequent ADJACENT token pairs across all
+    documents (ties broken lexically). Iterating this — count, merge
+    the winner, re-count — is exactly tokenizer training; one round is
+    the per-iteration workload and the part that must scale.
+
+    Plan shape: tokenize (map-only, fanned out), expand each doc's
+    adjacent pairs as an array expression (local, no self-join),
+    explode, one partial-agg count shuffle, then a driver-bounded
+    top-k sort of the distinct-pair counts. No shuffle carries more
+    than one row per (pair) key after the map-side combine.
+    """
+    from pyspark.sql import Window as W
+
+    from .skew import fan_out
+
+    toked = (
+        fan_out(df)
+        .select(tokens(F.lower(F.col(text_col))).alias("__t"))
+        .filter(F.size("__t") >= 2)
+    )
+    pairs = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("__t"), i), F.element_at(F.col("__t"), i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: each
+    # partition keeps its local top-k and the driver merges k·P rows —
+    # no single task ever sorts the full distinct-pair set (which for
+    # web corpora is itself huge). The rank window then runs over just
+    # the k survivors.
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(top_k)
+    w = W.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "pair", "n_occurrences"
     )
 
 
