@@ -1001,6 +1001,44 @@ LIMIT 20
 """
 
 
+def q_salted_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join under the oracle gate: enrich every event with
+    its user's purchase count via operators/skew.salted_join (big side
+    salted, small side replicated per salt), then roll up per event
+    type. The result must equal the plain SQL join — salting is a
+    physical-distribution change only. At 100 TB this is the manual
+    fallback when one hot user key exceeds what AQE skew-splitting
+    handles."""
+    from .skew import salted_join
+
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"), per_user, on="user_id"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_purchases").cast("bigint").alias("total_purchase_weight"),
+    )
+
+
+ORACLE_SALTED_USER_ENRICHMENT = """
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(p.n_purchases) AS BIGINT) AS total_purchase_weight
+FROM events e
+JOIN (SELECT user_id, COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+  ON e.user_id = p.user_id
+GROUP BY e.event_type
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -1035,4 +1073,5 @@ def pipeline_specs() -> list:
         QS("curation_stratified_sample", "Deterministic basis-point stratified sampling per language", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
         QS("curation_pack_sequences", "Document packing via two-phase parallel prefix sum", q_pack_sequences, ORACLE_PACK_SEQUENCES),
         QS("text_bpe_merge_candidates", "BPE merge-candidate round: top adjacent-pair counts", q_bpe_merge_candidates, ORACLE_BPE_MERGE_CANDIDATES),
+        QS("skew_salted_enrichment", "Skew-salted join equals the plain join (oracle-proved)", q_salted_user_enrichment, ORACLE_SALTED_USER_ENRICHMENT),
     ]
