@@ -1,5 +1,7 @@
 """Dialect shim tests — corpus-driven (reference sample queries)."""
 
+import pytest
+
 from transformers_spark.dialect import (
     classify_statement,
     split_headers_and_body,
@@ -122,3 +124,59 @@ def test_table_references_ignoreupstream():
 def test_table_references_comments_stripped():
     sql = "-- from `x.y.z`\nselect * from `a.b.c`"
     assert table_references(sql) == ["a.b.c"]
+
+
+def test_safe_cast_and_regexp_contains():
+    assert transpile("SAFE_CAST(x AS INT64)") == "TRY_CAST(x AS BIGINT)"
+    assert transpile("CAST(x AS FLOAT64)") == "CAST(x AS DOUBLE)"
+    assert transpile("SAFE_CAST(x AS NUMERIC)") == "TRY_CAST(x AS DECIMAL(38,9))"
+    out = transpile("WHERE REGEXP_CONTAINS(name, r'^ab+')")
+    assert "RLIKE" in out and "REGEXP_CONTAINS" not in out
+
+
+def test_name_swaps():
+    assert transpile("ARRAY_LENGTH(xs)") == "SIZE(xs)"
+    assert transpile("GENERATE_UUID()") == "UUID()"
+    assert transpile("STARTS_WITH(a, b)") == "STARTSWITH(a, b)"
+    assert transpile("ENDS_WITH(a, b)") == "ENDSWITH(a, b)"
+
+
+def test_timestamp_arith_and_diff():
+    assert transpile("TIMESTAMP_ADD(ts, INTERVAL 4 HOUR)") == "(ts + INTERVAL 4 HOUR)"
+    assert transpile("TIMESTAMP_SUB(ts, INTERVAL 30 MINUTE)") == "(ts - INTERVAL 30 MINUTE)"
+    assert transpile("TIMESTAMP_DIFF(a, b, HOUR)") == "TIMESTAMPDIFF(HOUR, b, a)"
+    assert transpile("DATE_DIFF(d1, d2, DAY)") == "DATEDIFF(d1, d2)"
+    assert transpile("DATE_DIFF(d1, d2, MONTH)") == "TIMESTAMPDIFF(MONTH, d2, d1)"
+
+
+def test_format_and_parse_date():
+    out = transpile("FORMAT_DATE('%Y-%m-%d', d)")
+    assert out == "DATE_FORMAT(d, 'yyyy-MM-dd')"
+    out = transpile("PARSE_DATE('%Y%m%d', s)")
+    assert out == "TO_DATE(s, 'yyyyMMdd')"
+    out = transpile("PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', s)")
+    assert out == "TO_TIMESTAMP(s, 'yyyy-MM-dd HH:mm:ss')"
+    out = transpile("FORMAT_TIMESTAMP('%Y-%m-%dT%H:%M:%S', ts)")
+    assert out == "DATE_FORMAT(ts, 'yyyy-MM-dd'T'HH:mm:ss')"
+    with pytest.raises(ValueError):
+        transpile("FORMAT_DATE('%Q %V', d)")  # %V unsupported -> loud
+
+
+def test_new_rewrites_execute_in_spark(spark):
+    rows = spark.sql(transpile(
+        "SELECT SAFE_CAST('x' AS INT64) AS bad,"
+        " SAFE_CAST('7' AS INT64) AS good,"
+        " REGEXP_CONTAINS('abc', 'b') AS has_b,"
+        " ARRAY_LENGTH([1, 2, 3]) AS n,"
+        " STARTS_WITH('spark', 'sp') AS sw,"
+        " TIMESTAMP_DIFF(TIMESTAMP '2024-01-02 03:00:00',"
+        "                TIMESTAMP '2024-01-02 01:30:00', MINUTE) AS mins,"
+        " DATE_DIFF(DATE '2024-03-01', DATE '2024-01-01', DAY) AS days,"
+        " FORMAT_DATE('%Y/%m', DATE '2024-05-04') AS ym,"
+        " PARSE_DATE('%Y%m%d', '20240504') AS parsed"
+    )).collect()
+    r = rows[0]
+    assert r["bad"] is None and r["good"] == 7
+    assert r["has_b"] is True and r["n"] == 3 and r["sw"] is True
+    assert r["mins"] == 90 and r["days"] == 60
+    assert r["ym"] == "2024/05" and str(r["parsed"]) == "2024-05-04"

@@ -113,6 +113,8 @@ def _rewrite_fqns(text: str) -> str:
 
 
 _NUMERIC_RE = re.compile(r"\bAS\s+NUMERIC\b", re.IGNORECASE)
+_INT64_RE = re.compile(r"\bAS\s+INT64\b", re.IGNORECASE)
+_FLOAT64_RE = re.compile(r"\bAS\s+FLOAT64\b", re.IGNORECASE)
 _BIGNUMERIC_RE = re.compile(r"\bAS\s+BIGNUMERIC\b", re.IGNORECASE)
 _DATETIME_CAST_RE = re.compile(r"\bAS\s+DATETIME\b", re.IGNORECASE)
 _TS_CONSTRUCTOR_RE = re.compile(r"\bTIMESTAMP\s*\(", re.IGNORECASE)
@@ -151,6 +153,66 @@ def _split_top_level_args(arg_text: str) -> list[str]:
 _PARTITIONTIME_RE = re.compile(r"`?_PARTITIONTIME`?", re.IGNORECASE)
 _COUNTIF_RE = re.compile(r"\bCOUNTIF\s*\(", re.IGNORECASE)
 _ARRAY_LITERAL_RE = re.compile(r"(?<![\w`\)\]])\[([^\[\]]*)\]")
+_SAFE_CAST_RE = re.compile(r"\bSAFE_CAST\s*\(", re.IGNORECASE)
+_REGEXP_CONTAINS_RE = re.compile(r"\bREGEXP_CONTAINS\s*\(", re.IGNORECASE)
+_ARRAY_LENGTH_RE = re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE)
+_GENERATE_UUID_RE = re.compile(r"\bGENERATE_UUID\s*\(\s*\)", re.IGNORECASE)
+_STARTS_WITH_RE = re.compile(r"\bSTARTS_WITH\s*\(", re.IGNORECASE)
+_ENDS_WITH_RE = re.compile(r"\bENDS_WITH\s*\(", re.IGNORECASE)
+_TS_ARITH_RE = re.compile(
+    r"\b(?:TIMESTAMP|DATETIME)_(SUB|ADD)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,"
+    r"\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+    re.IGNORECASE,
+)
+_DIFF_RE = re.compile(r"\b(TIMESTAMP|DATETIME|DATE)_DIFF\s*\(", re.IGNORECASE)
+_FORMAT_DT_RE = re.compile(r"\bFORMAT_(?:DATE|DATETIME|TIMESTAMP)\s*\(", re.IGNORECASE)
+_PARSE_DATE_RE = re.compile(r"\bPARSE_DATE\s*\(", re.IGNORECASE)
+_PARSE_TS_RE = re.compile(r"\bPARSE_(?:DATETIME|TIMESTAMP)\s*\(", re.IGNORECASE)
+
+# strftime → Java SimpleDateFormat codes (the BQ format surface we
+# translate; anything else raises rather than silently mis-formatting)
+_STRFTIME_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss", "j": "DDD",
+    "b": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE", "p": "a",
+    "Q": "Q", "U": "ww", "%": "'%'",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"dangling % in format {fmt!r}")
+            code = fmt[i + 1]
+            try:
+                out.append(_STRFTIME_TO_JAVA[code])
+            except KeyError:
+                raise ValueError(f"unsupported strftime code %{code} in {fmt!r}")
+            i += 2
+        elif ch.isalpha():
+            out.append(f"'{ch}'")  # literal letters must be quoted in Java
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _translate_masked_format(arg: str, masked: "_Masked") -> str:
+    """If ``arg`` is a masked string literal holding a strftime format,
+    rewrite the saved literal to the Java pattern in place and return
+    the placeholder unchanged."""
+    m = re.fullmatch(r"\x00(\d+)\x00", arg.strip())
+    if m is None:
+        raise ValueError(f"format argument must be a string literal: {arg!r}")
+    idx = int(m.group(1))
+    lit = masked.saved[idx]
+    quote = lit[0]
+    masked.saved[idx] = quote + _strftime_to_java(lit[1:-1]) + quote
+    return arg.strip()
 
 
 def _replace_balanced_call(text: str, pattern: re.Pattern, render) -> str:
@@ -247,8 +309,99 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
 
     # type spellings
     text = _NUMERIC_RE.sub("AS DECIMAL(38,9)", text)
+    text = _INT64_RE.sub("AS BIGINT", text)
+    text = _FLOAT64_RE.sub("AS DOUBLE", text)
     text = _BIGNUMERIC_RE.sub("AS DECIMAL(38,18)", text)
     text = _DATETIME_CAST_RE.sub("AS TIMESTAMP", text)
+
+    # SAFE_CAST → TRY_CAST (NULL on failure — identical semantics);
+    # composes with the type-spelling pass above, so
+    # SAFE_CAST(x AS NUMERIC) ends as TRY_CAST(x AS DECIMAL(38,9))
+    text = _SAFE_CAST_RE.sub("TRY_CAST(", text)
+
+    # REGEXP_CONTAINS(s, r) → (s RLIKE r)
+    def regexp_contains(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if len(args) != 2:
+            raise ValueError(f"REGEXP_CONTAINS takes 2 args: {arg_text!r}")
+        return f"({args[0]} RLIKE {args[1]})"
+
+    text = _replace_balanced_call(text, _REGEXP_CONTAINS_RE, regexp_contains)
+
+    # straight name swaps
+    text = _ARRAY_LENGTH_RE.sub("SIZE(", text)
+    text = _GENERATE_UUID_RE.sub("UUID()", text)
+    text = _STARTS_WITH_RE.sub("STARTSWITH(", text)
+    text = _ENDS_WITH_RE.sub("ENDSWITH(", text)
+
+    # TIMESTAMP_ADD/SUB(ts, INTERVAL n unit) → (ts ± INTERVAL n unit)
+    def ts_arith(m: re.Match) -> str:
+        op, operand, n, unit = m.group(1).upper(), m.group(2).strip(), m.group(3), m.group(4)
+        sign = "-" if op == "SUB" else "+"
+        return f"({operand} {sign} INTERVAL {n} {unit})"
+
+    text = _TS_ARITH_RE.sub(ts_arith, text)
+
+    # *_DIFF(later, earlier, unit) → TIMESTAMPDIFF(unit, earlier, later)
+    # (DATE_DIFF(d1, d2, DAY) keeps Spark's DATEDIFF day count)
+    def diff_render(kind: str):
+        def render(arg_text: str) -> str:
+            args = _split_top_level_args(arg_text)
+            if len(args) != 3:
+                raise ValueError(f"{kind}_DIFF takes 3 args: {arg_text!r}")
+            later, earlier, unit = args[0], args[1], args[2].upper()
+            if kind == "DATE" and unit == "DAY":
+                return f"DATEDIFF({later}, {earlier})"
+            return f"TIMESTAMPDIFF({unit}, {earlier}, {later})"
+
+        return render
+
+    out, pos = [], 0
+    while True:
+        m = _DIFF_RE.search(text, pos)
+        if m is None:
+            out.append(text[pos:])
+            break
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(text[pos : m.start()])
+        out.append(diff_render(m.group(1).upper())(text[m.end() : i - 1]))
+        pos = i
+    text = "".join(out)
+
+    # FORMAT_DATE/DATETIME/TIMESTAMP('%Y-%m-%d', x) →
+    # DATE_FORMAT(x, 'yyyy-MM-dd'); the strftime→Java translation
+    # happens inside the masked literal
+    def format_dt(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if len(args) not in (2, 3):
+            raise ValueError(f"FORMAT_DATE/TIMESTAMP takes 2-3 args: {arg_text!r}")
+        fmt = _translate_masked_format(args[0], masked)
+        operand = args[1]
+        if len(args) == 3:  # FORMAT_TIMESTAMP(fmt, ts, tz)
+            operand = f"FROM_UTC_TIMESTAMP({operand}, {args[2]})"
+        return f"DATE_FORMAT({operand}, {fmt})"
+
+    text = _replace_balanced_call(text, _FORMAT_DT_RE, format_dt)
+
+    # PARSE_DATE/PARSE_TIMESTAMP('%Y%m%d', s) → TO_DATE/TO_TIMESTAMP
+    def parse_render(fn: str):
+        def render(arg_text: str) -> str:
+            args = _split_top_level_args(arg_text)
+            if len(args) != 2:
+                raise ValueError(f"PARSE_* takes 2 args: {arg_text!r}")
+            fmt = _translate_masked_format(args[0], masked)
+            return f"{fn}({args[1]}, {fmt})"
+
+        return render
+
+    text = _replace_balanced_call(text, _PARSE_DATE_RE, parse_render("TO_DATE"))
+    text = _replace_balanced_call(text, _PARSE_TS_RE, parse_render("TO_TIMESTAMP"))
 
     # ingestion-time pseudo-column → engine partition column
     text = _PARTITIONTIME_RE.sub("CAST(`dt` AS TIMESTAMP)", text)
