@@ -113,3 +113,52 @@ def test_grouping_sets_is_one_scan_expand(spark):
     )
     assert plan.count("Expand") == 1
     assert plan.count("Scan") <= 1
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The packing prefix sum must run per range-partition — a
+    SinglePartition exchange feeding the cumulative Window is the
+    scale cliff the two-phase design exists to avoid."""
+    from transformers_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, i % 5 + 1) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(df, seq_len=16, num_ranges=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_bpe_topk_is_take_ordered(spark):
+    """The corpus-wide top-k must compile to TakeOrderedAndProject
+    (distributed partial top-k), never a global sort of all distinct
+    pairs."""
+    from transformers_spark.operators.text import bpe_merge_candidates
+
+    df = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    plan = (
+        bpe_merge_candidates(df, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cap_per_group_two_phase_bounds_reducer_rows(spark):
+    """Two-phase cap: the first window pass partitions by
+    (group, input-partition id) so the plan must hash-partition on the
+    composite key before the per-group pass."""
+    from transformers_spark.operators.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", i) for i in range(50)], ["id", "grp", "score"]
+    ).repartition(4)
+    plan = (
+        cap_per_group(df, "grp", ["score", "id"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan

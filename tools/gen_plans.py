@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: physical-plan skeletons for the queries whose
+scale behavior the README claims (pushdown, broadcast, partial agg,
+local pair expansion, partitioned prefix sum, distributed top-k)."""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = {
+    "windowed_daily_events": (
+        "Flagship windowed transformation — the range filter must reach the "
+        "parquet row groups as PushedFilters, and the scan must prune to the "
+        "referenced columns only."
+    ),
+    "local_supplier_volume": (
+        "TPC-H Q5-shape 6-way star join — every dimension broadcasts; the "
+        "single big shuffle is the lineitem⋈orders hash join."
+    ),
+    "pricing_summary": (
+        "TPC-H Q1-shape scan+aggregate — partial (map-side) HashAggregate "
+        "before the exchange, whole-stage codegen over the decimal sums."
+    ),
+    "dedup_minhash_lsh": (
+        "MinHash+LSH — one shuffle groups band buckets; pairs expand locally "
+        "(no bucket self-join)."
+    ),
+    "curation_pack_sequences": (
+        "Document packing — the cumulative sum runs per range partition (no "
+        "SinglePartition exchange feeding the window)."
+    ),
+    "text_bpe_merge_candidates": (
+        "BPE pair counting — map-side combined count + TakeOrderedAndProject "
+        "distributed top-k."
+    ),
+}
+
+_KEEP_PREFIXES = (
+    "Output", "Batched", "Location", "PushedFilters", "ReadSchema", "Input",
+    "Keys", "Functions", "Arguments", "Join condition", "Left keys",
+    "Right keys", "Condition", "PartitionFilters",
+)
+
+
+def skeleton(text: str) -> list[str]:
+    keep = []
+    for line in text.splitlines():
+        s = line.strip()
+        if s and (re.match(r"^\(\d+\)", s) or s.startswith(_KEEP_PREFIXES)):
+            keep.append(s)
+    return keep
+
+
+def main() -> None:
+    from transformers_spark.queries import QUERIES
+    from transformers_spark.session import get_spark
+
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    out = [
+        "# PLANS — physical-plan evidence for the scale claims\n",
+        "Generated from `.explain('formatted')` at sf0.01 (plans are",
+        "scale-independent; AQE re-sizes exchanges at runtime). Regenerate",
+        "with `python tools/gen_plans.py`. Each excerpt keeps the",
+        "scan/exchange/join/window skeleton and elides codegen ids.\n",
+    ]
+    for name, why in PICKS.items():
+        df = QUERIES[name].build(spark, sf)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        lines = skeleton(buf.getvalue())
+        out.append(f"## {name}\n")
+        out.append(why + "\n")
+        out.append("```")
+        out.extend(lines[:48])
+        if len(lines) > 48:
+            out.append(f"... ({len(lines) - 48} more plan lines)")
+        out.append("```\n")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
