@@ -34,10 +34,20 @@ _STREAM_CACHE_ROOT = "/tmp/transformers_spark_stream"
 
 
 def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize a micros-precision streaming copy of the events
-    table (the raw file is nanos, which the streaming reader can't
-    take); one per sf_dir, reused across calls."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    """Materialize a micros-precision multi-file streaming copy of the
+    events table (the file streaming source wants a directory, and the
+    raw table has been nano-precision in some testdata generations);
+    one per (sf_dir, source mtime+size), reused across calls. Keying on
+    the source file's identity — not just its path — keeps the cache
+    from serving stale data when the driver regenerates testdata
+    between rounds in the same container."""
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    key = hashlib.md5(ident.encode()).hexdigest()[:10]
     out = os.path.join(_STREAM_CACHE_ROOT, key)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
