@@ -31,6 +31,7 @@ __all__ = [
     "hyperplane_weights",
     "hyperplane_signature",
     "embedding_neardup_pairs",
+    "random_projection",
 ]
 
 
@@ -271,6 +272,32 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic pseudo-random directions
+    (the md5-derived :func:`hyperplane_weights`, so an oracle can embed
+    the identical literal matrix). Output columns ``p0..p{k-1}`` are
+    the raw projections rounded to 6 decimals.
+
+    Map-only: the k×d weight matrix ships inside the plan as literals
+    (a few KB), each row's projections are local fold sums — no
+    shuffle, no driver data movement; at 100 TB this runs at scan
+    bandwidth next to whatever op consumes the reduced vectors."""
+    weights = hyperplane_weights(out_dim, in_dim)
+    cols = [F.col(id_col)]
+    for j, row in enumerate(weights):
+        w = F.array(*[F.lit(v) for v in row])
+        cols.append(F.round(_dot(F.col(vec_col), w), 6).alias(f"{out_prefix}{j}"))
+    return df.select(*cols)
 
 
 def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:

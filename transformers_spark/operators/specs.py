@@ -1001,6 +1001,34 @@ LIMIT 20
 """
 
 
+RP_OUT_DIM, RP_IN_DIM = 8, 64
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction 64-d -> 8-d with deterministic
+    md5-derived directions (operators/similarity.py): map-only, the
+    weight matrix ships as plan literals."""
+    from .similarity import random_projection
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    return random_projection(
+        spark.table("embeddings"), out_dim=RP_OUT_DIM, in_dim=RP_IN_DIM
+    )
+
+
+def _oracle_random_projection() -> str:
+    from .similarity import hyperplane_weights
+
+    weights = hyperplane_weights(RP_OUT_DIM, RP_IN_DIM)
+    cols = ",\n       ".join(
+        "ROUND(list_dot_product(embedding::DOUBLE[], [{}]), 6) AS p{}".format(
+            ", ".join(repr(v) for v in row), j
+        )
+        for j, row in enumerate(weights)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
 def q_salted_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join under the oracle gate: enrich every event with
     its user's purchase count via operators/skew.salted_join (big side
@@ -1074,4 +1102,5 @@ def pipeline_specs() -> list:
         QS("curation_pack_sequences", "Document packing via two-phase parallel prefix sum", q_pack_sequences, ORACLE_PACK_SEQUENCES),
         QS("text_bpe_merge_candidates", "BPE merge-candidate round: top adjacent-pair counts", q_bpe_merge_candidates, ORACLE_BPE_MERGE_CANDIDATES),
         QS("skew_salted_enrichment", "Skew-salted join equals the plain join (oracle-proved)", q_salted_user_enrichment, ORACLE_SALTED_USER_ENRICHMENT),
+        QS("similarity_random_projection", "JL random-projection 64d->8d (map-only, literal matrix)", q_random_projection, _oracle_random_projection()),
     ]

@@ -104,7 +104,7 @@ def _epoch_nanos(dt: "datetime") -> int:
 def register_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Idempotent per session: each (view, sf_dir) registers once
     (~120 ms of schema read + analysis per table otherwise — several
-    seconds across a 49-query catalog run). Re-registering the same
+    seconds across the full catalog run). Re-registering the same
     view from a different sf_dir replaces it."""
     cache = getattr(spark, "_ts_registered", None)
     if cache is None:
