@@ -1001,6 +1001,53 @@ LIMIT 20
 """
 
 
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (Arrow mapInPandas, fake resizer) composed with the
+    JVM-side video frame-sampling plan — the binary-column pipeline
+    shape: plan/prune in Catalyst, decode at the Python edge."""
+    from .multimodal import fake_resizer, frame_sample_plan, resize_images
+
+    register_tables(spark, sf_dir, ("documents",))
+    media = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("n_chars") % 300 + 1).alias("duration_frames"),
+    )
+    resized = resize_images(media, target_w=64, target_h=64, resizer=fake_resizer)
+    plan = frame_sample_plan(media, every_n_frames=30, max_frames=5)
+    return resized.join(plan.select("media_id", "sample_frames"), "media_id").select(
+        "media_id",
+        F.length("payload").alias("resized_bytes"),
+        "width",
+        "height",
+        F.size("sample_frames").alias("n_sampled_frames"),
+    )
+
+
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    applyInPandasWithState with event-time timeout, drained file-by-
+    file so the watermark advances between micro-batches
+    (streaming/windows.py). Rows-only check: open sessions correctly
+    stay in state at end of input, so the drained output is a strict
+    subset of the batch twin (batch_sessionization) rather than
+    hash-equal."""
+    from ..streaming.specs import _stream_source_dir
+    from ..streaming.windows import run_available_now, sessionize
+
+    import hashlib as _hl
+
+    source = _stream_source_dir(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf = sessionize(spark, source, timeout="event", max_files_per_trigger=1)
+        name = "stream_sess_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_available_now(sdf, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 RP_OUT_DIM, RP_IN_DIM = 8, 64
 
 
@@ -1103,4 +1150,6 @@ def pipeline_specs() -> list:
         QS("text_bpe_merge_candidates", "BPE merge-candidate round: top adjacent-pair counts", q_bpe_merge_candidates, ORACLE_BPE_MERGE_CANDIDATES),
         QS("skew_salted_enrichment", "Skew-salted join equals the plain join (oracle-proved)", q_salted_user_enrichment, ORACLE_SALTED_USER_ENRICHMENT),
         QS("similarity_random_projection", "JL random-projection 64d->8d (map-only, literal matrix)", q_random_projection, _oracle_random_projection()),
+        QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, None),
+        QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (drain)", q_streaming_sessionization, None),
     ]
