@@ -1041,7 +1041,10 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        sdf = sessionize(spark, source, timeout="event", max_files_per_trigger=1)
+        # 2 files/trigger: 2 micro-batches — enough for the watermark to
+        # advance (event-timeout sessions actually close) at half the
+        # per-batch state-store round trips of file-at-a-time draining
+        sdf = sessionize(spark, source, timeout="event", max_files_per_trigger=2)
         name = "stream_sess_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
         return run_available_now(sdf, name, output_mode="append")
     finally:

@@ -209,12 +209,16 @@ def _session_fn(
         )
         return
     rows = []
-    ts_list: list[int] = []
-    for batch in batches:
-        ts_list.extend(int(t.value // 1_000_000) for t in batch["ts"])
-    ts_list.sort()
-    if not ts_list:
+    import numpy as np
+
+    chunks = [batch["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+              for batch in batches]
+    if not chunks:
         return
+    ts_arr = np.sort(np.concatenate(chunks))
+    if ts_arr.size == 0:
+        return
+    ts_list = ts_arr.tolist()
     if state.exists:
         start_ms, last_ms, n = state.get
     else:
@@ -269,7 +273,10 @@ def sessionize(
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(source_dir)
+    # project to exactly what the state function reads (key + ts)
+    # BEFORE the stateful groupBy: every surviving column crosses the
+    # JVM->Python Arrow boundary once per micro-batch
+    events = reader.parquet(source_dir).select("user_id", "ts")
     conf = {
         "none": GroupStateTimeout.NoTimeout,
         "processing": GroupStateTimeout.ProcessingTimeTimeout,
