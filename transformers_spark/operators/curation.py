@@ -221,7 +221,8 @@ def pack_sequences(
         offsets[pid] = acc
         acc += total
     offset_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+        [(int(pid), int(off)) for pid, off in offsets.items()] or [(0, 0)],
+        "`__pid` INT, `__off` BIGINT",
     )
     start = F.col("__cum") + F.col("__off") - F.col(count_col)
     return (
