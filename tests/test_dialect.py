@@ -146,7 +146,14 @@ def test_timestamp_arith_and_diff():
     assert transpile("TIMESTAMP_SUB(ts, INTERVAL 30 MINUTE)") == "(ts - INTERVAL 30 MINUTE)"
     assert transpile("TIMESTAMP_DIFF(a, b, HOUR)") == "TIMESTAMPDIFF(HOUR, b, a)"
     assert transpile("DATE_DIFF(d1, d2, DAY)") == "DATEDIFF(d1, d2)"
-    assert transpile("DATE_DIFF(d1, d2, MONTH)") == "TIMESTAMPDIFF(MONTH, d2, d1)"
+    # BQ DATE_DIFF(.., MONTH/QUARTER/YEAR) counts boundary crossings
+    assert transpile("DATE_DIFF(d1, d2, MONTH)") == \
+        "((YEAR(d1) * 12 + MONTH(d1)) - (YEAR(d2) * 12 + MONTH(d2)))"
+    assert transpile("DATE_DIFF(d1, d2, YEAR)") == "(YEAR(d1) - YEAR(d2))"
+    with pytest.raises(ValueError):
+        transpile("DATE_DIFF(d1, d2, WEEK)")  # Sunday-anchored, no twin
+    with pytest.raises(ValueError):
+        transpile("TIMESTAMP_DIFF(a, b, MONTH)")
 
 
 def test_format_and_parse_date():
@@ -156,10 +163,13 @@ def test_format_and_parse_date():
     assert out == "TO_DATE(s, 'yyyyMMdd')"
     out = transpile("PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', s)")
     assert out == "TO_TIMESTAMP(s, 'yyyy-MM-dd HH:mm:ss')"
+    # Java literal-letter quotes must be DOUBLED inside the SQL literal
     out = transpile("FORMAT_TIMESTAMP('%Y-%m-%dT%H:%M:%S', ts)")
-    assert out == "DATE_FORMAT(ts, 'yyyy-MM-dd'T'HH:mm:ss')"
+    assert out == "DATE_FORMAT(ts, 'yyyy-MM-dd''T''HH:mm:ss')"
     with pytest.raises(ValueError):
         transpile("FORMAT_DATE('%Q %V', d)")  # %V unsupported -> loud
+    with pytest.raises(ValueError):
+        transpile("FORMAT_DATE('%U', d)")  # week-based: banned in Spark 3+
 
 
 def test_new_rewrites_execute_in_spark(spark):
@@ -172,11 +182,16 @@ def test_new_rewrites_execute_in_spark(spark):
         " TIMESTAMP_DIFF(TIMESTAMP '2024-01-02 03:00:00',"
         "                TIMESTAMP '2024-01-02 01:30:00', MINUTE) AS mins,"
         " DATE_DIFF(DATE '2024-03-01', DATE '2024-01-01', DAY) AS days,"
+        " DATE_DIFF(DATE '2024-03-01', DATE '2024-02-28', MONTH) AS months,"
         " FORMAT_DATE('%Y/%m', DATE '2024-05-04') AS ym,"
+        " FORMAT_TIMESTAMP('%Y-%m-%dT%H:%M:%S',"
+        "                  TIMESTAMP '2024-05-04 06:07:08') AS iso,"
         " PARSE_DATE('%Y%m%d', '20240504') AS parsed"
     )).collect()
     r = rows[0]
     assert r["bad"] is None and r["good"] == 7
     assert r["has_b"] is True and r["n"] == 3 and r["sw"] is True
     assert r["mins"] == 90 and r["days"] == 60
-    assert r["ym"] == "2024/05" and str(r["parsed"]) == "2024-05-04"
+    assert r["months"] == 1  # boundary crossing, not elapsed months
+    assert r["ym"] == "2024/05" and r["iso"] == "2024-05-04T06:07:08"
+    assert str(r["parsed"]) == "2024-05-04"

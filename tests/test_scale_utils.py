@@ -161,4 +161,4 @@ def test_cap_per_group_two_phase_bounds_reducer_rows(spark):
         .executedPlan()
         .toString()
     )
-    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    assert "SPARK_PARTITION_ID" in plan.upper()

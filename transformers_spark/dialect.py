@@ -170,12 +170,14 @@ _PARSE_DATE_RE = re.compile(r"\bPARSE_DATE\s*\(", re.IGNORECASE)
 _PARSE_TS_RE = re.compile(r"\bPARSE_(?:DATETIME|TIMESTAMP)\s*\(", re.IGNORECASE)
 
 # strftime → Java SimpleDateFormat codes (the BQ format surface we
-# translate; anything else raises rather than silently mis-formatting)
+# translate; anything else — e.g. %U/%W week numbers, which Spark 3+
+# rejects as week-based patterns — raises rather than deferring a
+# confusing engine error to query time)
 _STRFTIME_TO_JAVA = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
     "H": "HH", "I": "hh", "M": "mm", "S": "ss", "j": "DDD",
     "b": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE", "p": "a",
-    "Q": "Q", "U": "ww", "%": "'%'",
+    "Q": "Q", "%": "%",
 }
 
 
@@ -204,14 +206,19 @@ def _strftime_to_java(fmt: str) -> str:
 def _translate_masked_format(arg: str, masked: "_Masked") -> str:
     """If ``arg`` is a masked string literal holding a strftime format,
     rewrite the saved literal to the Java pattern in place and return
-    the placeholder unchanged."""
+    the placeholder unchanged. Java's literal-text quoting introduces
+    single quotes ('T'); inside a single-quoted SQL literal those must
+    be doubled or the restored statement won't parse."""
     m = re.fullmatch(r"\x00(\d+)\x00", arg.strip())
     if m is None:
         raise ValueError(f"format argument must be a string literal: {arg!r}")
     idx = int(m.group(1))
     lit = masked.saved[idx]
     quote = lit[0]
-    masked.saved[idx] = quote + _strftime_to_java(lit[1:-1]) + quote
+    java = _strftime_to_java(lit[1:-1])
+    if quote == "'":
+        java = java.replace("'", "''")
+    masked.saved[idx] = quote + java + quote
     return arg.strip()
 
 
@@ -342,17 +349,44 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
 
     text = _TS_ARITH_RE.sub(ts_arith, text)
 
-    # *_DIFF(later, earlier, unit) → TIMESTAMPDIFF(unit, earlier, later)
-    # (DATE_DIFF(d1, d2, DAY) keeps Spark's DATEDIFF day count)
+    # *_DIFF(later, earlier, unit) → Spark equivalents. BQ semantics
+    # differ by unit family: time units (and TIMESTAMP_DIFF generally)
+    # count whole elapsed intervals — TIMESTAMPDIFF matches; DATE_DIFF
+    # with MONTH/QUARTER/YEAR counts date-part BOUNDARY CROSSINGS
+    # (DATE_DIFF('2024-03-01','2024-02-28', MONTH) = 1), so those
+    # rewrite to date-part arithmetic. WEEK boundary counting is
+    # Sunday-anchored in BQ with no cheap Spark twin → raise loudly.
     def diff_render(kind: str):
         def render(arg_text: str) -> str:
             args = _split_top_level_args(arg_text)
             if len(args) != 3:
                 raise ValueError(f"{kind}_DIFF takes 3 args: {arg_text!r}")
             later, earlier, unit = args[0], args[1], args[2].upper()
-            if kind == "DATE" and unit == "DAY":
-                return f"DATEDIFF({later}, {earlier})"
-            return f"TIMESTAMPDIFF({unit}, {earlier}, {later})"
+            if kind == "DATE":
+                if unit == "DAY":
+                    return f"DATEDIFF({later}, {earlier})"
+                if unit == "YEAR":
+                    return f"(YEAR({later}) - YEAR({earlier}))"
+                if unit == "MONTH":
+                    return (
+                        f"((YEAR({later}) * 12 + MONTH({later})) - "
+                        f"(YEAR({earlier}) * 12 + MONTH({earlier})))"
+                    )
+                if unit == "QUARTER":
+                    return (
+                        f"((YEAR({later}) * 4 + QUARTER({later})) - "
+                        f"(YEAR({earlier}) * 4 + QUARTER({earlier})))"
+                    )
+                raise ValueError(
+                    f"DATE_DIFF unit {unit} has BigQuery boundary-crossing "
+                    "semantics with no exact Spark rewrite"
+                )
+            if unit in ("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY"):
+                return f"TIMESTAMPDIFF({unit}, {earlier}, {later})"
+            raise ValueError(
+                f"{kind}_DIFF unit {unit}: whole-interval vs boundary "
+                "semantics diverge; not rewritten"
+            )
 
         return render
 

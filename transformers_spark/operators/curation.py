@@ -104,6 +104,13 @@ def contamination_report(
     ).filter(F.col("gram").isNotNull()).select(
         "doc", "split", gram_hash60(F.col("gram")).alias("h")
     )
+    # persist: the train and eval branches below are independent
+    # subtrees — without this the scan/tokenize/ngram/md5 pipeline (the
+    # dominant cost) executes twice in the one action. The cached frame
+    # is 3 narrow columns; callers running at full corpus scale can
+    # trade this for recompute by unpersisting via the returned plan's
+    # lineage if executor storage is the tighter budget.
+    grams = grams.persist()
     train_set = grams.filter(F.col("split") == train_split).select("h").distinct()
     eval_grams = grams.filter(F.col("split") != train_split)
     hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
@@ -196,6 +203,13 @@ def pack_sequences(
        on the driver, and broadcast-join the offsets back.
 
     Two shuffles + a broadcast of num_partitions rows, any scale.
+
+    The range-partitioned cumsum frame stays cached for the session
+    (both the subtotal collect and the returned plan read it, and the
+    range partitioner's sampled boundaries aren't guaranteed stable
+    across recomputes). Call ``spark.catalog.clearCache()`` — or
+    ``.unpersist()`` on the frame exposed as ``result._packed_input``
+    — once the result is materialized.
     """
     n_ranges = num_ranges or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.select(
@@ -225,7 +239,7 @@ def pack_sequences(
         "`__pid` INT, `__off` BIGINT",
     )
     start = F.col("__cum") + F.col("__off") - F.col(count_col)
-    return (
+    result = (
         with_local.join(F.broadcast(offset_df), "__pid")
         .select(
             F.col(id_col),
@@ -234,6 +248,8 @@ def pack_sequences(
             (start % seq_len).cast("bigint").alias("seq_offset"),
         )
     )
+    result._packed_input = with_local  # unpersist handle (see docstring)
+    return result
 
 
 def stratified_sample(

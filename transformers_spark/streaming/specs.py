@@ -47,14 +47,34 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
         ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         ident = sf_dir
-    key = hashlib.md5(ident.encode()).hexdigest()[:10]
+    # key = <sf_dir prefix>-<content suffix>: the prefix scopes pruning
+    # to THIS sf_dir's superseded generations (other scale factors'
+    # caches stay), the suffix invalidates on regeneration
+    prefix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = f"{prefix}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
     out = os.path.join(_STREAM_CACHE_ROOT, key)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         ).coalesce(4).write.mode("overwrite").parquet(out)
+        _prune_stale_cache(prefix=prefix, keep=key)
     return out
+
+
+def _prune_stale_cache(prefix: str, keep: str) -> None:
+    """Superseded cache keys for the same sf_dir (old testdata
+    generations) can never be requested again — delete them so /tmp
+    doesn't grow by one events copy per regeneration."""
+    import shutil
+
+    try:
+        entries = os.listdir(_STREAM_CACHE_ROOT)
+    except OSError:
+        return
+    for name in entries:
+        if name.startswith(f"{prefix}-") and name != keep:
+            shutil.rmtree(os.path.join(_STREAM_CACHE_ROOT, name), ignore_errors=True)
 
 
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
