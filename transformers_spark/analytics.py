@@ -881,6 +881,67 @@ FROM s
 """
 
 
+def q_sole_problem_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (multi-correlated EXISTS / NOT EXISTS),
+    decorrelated by hand into two per-order aggregates: suppliers with
+    a returned lineitem on a finished multi-supplier order where no
+    OTHER supplier had a return on that order. The correlated oracle
+    proves the rewrite: EXISTS(other supplier) ≡ n_suppliers ≥ 2,
+    NOT EXISTS(other returner) ≡ n_returners = 1. One aggregate pass
+    per flag over lineitem replaces two correlated re-scans per row —
+    the shape Catalyst can't always reach on its own at this nesting
+    depth, and the one that matters at 100 TB."""
+    register_tables(spark, sf_dir, ("supplier", "orders", "lineitem"))
+    li = spark.table("lineitem")
+    finished = spark.table("orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    all_sup = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R")
+    ret_sup = returned.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_ret")
+    )
+    qual = (
+        returned.select("l_orderkey", "l_suppkey")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(all_sup, "l_orderkey")
+        .join(ret_sup, "l_orderkey")
+        .filter((F.col("n_sup") >= 2) & (F.col("n_ret") == 1))
+    )
+    return (
+        qual.join(
+            F.broadcast(spark.table("supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_SOLE_PROBLEM_SUPPLIERS = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -903,6 +964,7 @@ def analytics_specs() -> list:
         QS("pivot_segment_volume", "PIVOT with explicit values → one-pass conditional aggregate", q_pivot_segment_volume, ORACLE_PIVOT_SEGMENT_VOLUME),
         QS("cube_order_mix", "Full CUBE with grouping flags (one Expand pass)", q_cube_order_mix, ORACLE_CUBE_ORDER_MIX),
         QS("event_value_moments", "Exact stddev/corr from decimal power sums", q_event_value_moments, ORACLE_EVENT_VALUE_MOMENTS),
+        QS("sole_problem_suppliers", "TPC-H Q21-shape double-correlated EXISTS, hand-decorrelated", q_sole_problem_suppliers, ORACLE_SOLE_PROBLEM_SUPPLIERS),
         QS("small_quantity_revenue", "TPC-H Q17-shape correlated scalar-aggregate subquery", q_small_quantity_revenue, ORACLE_SMALL_QUANTITY_REVENUE),
         QS("large_volume_orders", "TPC-H Q18-shape IN-subquery over HAVING aggregate", q_large_volume_orders, ORACLE_LARGE_VOLUME_ORDERS),
         QS("top_revenue_suppliers", "TPC-H Q15-shape view + scalar MAX subquery", q_top_revenue_suppliers, ORACLE_TOP_REVENUE_SUPPLIERS),
