@@ -942,6 +942,70 @@ LIMIT 20
 """
 
 
+def q_event_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: 6-hour OHLC-style bars per event type —
+    open/close are the first/last values by event time with event_id as
+    the tie-break. First/last come from ``min/max(struct(ts, event_id,
+    value))``: the struct's lexicographic order makes them deterministic
+    where ``min_by``/``first`` are not under ties or partition order —
+    one ordinary hash-aggregate pass, no window sort, resampling a
+    100 TB event stream at aggregate cost."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_type",
+        F.window("ts", "6 hours").alias("win"),
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("value").cast("decimal(12,4)").alias("v")
+        ).alias("rec"),
+        F.col("value").cast("decimal(12,4)").alias("val"),
+    )
+    return (
+        ev.groupBy("event_type", "win")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("rec")["v"].cast("double"), 4).alias("open_value"),
+            F.round(F.max("rec")["v"].cast("double"), 4).alias("close_value"),
+            F.round(F.min("val").cast("double"), 4).alias("low_value"),
+            F.round(F.max("val").cast("double"), 4).alias("high_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("bar_start"),
+            "n_events",
+            "open_value",
+            "close_value",
+            "low_value",
+            "high_value",
+        )
+    )
+
+
+ORACLE_EVENT_VALUE_BARS = """
+WITH binned AS (
+  SELECT event_type,
+         make_timestamp(epoch_us(ts) // 21600000000 * 21600000000) AS bar_start,
+         ts, event_id, CAST(value AS DECIMAL(12,4)) AS val
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_start
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, bar_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM binned
+)
+SELECT event_type, bar_start,
+       COUNT(*) AS n_events,
+       ROUND(CAST(MAX(CASE WHEN rn_open = 1 THEN val END) AS DOUBLE), 4)  AS open_value,
+       ROUND(CAST(MAX(CASE WHEN rn_close = 1 THEN val END) AS DOUBLE), 4) AS close_value,
+       ROUND(CAST(MIN(val) AS DOUBLE), 4) AS low_value,
+       ROUND(CAST(MAX(val) AS DOUBLE), 4) AS high_value
+FROM ranked
+GROUP BY event_type, bar_start
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -965,6 +1029,7 @@ def analytics_specs() -> list:
         QS("cube_order_mix", "Full CUBE with grouping flags (one Expand pass)", q_cube_order_mix, ORACLE_CUBE_ORDER_MIX),
         QS("event_value_moments", "Exact stddev/corr from decimal power sums", q_event_value_moments, ORACLE_EVENT_VALUE_MOMENTS),
         QS("sole_problem_suppliers", "TPC-H Q21-shape double-correlated EXISTS, hand-decorrelated", q_sole_problem_suppliers, ORACLE_SOLE_PROBLEM_SUPPLIERS),
+        QS("event_value_bars", "6h OHLC resampling: deterministic first/last via struct min/max", q_event_value_bars, ORACLE_EVENT_VALUE_BARS),
         QS("small_quantity_revenue", "TPC-H Q17-shape correlated scalar-aggregate subquery", q_small_quantity_revenue, ORACLE_SMALL_QUANTITY_REVENUE),
         QS("large_volume_orders", "TPC-H Q18-shape IN-subquery over HAVING aggregate", q_large_volume_orders, ORACLE_LARGE_VOLUME_ORDERS),
         QS("top_revenue_suppliers", "TPC-H Q15-shape view + scalar MAX subquery", q_top_revenue_suppliers, ORACLE_TOP_REVENUE_SUPPLIERS),
