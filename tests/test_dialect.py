@@ -145,7 +145,13 @@ def test_timestamp_arith_and_diff():
     assert transpile("TIMESTAMP_ADD(ts, INTERVAL 4 HOUR)") == "(ts + INTERVAL 4 HOUR)"
     assert transpile("TIMESTAMP_SUB(ts, INTERVAL 30 MINUTE)") == "(ts - INTERVAL 30 MINUTE)"
     assert transpile("TIMESTAMP_DIFF(a, b, HOUR)") == "TIMESTAMPDIFF(HOUR, b, a)"
-    assert transpile("DATE_DIFF(d1, d2, DAY)") == "DATEDIFF(d1, d2)"
+    assert transpile("DATE_DIFF(d1, d2, DAY)") == \
+        "DATEDIFF(CAST(d1 AS DATE), CAST(d2 AS DATE))"
+    # DATETIME_DIFF counts boundary crossings too (BQ civil-time family)
+    assert transpile("DATETIME_DIFF(a, b, HOUR)") == \
+        "TIMESTAMPDIFF(HOUR, DATE_TRUNC('HOUR', b), DATE_TRUNC('HOUR', a))"
+    assert transpile("DATETIME_DIFF(a, b, DAY)") == \
+        "DATEDIFF(CAST(a AS DATE), CAST(b AS DATE))"
     # BQ DATE_DIFF(.., MONTH/QUARTER/YEAR) counts boundary crossings
     assert transpile("DATE_DIFF(d1, d2, MONTH)") == \
         "((YEAR(d1) * 12 + MONTH(d1)) - (YEAR(d2) * 12 + MONTH(d2)))"
@@ -183,6 +189,9 @@ def test_new_rewrites_execute_in_spark(spark):
         "                TIMESTAMP '2024-01-02 01:30:00', MINUTE) AS mins,"
         " DATE_DIFF(DATE '2024-03-01', DATE '2024-01-01', DAY) AS days,"
         " DATE_DIFF(DATE '2024-03-01', DATE '2024-02-28', MONTH) AS months,"
+        " DATETIME_DIFF(TIMESTAMP '2024-01-02 00:00:01',"
+        "               TIMESTAMP '2024-01-01 23:59:59', DAY) AS dt_days,"
+        " FORMAT_TIMESTAMP('%H:%M UTC', TIMESTAMP '2024-05-04 06:07:08') AS hm,"
         " FORMAT_DATE('%Y/%m', DATE '2024-05-04') AS ym,"
         " FORMAT_TIMESTAMP('%Y-%m-%dT%H:%M:%S',"
         "                  TIMESTAMP '2024-05-04 06:07:08') AS iso,"
@@ -193,5 +202,7 @@ def test_new_rewrites_execute_in_spark(spark):
     assert r["has_b"] is True and r["n"] == 3 and r["sw"] is True
     assert r["mins"] == 90 and r["days"] == 60
     assert r["months"] == 1  # boundary crossing, not elapsed months
+    assert r["dt_days"] == 1  # midnight crossed though only 2s elapsed
+    assert r["hm"] == "06:07 UTC"  # adjacent literal letters quote as one run
     assert r["ym"] == "2024/05" and r["iso"] == "2024-05-04T06:07:08"
     assert str(r["parsed"]) == "2024-05-04"

@@ -195,8 +195,14 @@ def _strftime_to_java(fmt: str) -> str:
                 raise ValueError(f"unsupported strftime code %{code} in {fmt!r}")
             i += 2
         elif ch.isalpha():
-            out.append(f"'{ch}'")  # literal letters must be quoted in Java
-            i += 1
+            # literal letters must be quoted in Java — as ONE quoted run
+            # per consecutive group ('UTC', not 'U''T''C' which renders
+            # with embedded quotes)
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append(f"'{fmt[i:j]}'")
+            i = j
         else:
             out.append(ch)
             i += 1
@@ -224,7 +230,11 @@ def _translate_masked_format(arg: str, masked: "_Masked") -> str:
 
 def _replace_balanced_call(text: str, pattern: re.Pattern, render) -> str:
     """Replace ``FUNC( <balanced arg> )`` matches of ``pattern`` (which
-    must end at the opening paren) using ``render(arg_text)``."""
+    must end at the opening paren) using ``render(arg_text)`` — or
+    ``render(arg_text, match)`` when the callback takes two args."""
+    import inspect
+
+    takes_match = len(inspect.signature(render).parameters) >= 2
     out: list[str] = []
     pos = 0
     while True:
@@ -241,7 +251,7 @@ def _replace_balanced_call(text: str, pattern: re.Pattern, render) -> str:
             i += 1
         arg = text[m.end() : i - 1]
         out.append(text[pos : m.start()])
-        out.append(render(arg))
+        out.append(render(arg, m) if takes_match else render(arg))
         pos = i
 
 
@@ -350,63 +360,54 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
     text = _TS_ARITH_RE.sub(ts_arith, text)
 
     # *_DIFF(later, earlier, unit) → Spark equivalents. BQ semantics
-    # differ by unit family: time units (and TIMESTAMP_DIFF generally)
-    # count whole elapsed intervals — TIMESTAMPDIFF matches; DATE_DIFF
-    # with MONTH/QUARTER/YEAR counts date-part BOUNDARY CROSSINGS
-    # (DATE_DIFF('2024-03-01','2024-02-28', MONTH) = 1), so those
-    # rewrite to date-part arithmetic. WEEK boundary counting is
-    # Sunday-anchored in BQ with no cheap Spark twin → raise loudly.
-    def diff_render(kind: str):
-        def render(arg_text: str) -> str:
-            args = _split_top_level_args(arg_text)
-            if len(args) != 3:
-                raise ValueError(f"{kind}_DIFF takes 3 args: {arg_text!r}")
-            later, earlier, unit = args[0], args[1], args[2].upper()
-            if kind == "DATE":
-                if unit == "DAY":
-                    return f"DATEDIFF({later}, {earlier})"
-                if unit == "YEAR":
-                    return f"(YEAR({later}) - YEAR({earlier}))"
-                if unit == "MONTH":
-                    return (
-                        f"((YEAR({later}) * 12 + MONTH({later})) - "
-                        f"(YEAR({earlier}) * 12 + MONTH({earlier})))"
-                    )
-                if unit == "QUARTER":
-                    return (
-                        f"((YEAR({later}) * 4 + QUARTER({later})) - "
-                        f"(YEAR({earlier}) * 4 + QUARTER({earlier})))"
-                    )
-                raise ValueError(
-                    f"DATE_DIFF unit {unit} has BigQuery boundary-crossing "
-                    "semantics with no exact Spark rewrite"
+    # differ by family: TIMESTAMP_DIFF counts whole elapsed intervals
+    # (fixed-length division) — TIMESTAMPDIFF matches for time units
+    # under the engine's pinned UTC session (session.py; ChronoUnit
+    # arithmetic would diverge across DST in a civil-zone session).
+    # DATE_DIFF and DATETIME_DIFF count date-part BOUNDARY CROSSINGS
+    # (DATE_DIFF('2024-03-01','2024-02-28', MONTH) = 1): Y/Q/M become
+    # date-part arithmetic, DAY a date diff, and DATETIME time units
+    # TIMESTAMPDIFF over unit-truncated operands (whole intervals
+    # between truncations ≡ boundaries crossed). BQ WEEK boundaries
+    # are Sunday-anchored with no cheap Spark twin → raise loudly.
+    def diff_render(arg_text: str, m: re.Match) -> str:
+        kind = m.group(1).upper()
+        args = _split_top_level_args(arg_text)
+        if len(args) != 3:
+            raise ValueError(f"{kind}_DIFF takes 3 args: {arg_text!r}")
+        later, earlier, unit = args[0], args[1], args[2].upper()
+        if kind in ("DATE", "DATETIME"):
+            if unit == "DAY":
+                return f"DATEDIFF(CAST({later} AS DATE), CAST({earlier} AS DATE))"
+            if unit == "YEAR":
+                return f"(YEAR({later}) - YEAR({earlier}))"
+            if unit == "MONTH":
+                return (
+                    f"((YEAR({later}) * 12 + MONTH({later})) - "
+                    f"(YEAR({earlier}) * 12 + MONTH({earlier})))"
                 )
-            if unit in ("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY"):
-                return f"TIMESTAMPDIFF({unit}, {earlier}, {later})"
+            if unit == "QUARTER":
+                return (
+                    f"((YEAR({later}) * 4 + QUARTER({later})) - "
+                    f"(YEAR({earlier}) * 4 + QUARTER({earlier})))"
+                )
+            if kind == "DATETIME" and unit in ("SECOND", "MINUTE", "HOUR"):
+                return (
+                    f"TIMESTAMPDIFF({unit}, DATE_TRUNC('{unit}', {earlier}), "
+                    f"DATE_TRUNC('{unit}', {later}))"
+                )
             raise ValueError(
-                f"{kind}_DIFF unit {unit}: whole-interval vs boundary "
-                "semantics diverge; not rewritten"
+                f"{kind}_DIFF unit {unit} has BigQuery boundary-crossing "
+                "semantics with no exact Spark rewrite"
             )
+        if unit in ("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY"):
+            return f"TIMESTAMPDIFF({unit}, {earlier}, {later})"
+        raise ValueError(
+            f"{kind}_DIFF unit {unit}: whole-interval vs boundary "
+            "semantics diverge; not rewritten"
+        )
 
-        return render
-
-    out, pos = [], 0
-    while True:
-        m = _DIFF_RE.search(text, pos)
-        if m is None:
-            out.append(text[pos:])
-            break
-        depth, i = 1, m.end()
-        while i < len(text) and depth:
-            if text[i] == "(":
-                depth += 1
-            elif text[i] == ")":
-                depth -= 1
-            i += 1
-        out.append(text[pos : m.start()])
-        out.append(diff_render(m.group(1).upper())(text[m.end() : i - 1]))
-        pos = i
-    text = "".join(out)
+    text = _replace_balanced_call(text, _DIFF_RE, diff_render)
 
     # FORMAT_DATE/DATETIME/TIMESTAMP('%Y-%m-%d', x) →
     # DATE_FORMAT(x, 'yyyy-MM-dd'); the strftime→Java translation

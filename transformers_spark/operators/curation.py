@@ -107,14 +107,13 @@ def contamination_report(
     # persist: the train and eval branches below are independent
     # subtrees — without this the scan/tokenize/ngram/md5 pipeline (the
     # dominant cost) executes twice in the one action. The cached frame
-    # is 3 narrow columns; callers running at full corpus scale can
-    # trade this for recompute by unpersisting via the returned plan's
-    # lineage if executor storage is the tighter budget.
+    # is 3 narrow columns; the result carries it as ``_grams_cache`` so
+    # callers can unpersist once materialized (or clearCache()).
     grams = grams.persist()
     train_set = grams.filter(F.col("split") == train_split).select("h").distinct()
     eval_grams = grams.filter(F.col("split") != train_split)
     hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-    return (
+    result = (
         eval_grams.join(
             train_set.withColumn("__hit", F.lit(1)), "h", "left"
         )
@@ -133,6 +132,10 @@ def contamination_report(
             ),
         )
     )
+    # unpersist handle (attribute is lost on further transformations —
+    # grab it before chaining, or use spark.catalog.clearCache())
+    result._grams_cache = grams
+    return result
 
 
 def cap_per_group(
@@ -209,7 +212,8 @@ def pack_sequences(
     range partitioner's sampled boundaries aren't guaranteed stable
     across recomputes). Call ``spark.catalog.clearCache()`` — or
     ``.unpersist()`` on the frame exposed as ``result._packed_input``
-    — once the result is materialized.
+    — once the result is materialized. The attribute does not survive
+    further DataFrame transformations; grab it before chaining.
     """
     n_ranges = num_ranges or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,19 +63,39 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_PRUNE_MIN_AGE_S = 3600
+_LEGACY_KEY_RE = re.compile(r"^[0-9a-f]{10}$")
+
+
 def _prune_stale_cache(prefix: str, keep: str) -> None:
     """Superseded cache keys for the same sf_dir (old testdata
-    generations) can never be requested again — delete them so /tmp
-    doesn't grow by one events copy per regeneration."""
+    generations) can never be requested again by NEW lookups — delete
+    them so /tmp doesn't grow by one events copy per regeneration.
+    Only entries untouched for an hour are removed: a concurrent
+    process that resolved the old key may still be draining it
+    (an availableNow drain finishes in minutes). Bare-hex names from
+    the pre-prefix key format are legacy orphans — same rule."""
     import shutil
+    import time
 
     try:
         entries = os.listdir(_STREAM_CACHE_ROOT)
     except OSError:
         return
+    now = time.time()
     for name in entries:
-        if name.startswith(f"{prefix}-") and name != keep:
-            shutil.rmtree(os.path.join(_STREAM_CACHE_ROOT, name), ignore_errors=True)
+        superseded = (
+            name.startswith(f"{prefix}-") or _LEGACY_KEY_RE.fullmatch(name)
+        ) and name != keep
+        if not superseded:
+            continue
+        path = os.path.join(_STREAM_CACHE_ROOT, name)
+        try:
+            if now - os.path.getmtime(path) < _PRUNE_MIN_AGE_S:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
