@@ -422,3 +422,48 @@ def test_delete_dml_partition_scoped(spark, engine):
         ).collect()
     }
     assert str(min(parts)) == "2024-01-02"  # emptied partition dropped
+
+
+def test_scheduled_backfill_converges_to_one_shot(spark, engine):
+    """The scheduler's real contract: running the daily REPLACE task
+    once per day over [Jan 1, Jan 6) — including a re-run of one day
+    out of order — leaves the destination identical to a single
+    backfill run over the whole range. Partition-scoped overwrites
+    make per-day runs commutative and idempotent."""
+    daily = "g-project.playground.sched_daily_dest"
+    oneshot = "g-project.playground.sched_oneshot_dest"
+    part = PartitionSpec(kind=PartitionKind.INGESTION_DAY)
+    cols = [("event_date", "date"), ("n", "bigint")]
+    engine.catalog.create_table(daily, cols, part)
+    engine.catalog.create_table(oneshot, cols, part)
+
+    # five scheduled daily runs + an out-of-order re-run of Jan 3
+    days = [datetime(2024, 1, d) for d in range(1, 6)]
+    for start in days + [datetime(2024, 1, 3)]:
+        end = datetime(2024, 1, start.day + 1)
+        engine.transform(
+            cfg("sched_daily_dest", LoadMethod.REPLACE),
+            DAILY_COUNT_SQL, start, end, EXEC_TIME,
+        )
+
+    # one-shot backfill over the same range (per-day compile + fan-out)
+    template = DAILY_COUNT_SQL.replace("'__dstart__'", "'{{ .DSTART }}'").replace(
+        "'__dend__'", "'{{ .DEND }}'"
+    )
+    compiled = compile_assets(
+        template, datetime(2024, 1, 1), datetime(2024, 1, 6), LoadMethod.REPLACE
+    )
+    engine.transform(
+        cfg("sched_oneshot_dest", LoadMethod.REPLACE),
+        compiled, datetime(2024, 1, 1), datetime(2024, 1, 6), EXEC_TIME,
+    )
+
+    got = sorted(
+        (r["dt"], r["event_date"], r["n"])
+        for r in engine.catalog.read(daily).collect()
+    )
+    want = sorted(
+        (r["dt"], r["event_date"], r["n"])
+        for r in engine.catalog.read(oneshot).collect()
+    )
+    assert got == want and len(got) == 5
