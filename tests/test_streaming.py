@@ -139,3 +139,69 @@ def test_stream_stream_join_interval_boundaries(spark, tmp_path):
     assert [(r["view_id"], r["purchase_id"], r["lag_us"]) for r in out] == [
         (1, 2, 3_600_000_000)
     ]
+
+
+def test_stream_into_table_append_and_replay_tag(spark, events_dir, tmp_path):
+    """foreachBatch sink: the stream lands in the engine's managed
+    partitioned table via Writer.append, rows carry the micro-batch id
+    (the replay-dedup hook), and a second drain with the SAME
+    checkpoint writes nothing new (no re-delivery)."""
+    from transformers_spark.catalog import PartitionKind, PartitionSpec
+    from transformers_spark.engine import Engine
+    from transformers_spark.streaming import stream_into_table
+    from transformers_spark.streaming.windows import EVENT_SCHEMA
+
+    eng = Engine(spark)
+    fqn = "g-project.playground.stream_sink_dest"
+    eng.catalog.create_table(
+        fqn,
+        [("event_id", "bigint"), ("ts", "timestamp"), ("value", "double"),
+         ("_batch_id", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="ts"),
+    )
+    sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir).select(
+        "event_id", "ts", "value"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_into_table(sdf, eng.writer, fqn, "sink_test", ckpt)
+    q.awaitTermination()
+    dest = eng.catalog.read(fqn)
+    n_src = spark.read.schema(EVENT_SCHEMA).parquet(events_dir).count()
+    assert dest.count() == n_src
+    assert dest.filter(F.col("_batch_id").isNotNull()).count() == n_src
+    assert dest.select("dt").distinct().count() > 1  # partitioned by day
+
+    # same checkpoint: everything already committed -> no new rows
+    q2 = stream_into_table(sdf, eng.writer, fqn, "sink_test2", ckpt)
+    q2.awaitTermination()
+    assert eng.catalog.read(fqn).count() == n_src
+
+
+def test_stream_into_table_dynamic_overwrite_idempotent(spark, events_dir, tmp_path):
+    """overwrite_dynamic sink: replaying the same micro-batch data with
+    a FRESH checkpoint replaces the same day-partitions instead of
+    duplicating them — per-batch idempotence under at-least-once
+    delivery."""
+    from transformers_spark.catalog import PartitionKind, PartitionSpec
+    from transformers_spark.engine import Engine
+    from transformers_spark.streaming import stream_into_table
+    from transformers_spark.streaming.windows import EVENT_SCHEMA
+
+    eng = Engine(spark)
+    fqn = "g-project.playground.stream_sink_dyn_dest"
+    eng.catalog.create_table(
+        fqn,
+        [("event_id", "bigint"), ("ts", "timestamp"), ("value", "double")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="ts"),
+    )
+    sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir).select(
+        "event_id", "ts", "value"
+    )
+    n_src = spark.read.schema(EVENT_SCHEMA).parquet(events_dir).count()
+    for i in range(2):  # fresh checkpoint each time = full replay
+        q = stream_into_table(
+            sdf, eng.writer, fqn, f"sink_dyn_{i}", str(tmp_path / f"ckpt{i}"),
+            mode="overwrite_dynamic",
+        )
+        q.awaitTermination()
+        assert eng.catalog.read(fqn).count() == n_src  # replaced, not doubled

@@ -41,6 +41,12 @@ class Writer:
         self.spark = spark
         self.catalog = catalog
 
+    def _refresh(self, meta: TableMeta) -> None:
+        """Invalidate cached file listings after a destructive write:
+        a reader that scanned the table earlier in the session would
+        otherwise hit FAILED_READ_FILE on the replaced files."""
+        self.spark.catalog.refreshTable(meta.spark_name)
+
     # -- schema alignment ----------------------------------------------
 
     def _align(
@@ -123,6 +129,7 @@ class Writer:
         # partitions — not WRITE_TRUNCATE semantics).
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
             out.write.insertInto(meta.spark_name, overwrite=True)
+        self._refresh(meta)
 
     def overwrite_partition(
         self,
@@ -150,6 +157,7 @@ class Writer:
             )
         finally:
             self.spark.catalog.dropTempView(view)
+        self._refresh(meta)
 
     def overwrite_partitions(
         self,
@@ -187,6 +195,7 @@ class Writer:
             )
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             combined.write.insertInto(meta.spark_name, overwrite=True)
+        self._refresh(meta)
 
     def overwrite_dynamic(
         self, fqn: str, df: DataFrame, allow_field_addition: bool = False
@@ -200,6 +209,7 @@ class Writer:
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             out.write.insertInto(meta.spark_name, overwrite=True)
+        self._refresh(meta)
 
     def delete_insert(
         self,
@@ -288,6 +298,7 @@ class Writer:
                     )
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+        self._refresh(meta)
 
     def overwrite_from_plan_reading_destination(self, fqn: str, df: DataFrame) -> None:
         """Full overwrite where df's plan scans the destination (DML
@@ -308,6 +319,7 @@ class Writer:
                 self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+        self._refresh(meta)
 
 
 def _q(name: str) -> str:

@@ -1,3 +1,4 @@
+from .sink import stream_into_table
 from .windows import (
     run_available_now,
     sessionize,
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_view_purchase_join",
     "sessionize",
     "run_available_now",
+    "stream_into_table",
 ]
