@@ -1079,6 +1079,40 @@ def _oracle_random_projection() -> str:
     return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
 
 
+def q_unigram_frequency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal: per-doc mean token ppm + rare
+    fraction (operators/text.py) — the statistical complement to the
+    heuristic quality scores."""
+    from .text import unigram_frequency_scores
+
+    register_tables(spark, sf_dir, ("documents",))
+    return unigram_frequency_scores(spark.table("documents"))
+
+
+ORACLE_UNIGRAM_FREQUENCY = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+  WHERE trim(text) <> ''
+),
+freqs AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+total AS (SELECT SUM(c) AS n FROM freqs),
+ppm AS (
+  SELECT tok, (c * 1000000) // (SELECT n FROM total) AS ppm FROM freqs
+)
+SELECT doc AS doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(SUM(ppm) / COUNT(*), 6) AS mean_token_ppm,
+       ROUND(SUM(CASE WHEN ppm < 500 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS rare_frac
+FROM toks JOIN ppm USING (tok)
+GROUP BY doc
+"""
+
+
 def q_salted_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join under the oracle gate: enrich every event with
     its user's purchase count via operators/skew.salted_join (big side
@@ -1153,6 +1187,7 @@ def pipeline_specs() -> list:
         QS("text_bpe_merge_candidates", "BPE merge-candidate round: top adjacent-pair counts", q_bpe_merge_candidates, ORACLE_BPE_MERGE_CANDIDATES),
         QS("skew_salted_enrichment", "Skew-salted join equals the plain join (oracle-proved)", q_salted_user_enrichment, ORACLE_SALTED_USER_ENRICHMENT),
         QS("similarity_random_projection", "JL random-projection 64d->8d (map-only, literal matrix)", q_random_projection, _oracle_random_projection()),
+        QS("text_unigram_frequency", "Corpus-frequency quality signal: mean token ppm + rare frac", q_unigram_frequency_scores, ORACLE_UNIGRAM_FREQUENCY),
         QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, None),
         QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (drain)", q_streaming_sessionization, None),
     ]

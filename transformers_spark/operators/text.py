@@ -26,6 +26,7 @@ __all__ = [
     "token_counts",
     "repetition_ratios",
     "bpe_merge_candidates",
+    "unigram_frequency_scores",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -263,6 +264,61 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(F.col("doc").alias(id_col), "term", "rank", "score")
+    )
+
+
+def unigram_frequency_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_ppm: int = 500,
+) -> DataFrame:
+    """Corpus-statistics quality signal (the log-free stand-in for
+    unigram perplexity filtering): per document, the mean corpus
+    frequency of its tokens in parts-per-million and the fraction of
+    tokens rarer than ``rare_ppm``. Gibberish and OOV-heavy documents
+    sit at the low-mean / high-rare-fraction corner.
+
+    Integer ppm via ``floor(count * 1e6 / N)`` keeps every per-token
+    value exact in both engines (no float ratios accumulate), so the
+    doc mean is a sum of exact integers — deterministic at any
+    parallelism. Plan: one (token) partial-agg shuffle for the
+    frequency table, a token-keyed join (AQE handles stop-token skew),
+    one doc-keyed rollup — same cost class as TF-IDF.
+    """
+    from .skew import fan_out
+
+    doc_toks = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    # cache the VOCABULARY-sized frequency table (not the token
+    # explode): the corpus total derives from it with one tiny agg, and
+    # the per-doc join reuses it — memory cost is |vocab| rows
+    freq_counts = (
+        doc_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    )
+    total = freq_counts.agg(F.sum("c")).collect()[0][0] or 1
+    freqs = freq_counts.select(
+        "tok", F.floor(F.col("c") * F.lit(1_000_000) / F.lit(int(total))).alias("ppm")
+    )
+    return (
+        doc_toks.join(freqs, "tok")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("ppm") / F.count(F.lit(1)), 6).alias("mean_token_ppm"),
+            F.round(
+                F.sum((F.col("ppm") < rare_ppm).cast("bigint"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_frac"),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "mean_token_ppm", "rare_frac")
     )
 
 
