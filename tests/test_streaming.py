@@ -205,3 +205,48 @@ def test_stream_into_table_dynamic_overwrite_idempotent(spark, events_dir, tmp_p
         )
         q.awaitTermination()
         assert eng.catalog.read(fqn).count() == n_src  # replaced, not doubled
+
+
+def test_stream_into_table_guards(spark, events_dir, tmp_path):
+    """Sink misconfiguration fails at start(), and a day-partition
+    straddling two micro-batches raises instead of silently losing the
+    earlier batch's rows."""
+    from transformers_spark.catalog import PartitionKind, PartitionSpec
+    from transformers_spark.engine import Engine
+    from transformers_spark.streaming import stream_into_table
+    from transformers_spark.streaming.windows import EVENT_SCHEMA
+
+    eng = Engine(spark)
+    fqn = "g-project.playground.stream_guard_dest"
+    eng.catalog.create_table(
+        fqn,
+        [("event_id", "bigint"), ("ts", "timestamp"), ("value", "double")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="ts"),
+    )
+    sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir).select(
+        "event_id", "ts", "value"
+    )
+    # append with a batch-id column the table lacks -> loud, at start
+    with pytest.raises(ValueError, match="batch_id_col"):
+        stream_into_table(sdf, eng.writer, fqn, "g1", str(tmp_path / "c1"))
+    # file-at-a-time drain over a round-robin multi-file copy: every
+    # day spans several source files, so the second micro-batch must
+    # trip the partition-clobber guard
+    multi_dir = str(tmp_path / "multi")
+    spark.read.schema(EVENT_SCHEMA).parquet(events_dir).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(multi_dir)
+    sdf_multi = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi_dir)
+        .select("event_id", "ts", "value")
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = stream_into_table(
+        sdf_multi, eng.writer, fqn, "g2", str(tmp_path / "c2"),
+        mode="overwrite_dynamic",
+    )
+    with pytest.raises(StreamingQueryException, match="micro-batches"):
+        q.awaitTermination()

@@ -294,19 +294,30 @@ def unigram_frequency_scores(
             F.col(id_col).alias("doc"),
             F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
-        .filter(F.col("tok").isNotNull())
+        # empty/whitespace-only docs tokenize to [''] — drop the empty
+        # token so those docs vanish from the report (and from N), the
+        # same exclusion the oracle's trim(text) <> '' applies
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
     # cache the VOCABULARY-sized frequency table (not the token
-    # explode): the corpus total derives from it with one tiny agg, and
-    # the per-doc join reuses it — memory cost is |vocab| rows
+    # explode): the corpus total derives from it lazily, and the
+    # per-doc join reuses it — memory cost is |vocab| rows. Exposed as
+    # ``result._freq_cache`` for unpersist after materialization.
     freq_counts = (
         doc_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
     )
-    total = freq_counts.agg(F.sum("c")).collect()[0][0] or 1
-    freqs = freq_counts.select(
-        "tok", F.floor(F.col("c") * F.lit(1_000_000) / F.lit(int(total))).alias("ppm")
+    # total joins in as a broadcast 1-row aggregate: no eager driver
+    # job at plan-construction time, no constant frozen against a
+    # table that changes before the action runs
+    total = freq_counts.agg(F.sum("c").alias("__N"))
+    freqs = freq_counts.crossJoin(F.broadcast(total)).select(
+        # integer `div` end-to-end: double division drifts at the floor
+        # boundary once c*1e6 nears 2^53 (real at web-corpus scale) and
+        # the DuckDB oracle's `//` is exact
+        "tok",
+        F.expr("(c * 1000000L) div __N").alias("ppm"),
     )
-    return (
+    result = (
         doc_toks.join(freqs, "tok")
         .groupBy("doc")
         .agg(
@@ -320,6 +331,8 @@ def unigram_frequency_scores(
         )
         .select(F.col("doc").alias(id_col), "n_tokens", "mean_token_ppm", "rare_frac")
     )
+    result._freq_cache = freq_counts  # unpersist handle (repo convention)
+    return result
 
 
 def bpe_merge_candidates(

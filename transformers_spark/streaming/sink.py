@@ -39,10 +39,13 @@ def stream_into_table(
     ``fqn`` through the engine's write layer.
 
     ``mode='append'`` uses ``Writer.append`` (WRITE_APPEND semantics);
-    ``mode='overwrite_dynamic'`` replaces exactly the day-partitions
-    present in each micro-batch (idempotent under replay).
-    ``batch_id_col`` (append mode) records the micro-batch id when the
-    destination has such a column — the replay-dedup hook.
+    ``batch_id_col`` must then name a destination column that records
+    the micro-batch id (the replay-dedup hook) — pass ``None`` to
+    disable tagging. ``mode='overwrite_dynamic'`` replaces exactly the
+    day-partitions present in each micro-batch (idempotent under
+    replay) and RAISES if a later batch touches a partition an earlier
+    batch of the same run already wrote — partition data straddling
+    micro-batches would otherwise be silently erased.
 
     Returns the started ``StreamingQuery``; callers drain with
     ``awaitTermination()``.
@@ -51,14 +54,54 @@ def stream_into_table(
         raise ValueError(f"unsupported sink mode {mode!r}")
     meta = writer.catalog.get_table(fqn)
     dest_cols = {c.lower() for c in meta.column_names}
+    # fail at start(), not inside the first micro-batch: an append into
+    # an ingestion-time table has no per-batch partition date, and a
+    # typo'd batch_id_col would silently drop the replay-dedup tag
+    if mode == "append":
+        part = meta.partition
+        if part.is_partitioned and not part.field:
+            raise ValueError(
+                f"{fqn} is ingestion-time partitioned: streaming append "
+                "has no per-batch partition date — use a column-DAY "
+                "partitioned destination"
+            )
+        if batch_id_col and batch_id_col.lower() not in dest_cols:
+            raise ValueError(
+                f"batch_id_col {batch_id_col!r} is not a column of {fqn}; "
+                "pass batch_id_col=None to disable replay tagging"
+            )
+    # data-loss guard for overwrite_dynamic: each batch replaces whole
+    # day-partitions, so a day whose data straddles two micro-batches
+    # would silently lose the earlier batch's rows — detect and raise.
+    # The per-batch distinct-partition list is tiny (bounded by days
+    # touched per batch); state lives for this query object only.
+    seen_days: set = set()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
         if mode == "append":
-            if batch_id_col and batch_id_col.lower() in dest_cols:
+            if batch_id_col:
                 out = out.withColumn(batch_id_col, F.lit(batch_id))
             writer.append(fqn, out)
         else:
+            part_field = meta.partition.field
+            if part_field:
+                days = {
+                    r[0]
+                    for r in out.select(
+                        F.to_date(F.col(f"`{part_field}`"))
+                    ).distinct().collect()
+                }
+                clobbered = days & seen_days
+                if clobbered:
+                    raise ValueError(
+                        "overwrite_dynamic sink: partitions "
+                        f"{sorted(clobbered)} span multiple micro-batches — "
+                        "a later batch would erase the earlier one's rows. "
+                        "Align batches to partitions or use append mode "
+                        "with batch-id dedup."
+                    )
+                seen_days.update(days)
             writer.overwrite_dynamic(fqn, out)
 
     stream = (
