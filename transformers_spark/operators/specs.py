@@ -1113,6 +1113,33 @@ GROUP BY doc
 """
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-health diagnostics: tokens, types, TTR, hapax
+    fraction (operators/text.py)."""
+    from .text import vocab_stats
+
+    register_tables(spark, sf_dir, ("documents",))
+    return vocab_stats(spark.table("documents"))
+
+
+ORACLE_VOCAB_STATS = """
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+  WHERE trim(text) <> ''
+),
+tc AS (SELECT grp, tok, COUNT(*) AS c FROM toks GROUP BY grp, tok)
+SELECT grp AS source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(COUNT(*) / SUM(c), 6) AS type_token_ratio,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS hapax_frac
+FROM tc
+GROUP BY grp
+"""
+
+
 def q_salted_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join under the oracle gate: enrich every event with
     its user's purchase count via operators/skew.salted_join (big side
@@ -1188,6 +1215,7 @@ def pipeline_specs() -> list:
         QS("skew_salted_enrichment", "Skew-salted join equals the plain join (oracle-proved)", q_salted_user_enrichment, ORACLE_SALTED_USER_ENRICHMENT),
         QS("similarity_random_projection", "JL random-projection 64d->8d (map-only, literal matrix)", q_random_projection, _oracle_random_projection()),
         QS("text_unigram_frequency", "Corpus-frequency quality signal: mean token ppm + rare frac", q_unigram_frequency_scores, ORACLE_UNIGRAM_FREQUENCY),
+        QS("text_vocab_stats", "Per-source corpus health: tokens/types/TTR/hapax fraction", q_vocab_stats, ORACLE_VOCAB_STATS),
         QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, None),
         QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (drain)", q_streaming_sessionization, None),
     ]

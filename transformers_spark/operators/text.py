@@ -27,6 +27,7 @@ __all__ = [
     "repetition_ratios",
     "bpe_merge_candidates",
     "unigram_frequency_scores",
+    "vocab_stats",
     "BPE_TOKEN_RE",
     "STOPWORDS",
 ]
@@ -333,6 +334,53 @@ def unigram_frequency_scores(
     )
     result._freq_cache = freq_counts  # unpersist handle (repo convention)
     return result
+
+
+def vocab_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus-health diagnostics: token count, vocabulary
+    size (types), type-token ratio, and hapax fraction (share of the
+    vocabulary occurring exactly once — the Zipf tail). A shrinking
+    TTR or collapsing hapax fraction is the standard symptom of
+    boilerplate/duplication in a crawl slice.
+
+    Two aggregate passes — (group, token) counts, then per-group
+    rollup — both map-side combined; nothing wider than the
+    per-group vocabulary ever shuffles.
+    """
+    from .skew import fan_out
+
+    tok_counts = (
+        fan_out(df)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tok_counts.groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+            F.round(
+                F.sum((F.col("c") == 1).cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("hapax_frac"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "type_token_ratio",
+            "hapax_frac",
+        )
+    )
 
 
 def bpe_merge_candidates(
