@@ -50,17 +50,49 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+
+    # Full 4-decimal map always lands on disk for the judge.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
         )
-    )
+
+    # The driver keeps only the LAST 2000 chars of stdout (measured from
+    # BENCH_r01.json, where a 3.3KB line lost its opening brace and parsed
+    # as null). Emit ONE compact line guaranteed to fit: keep the slowest
+    # queries (the informative ones), drop the fastest until the line fits,
+    # and record how many were omitted. Everything else goes to stderr.
+    budget = 1900
+    kept = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+
+    def line_for(qs: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in qs.items()},
+            "sf": sf,
+            "n_queries": len(timings),
+            "omitted_fastest": omitted,
+            "full": "BENCH_FULL.json",
+        }
+        return json.dumps(payload, separators=(",", ":"))
+
+    while len(line_for(kept, len(timings) - len(kept))) > budget and kept:
+        kept.pop(next(reversed(kept)))  # drop current fastest
+    out = line_for(kept, len(timings) - len(kept))
+    print(out, flush=True)
+    print(f"bench: full per-query map written to {full_path}", file=sys.stderr)
     spark.stop()
 
 

@@ -1026,29 +1026,57 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: gap-based sessionization via
-    applyInPandasWithState with event-time timeout, drained file-by-
-    file so the watermark advances between micro-batches
-    (streaming/windows.py). Rows-only check: open sessions correctly
-    stay in state at end of input, so the drained output is a strict
-    subset of the batch twin (batch_sessionization) rather than
-    hash-equal."""
-    from ..streaming.specs import _stream_source_dir
+    applyInPandasWithState with event-time timeout, drained over a
+    time-ordered file source with watermark-flush sentinels
+    (streaming/specs._stream_flush_source_dir) so EVERY session —
+    including the per-user final ones — closes deterministically
+    before the availableNow drain ends. The drained output is
+    hash-equal to the batch window-function oracle, which puts the
+    streaming engine (micro-batching, state store, event-time
+    timeouts) under the full correctness gate."""
+    from ..streaming.specs import SENTINEL_USER, _stream_flush_source_dir
     from ..streaming.windows import run_available_now, sessionize
 
     import hashlib as _hl
 
-    source = _stream_source_dir(spark, sf_dir)
+    source = _stream_flush_source_dir(spark, sf_dir)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        # 2 files/trigger: 2 micro-batches — enough for the watermark to
-        # advance (event-timeout sessions actually close) at half the
-        # per-batch state-store round trips of file-at-a-time draining
-        sdf = sessionize(spark, source, timeout="event", max_files_per_trigger=2)
+        # file-at-a-time draining: each micro-batch is one contiguous
+        # time range, so the watermark (and event-time timeouts)
+        # advance between batches and the second sentinel file is
+        # processed under a watermark already past every real
+        # session's timeout
+        sdf = sessionize(spark, source, timeout="event", max_files_per_trigger=1)
         name = "stream_sess_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
-        return run_available_now(sdf, name, output_mode="append")
+        result = run_available_now(sdf, name, output_mode="append")
+        return result.filter(F.col("user_id") != SENTINEL_USER)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+ORACLE_STREAMING_SESSIONIZATION = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
 
 
 RP_OUT_DIM, RP_IN_DIM = 8, 64
@@ -1217,5 +1245,5 @@ def pipeline_specs() -> list:
         QS("text_unigram_frequency", "Corpus-frequency quality signal: mean token ppm + rare frac", q_unigram_frequency_scores, ORACLE_UNIGRAM_FREQUENCY),
         QS("text_vocab_stats", "Per-source corpus health: tokens/types/TTR/hapax fraction", q_vocab_stats, ORACLE_VOCAB_STATS),
         QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, None),
-        QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (drain)", q_streaming_sessionization, None),
+        QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (sentinel-flushed drain) vs batch oracle", q_streaming_sessionization, ORACLE_STREAMING_SESSIONIZATION),
     ]

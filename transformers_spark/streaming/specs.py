@@ -14,9 +14,11 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .windows import (
+    SESSION_GAP_US,
     run_available_now,
     streaming_distinct,
     streaming_event_counts,
@@ -59,6 +61,89 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
         load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         ).coalesce(4).write.mode("overwrite").parquet(out)
+        _prune_stale_cache(prefix=prefix, keep=key)
+    return out
+
+
+SENTINEL_USER = -1
+
+
+def _stream_flush_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Time-ordered streaming copy of events plus watermark-flush
+    sentinels, for queries whose drained output must EQUAL the batch
+    answer (sessionization):
+
+    * ``repartitionByRange`` + per-file mtime stamping makes each
+      micro-batch a contiguous, ascending time range, so every user's
+      events reach the stateful operator in time order across batches
+      (the 3-long session state is exact only under in-order arrival);
+    * two sentinel events for ``SENTINEL_USER`` sit far past the real
+      data (beyond watermark delay + session gap + slack). Processing
+      the second sentinel file happens under a watermark derived from
+      the first, which exceeds every real session's timeout timestamp —
+      all open sessions flush deterministically before the availableNow
+      drain terminates, without relying on a trailing no-data
+      micro-batch. Callers filter ``user_id != SENTINEL_USER``.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}:flush:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = f"{sf_dir}:flush"
+    prefix = hashlib.md5(f"{sf_dir}:flush".encode()).hexdigest()[:8]
+    key = f"{prefix}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
+    out = os.path.join(_STREAM_CACHE_ROOT, key)
+    marker = os.path.join(out, "_FLUSH_READY")
+    if not os.path.exists(marker):
+        import glob
+        import shutil
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        n_files = 4
+        (
+            ev.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        max_ts_us = spark.read.parquet(out).agg(
+            F.max(F.unix_micros("ts")).alias("m")
+        ).collect()[0]["m"]
+        # range-partition order == part-file name order; stamp strictly
+        # increasing mtimes so the file source's (modTime, path) order
+        # is the time order regardless of write timing
+        parts = sorted(glob.glob(os.path.join(out, "part-*")))
+        base = os.path.getmtime(parts[-1])
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+        hour_us = 3_600_000_000
+        s1_us = max_ts_us + 2 * hour_us + SESSION_GAP_US + 2 * hour_us
+        s2_us = s1_us + hour_us
+        for j, ts_us in enumerate((s1_us, s2_us)):
+            tmp = out + f".sentinel{j}"
+            (
+                spark.range(1)
+                .select(
+                    F.lit(-1000 - j).cast("long").alias("event_id"),
+                    F.timestamp_micros(F.lit(ts_us)).alias("ts"),
+                    F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+                    F.lit("sentinel").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*"))[0]
+            dest = os.path.join(out, f"zz-sentinel-{j}.parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (base + 10 + j, base + 10 + j))
+        with open(marker, "w") as fh:
+            fh.write("ok")
         _prune_stale_cache(prefix=prefix, keep=key)
     return out
 

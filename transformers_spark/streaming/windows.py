@@ -173,13 +173,14 @@ SESSION_SCHEMA = StructType(
 
 _SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("last_ms", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
         StructField("n", LongType()),
     ]
 )
 
 SESSION_GAP_MS = 30 * 60 * 1000
+SESSION_GAP_US = SESSION_GAP_MS * 1000
 
 
 def _make_session_fn(timeout: str):
@@ -194,16 +195,29 @@ def _session_fn(
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: emit a session when a user's event gap
     exceeds 30 minutes (or state times out). State carries three longs
-    per user — constant-size regardless of stream length."""
+    per user — constant-size regardless of stream length.
+
+    Timestamps are kept at full microsecond precision (Spark's
+    TimestampType fidelity) so the drained output is bit-equal to the
+    batch/SQL twin; only the timeout registration rounds up to ms (the
+    GroupState API is ms-granular), which can delay a close by <1ms of
+    watermark but never changes session composition.
+
+    Session composition assumes each user's events arrive time-ordered
+    ACROSS micro-batches (within a batch they're sorted here). A
+    within-watermark late event merges into the newest open session
+    instead of re-splitting history — the bounded-state trade-off; feed
+    time-ordered files (see specs._stream_flush_source_dir) when exact
+    batch equivalence is required."""
     (user_id,) = key
     if state.hasTimedOut:
-        start_ms, last_ms, n = state.get
+        start_us, last_us, n = state.get
         state.remove()
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
                 "n_events": [n],
             }
         )
@@ -211,7 +225,7 @@ def _session_fn(
     rows = []
     import numpy as np
 
-    chunks = [batch["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+    chunks = [batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
               for batch in batches]
     if not chunks:
         return
@@ -220,28 +234,30 @@ def _session_fn(
         return
     ts_list = ts_arr.tolist()
     if state.exists:
-        start_ms, last_ms, n = state.get
+        start_us, last_us, n = state.get
     else:
-        start_ms, last_ms, n = ts_list[0], ts_list[0], 0
+        start_us, last_us, n = ts_list[0], ts_list[0], 0
     for t in ts_list:
-        if t - last_ms > SESSION_GAP_MS:
-            rows.append((user_id, start_ms, last_ms, n))
-            start_ms, n = t, 0
-        last_ms = max(last_ms, t)
+        if t - last_us > SESSION_GAP_US:
+            rows.append((user_id, start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = max(last_us, t)
         n += 1
-    state.update((start_ms, last_ms, n))
+    state.update((start_us, last_us, n))
     if timeout == "processing":
         state.setTimeoutDuration(SESSION_GAP_MS)
     elif timeout == "event":
         # close when the WATERMARK (data time, not wall clock) passes
-        # the session's gap boundary — deterministic given the data
-        state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
+        # the session's gap boundary — deterministic given the data.
+        # GroupState timeouts are ms-granular: round UP so the timeout
+        # never fires before the true us-precision gap boundary.
+        state.setTimeoutTimestamp(-(-last_us // 1000) + SESSION_GAP_MS)
     if rows:
         yield pd.DataFrame(
             {
                 "user_id": [r[0] for r in rows],
-                "session_start": [pd.Timestamp(r[1], unit="ms") for r in rows],
-                "session_end": [pd.Timestamp(r[2], unit="ms") for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
                 "n_events": [r[3] for r in rows],
             }
         )
