@@ -42,12 +42,15 @@ def main() -> None:
     if os.path.exists(region):
         spark.read.parquet(region).write.format("noop").mode("overwrite").save()
 
+    from transformers_spark import cache
+
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         start = time.perf_counter()
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        cache.release()  # drop intermediates persisted by this query
 
     total = round(sum(timings.values()), 4)
 

@@ -30,3 +30,14 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_ORACLE
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Unpersist operator-persisted intermediates after each test so
+    cached gram/vocab frames don't accumulate executor memory across
+    the ~90-query oracle parametrization (one shared session)."""
+    yield
+    from transformers_spark import cache
+
+    cache.release()

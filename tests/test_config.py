@@ -39,14 +39,14 @@ def test_properties_parsing():
 
 
 def test_env_parsing(monkeypatch):
-    monkeypatch.setenv("PROJECT", "p")
-    monkeypatch.setenv("DATASET", "d")
-    monkeypatch.setenv("TABLE", "t")
+    monkeypatch.setenv("PROJECT", "prj")
+    monkeypatch.setenv("DATASET", "dst")
+    monkeypatch.setenv("TABLE", "tbl")
     monkeypatch.setenv("LOAD_METHOD", "APPEND")
     monkeypatch.setenv("CONCURRENCY", "4")
     monkeypatch.setenv("PARTITION_FILTER", "date(x) >= '2020-01-01'")
     cfg = task_config_from_env()
-    assert cfg.destination_table == "p.d.t"
+    assert cfg.destination_table == "prj.dst.tbl"
     assert cfg.load_method is LoadMethod.APPEND
     assert cfg.concurrency == 4
     assert cfg.filter_expression == "date(x) >= '2020-01-01'"
@@ -60,17 +60,17 @@ def test_missing_required_env_raises(monkeypatch):
 
 def test_invalid_timezone_rejected():
     with pytest.raises(Exception):
-        TaskConfig("p", "d", "t", LoadMethod.APPEND, timezone="Not/AZone")
+        TaskConfig("prj", "dst", "tbl", LoadMethod.APPEND, timezone="Not/AZone")
 
 
 def test_zero_concurrency_rejected():
     with pytest.raises(ValueError):
-        TaskConfig("p", "d", "t", LoadMethod.APPEND, concurrency=0)
+        TaskConfig("prj", "dst", "tbl", LoadMethod.APPEND, concurrency=0)
 
 
 def test_zero_window_size_rejected():
     with pytest.raises(ValueError):
-        TaskConfig("p", "d", "t", LoadMethod.REPLACE, window_size="0")
+        TaskConfig("prj", "dst", "tbl", LoadMethod.REPLACE, window_size="0")
 
 
 def test_label_parsing():
@@ -84,3 +84,39 @@ def test_write_mode_mapping():
     assert LoadMethod.REPLACE.write_mode == "overwrite"
     with pytest.raises(ValueError):
         LoadMethod.MERGE.write_mode
+
+
+def test_naming_validators_match_reference_rules():
+    """reference optimus-plugin-bq2bq.yaml:9-36 via validate.go:15-30:
+    ^[a-zA-Z0-9_-]+$, minlength 3 (table maxlength 1024)."""
+    # valid shapes, incl. the hyphenated project ids BQ allows
+    TaskConfig("g-project", "play_ground", "some-table_1", LoadMethod.APPEND)
+    for bad_project in ("ab", "has space", "has.dot", "", "a$b"):
+        with pytest.raises(ValueError, match="invalid"):
+            TaskConfig(bad_project, "dataset", "table", LoadMethod.APPEND)
+    with pytest.raises(ValueError, match="invalid dataset"):
+        TaskConfig("project", "d!", "table", LoadMethod.APPEND)
+    with pytest.raises(ValueError, match="invalid table"):
+        TaskConfig("project", "dataset", "x" * 1025, LoadMethod.APPEND)
+    TaskConfig("project", "dataset", "x" * 1024, LoadMethod.APPEND)  # at cap
+    with pytest.raises(ValueError, match="invalid execution project"):
+        TaskConfig("project", "dataset", "table", LoadMethod.APPEND,
+                   execution_project="e p")
+
+
+def test_query_priority_parse_and_validate(monkeypatch):
+    monkeypatch.setenv("PROJECT", "prj")
+    monkeypatch.setenv("DATASET", "dst")
+    monkeypatch.setenv("TABLE", "tbl")
+    monkeypatch.setenv("LOAD_METHOD", "APPEND")
+    monkeypatch.setenv("QUERY_PRIORITY", "batch")
+    from transformers_spark.config import task_config_from_env
+
+    cfg = task_config_from_env()
+    assert cfg.query_priority == "BATCH"  # normalized like the reference
+    monkeypatch.setenv("QUERY_PRIORITY", "URGENT")
+    with pytest.raises(ValueError, match="QUERY_PRIORITY"):
+        task_config_from_env()
+    # default is INTERACTIVE (reference config.py:123)
+    monkeypatch.delenv("QUERY_PRIORITY")
+    assert task_config_from_env().query_priority == "INTERACTIVE"

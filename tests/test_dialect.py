@@ -144,6 +144,16 @@ def test_name_swaps():
 def test_timestamp_arith_and_diff():
     assert transpile("TIMESTAMP_ADD(ts, INTERVAL 4 HOUR)") == "(ts + INTERVAL 4 HOUR)"
     assert transpile("TIMESTAMP_SUB(ts, INTERVAL 30 MINUTE)") == "(ts - INTERVAL 30 MINUTE)"
+    # nested operands with their own parens rewrite via balanced scan
+    assert transpile(
+        "TIMESTAMP_SUB(DATE_TRUNC(CAST(x AS TIMESTAMP), DAY), INTERVAL 1 HOUR)"
+    ) == "(CAST(DATE_TRUNC('DAY', CAST(x AS TIMESTAMP)) AS DATE) - INTERVAL 1 HOUR)"
+    assert transpile(
+        "TIMESTAMP_ADD(TIMESTAMP_SUB(ts, INTERVAL 1 DAY), INTERVAL 2 HOUR)"
+    ) == "((ts - INTERVAL 1 DAY) + INTERVAL 2 HOUR)"
+    # unrewritable interval shapes fail at transpile time, loudly
+    with pytest.raises(ValueError, match="INTERVAL"):
+        transpile("TIMESTAMP_SUB(ts, INTERVAL x HOUR)")
     assert transpile("TIMESTAMP_DIFF(a, b, HOUR)") == "TIMESTAMPDIFF(HOUR, b, a)"
     assert transpile("DATE_DIFF(d1, d2, DAY)") == \
         "DATEDIFF(CAST(d1 AS DATE), CAST(d2 AS DATE))"

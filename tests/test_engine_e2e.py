@@ -467,3 +467,63 @@ def test_scheduled_backfill_converges_to_one_shot(spark, engine):
         for r in engine.catalog.read(oneshot).collect()
     )
     assert got == want and len(got) == 5
+
+
+def test_not_null_enforced_and_relaxed(spark, engine):
+    """ALLOW_FIELD_RELAXATION (reference bigquery_service.py:111-115
+    sets it together with field addition): a NOT NULL destination
+    column rejects NULL-producing writes until relaxation is enabled,
+    then the catalog records the relaxed (nullable) type."""
+    from transformers_spark.catalog import PartitionSpec
+
+    dest = "g-project.playground.relax_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_id", "bigint NOT NULL"), ("note", "string NOT NULL")],
+        PartitionSpec(),
+    )
+    # (a) source missing the NOT NULL column entirely -> plan-time error
+    # (the generic missing-columns check fires before any write)
+    src_missing = spark.createDataFrame([(1,)], "event_id bigint")
+    with pytest.raises(ValueError, match="missing destination columns"):
+        engine.writer.append(dest, src_missing)
+    # (b) present but actually NULL -> job-time error from the guard
+    src_null = spark.createDataFrame(
+        [(1, None)], "event_id bigint, note string"
+    )
+    with pytest.raises(Exception, match="NOT NULL column"):
+        engine.writer.append(dest, src_null)
+    # (c) non-null data passes through the guard untouched
+    src_ok = spark.createDataFrame([(2, "ok")], "event_id bigint, note string")
+    engine.writer.append(dest, src_ok)
+    assert engine.catalog.read(dest).count() == 1
+    # (d) relaxation: same NULL write succeeds and the recorded type drops
+    # the constraint
+    engine.writer.append(dest, src_null, allow_field_addition=True)
+    meta = engine.catalog.get_table(dest)
+    types = dict(meta.columns)
+    assert "not null" not in types["note"].lower()
+    assert engine.catalog.read(dest).filter("note IS NULL").count() == 1
+
+
+def test_query_priority_sets_scheduler_pool(spark, engine, tmp_path):
+    """QUERY_PRIORITY=BATCH lands the task's jobs in the 'batch' FAIR
+    pool (reference config.py:159-163 maps the same knob to BigQuery
+    job priority)."""
+    from transformers_spark.runner import run_task
+
+    dest = "g-project.playground.priority_dest"
+    engine.catalog.create_table(dest, [("event_date", "date"), ("n", "bigint")])
+    run_task(
+        spark,
+        cfg(dest.rsplit(".", 1)[1], LoadMethod.APPEND, query_priority="BATCH"),
+        DAILY_COUNT_SQL,
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 8),
+        EXEC_TIME,
+        xcom_path=str(tmp_path / "xcom.json"),
+        engine=engine,
+    )
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "batch"
+    )

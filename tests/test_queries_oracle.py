@@ -82,3 +82,56 @@ def test_windowed_query_does_not_poison_shared_events_view(spark, sf_dir):
     QUERIES["windowed_daily_events"].build(spark, sf_dir).count()
     register_tables(spark, sf_dir, ("events",))  # cache hit: no-op
     assert spark.table("events").count() == full
+
+
+def test_event_value_moments_degenerate_groups(spark, tmp_path):
+    """n=1 and zero-variance groups: NULL on BOTH engines by explicit
+    guard (ADVICE r1 — Spark's non-ANSI x/0 is NULL while DuckDB's IEEE
+    doubles are inf/NaN, and sqrt(negative cancellation) is NaN here,
+    an error there). Runs query AND oracle on a synthetic events table
+    that actually contains the degenerate groups the testdata lacks."""
+    import duckdb as _duck
+    from datetime import datetime as dt
+
+    from transformers_spark.analytics import (
+        ORACLE_EVENT_VALUE_MOMENTS,
+        q_event_value_moments,
+    )
+
+    sf = str(tmp_path / "sfdeg")
+    df = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 5), 10, "single", 3.5),
+            (2, dt(2024, 1, 1, 6), 11, "constant", 2.0),
+            (3, dt(2024, 1, 1, 6), 12, "constant", 2.0),
+            (4, dt(2024, 1, 1, 7), 13, "normal", 1.0),
+            (5, dt(2024, 1, 1, 8), 14, "normal", 5.0),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    # write micros, not INT96: pyarrow reports INT96 as timestamp[ns],
+    # which would mis-trigger the source layer's nanos conversion
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.parquet(f"{sf}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+
+    out = {r["event_type"]: r for r in q_event_value_moments(spark, sf).collect()}
+    assert out["single"]["stddev_value"] is None
+    assert out["single"]["corr_value_hour"] is None
+    assert out["constant"]["stddev_value"] == 0.0
+    assert out["constant"]["corr_value_hour"] is None  # zero variance
+    assert out["normal"]["corr_value_hour"] == 1.0  # exact positive corr
+
+    con = _duck.connect()
+    con.execute(
+        # Spark wrote a directory of part files; glob them for DuckDB
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLE_EVENT_VALUE_MOMENTS)
+    cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    spark_rows = [tuple(r) for r in q_event_value_moments(spark, sf).collect()]
+    assert _normalize(spark_rows, [c.lower() for c in q_event_value_moments(spark, sf).columns]) == _normalize(duck_rows, cols)

@@ -250,3 +250,14 @@ def test_stream_into_table_guards(spark, events_dir, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="micro-batches"):
         q.awaitTermination()
+
+    # restart with the SAME checkpoint: the seen-partition set is
+    # persisted under the checkpoint dir, so the replayed batch (a
+    # DIFFERENT batch id touching batch 0's days) still trips the
+    # guard — a restart must not silently erase pre-restart partitions
+    q3 = stream_into_table(
+        sdf_multi, eng.writer, fqn, "g3", str(tmp_path / "c2"),
+        mode="overwrite_dynamic",
+    )
+    with pytest.raises(StreamingQueryException, match="micro-batches"):
+        q3.awaitTermination()

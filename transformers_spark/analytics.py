@@ -844,14 +844,25 @@ def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
-    corr_den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # Degenerate groups are NULL on BOTH sides, by explicit guard: with
+    # n=1 Spark's non-ANSI x/0 yields NULL while DuckDB's IEEE doubles
+    # yield inf/NaN; double cancellation can also push var/corr_den
+    # fractionally negative (sqrt -> NaN here, an ERROR there). The
+    # oracle SQL mirrors each CASE exactly.
+    var = F.when(n > 1.0, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
     return sums.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
         F.round(sx / n, 6).alias("mean_value"),
-        F.round(F.sqrt(var), 6).alias("stddev_value"),
-        F.round((n * sxy - sx * sy) / corr_den, 6).alias("corr_value_hour"),
+        F.round(F.when(var >= 0, F.sqrt(var)), 6).alias("stddev_value"),
+        F.round(
+            F.when(
+                (vx > 0) & (vy > 0),
+                (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+            ),
+            6,
+        ).alias("corr_value_hour"),
     )
 
 
@@ -871,12 +882,19 @@ WITH s AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
        ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_value,
-       ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                  / (n - 1.0)), 6) AS stddev_value,
-       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-             6) AS corr_value_hour
+       CASE WHEN n > 1
+             AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 / (n - 1.0) >= 0
+            THEN ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                            / (n - 1.0)), 6)
+       END AS stddev_value,
+       CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+       END AS corr_value_hour
 FROM s
 """
 

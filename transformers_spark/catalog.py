@@ -140,6 +140,25 @@ class Catalog:
         meta = self.get_table(fqn)
         meta.columns.extend(new_columns)
 
+    def relax_columns(self, fqn: str, names: list[str]) -> None:
+        """Nullability relaxation (ALLOW_FIELD_RELAXATION — the
+        reference's bigquery_service.py:111-115 always enables it
+        together with field addition): drops NOT NULL from the recorded
+        column types so subsequent writes may land NULLs. Spark v1
+        parquet tables don't carry the constraint operationally (ALTER
+        COLUMN ... DROP NOT NULL is a v2/Delta feature), so the catalog
+        metadata the writer enforces against is the source of truth."""
+        if not names:
+            return
+        meta = self.get_table(fqn)
+        lower = {n.lower() for n in names}
+        meta.columns = [
+            (c, re.sub(r"\s+not\s+null\s*$", "", t, flags=re.IGNORECASE))
+            if c.lower() in lower
+            else (c, t)
+            for c, t in meta.columns
+        ]
+
     # -- introspection (the BigQuery get_table analogue) ----------------
 
     def get_table(self, fqn: str) -> TableMeta:

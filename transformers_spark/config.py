@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import configparser
 import os
+import re
 from dataclasses import dataclass, field
 from enum import Enum
 from zoneinfo import ZoneInfo
@@ -47,6 +48,37 @@ def _validate_timezone(name: str) -> str:
     return name
 
 
+# Destination-coordinate naming rules (reference:
+# optimus-plugin-bq2bq.yaml:9-36, enforced through validate.go:15-30's
+# regex validators): A-Z/a-z/0-9/hyphen/underscore only, >=3 chars;
+# tables additionally cap at 1024 chars.
+_NAME_RE = re.compile(r"^[a-zA-Z0-9_-]+$")
+
+
+def _validate_name(kind: str, value: str, max_len: int | None = None) -> str:
+    if len(value) < 3 or not _NAME_RE.fullmatch(value):
+        raise ValueError(
+            f"invalid {kind} name {value!r}: can only contain characters "
+            "A-Z (in either case), 0-9, hyphen(-) or underscore (_), "
+            "minimum 3 characters"
+        )
+    if max_len is not None and len(value) > max_len:
+        raise ValueError(f"invalid {kind} name {value!r}: longer than {max_len} characters")
+    return value
+
+
+_QUERY_PRIORITIES = ("INTERACTIVE", "BATCH")
+
+
+def _validate_priority(value: str) -> str:
+    up = value.strip().upper()
+    if up not in _QUERY_PRIORITIES:
+        raise ValueError(
+            f"QUERY_PRIORITY must be one of {_QUERY_PRIORITIES}, got {value!r}"
+        )
+    return up
+
+
 def _validate_positive(val: int) -> int:
     if val > 0:
         return val
@@ -70,6 +102,7 @@ class TaskConfig:
     load_method: LoadMethod
     timezone: str = "UTC"
     concurrency: int = 1
+    query_priority: str = "INTERACTIVE"
     filter_expression: str | None = None
     allow_field_addition: bool = False
     use_spillover: bool = False
@@ -84,6 +117,12 @@ class TaskConfig:
         return f"{self.destination_project}.{self.destination_dataset}.{self.destination_table_name}"
 
     def __post_init__(self) -> None:
+        _validate_name("project", self.destination_project)
+        _validate_name("dataset", self.destination_dataset)
+        _validate_name("table", self.destination_table_name, max_len=1024)
+        if self.execution_project:
+            _validate_name("execution project", self.execution_project)
+        self.query_priority = _validate_priority(self.query_priority)
         _validate_timezone(self.timezone)
         _validate_positive(self.concurrency)
         if self.window_size is not None and parse_duration(self.window_size).total_seconds() == 0:
@@ -116,6 +155,7 @@ def task_config_from_env() -> TaskConfig:
         load_method=LoadMethod[_env("LOAD_METHOD", required=True)],
         timezone=_env("TIMEZONE", "UTC"),
         concurrency=int(_env("CONCURRENCY", "1")),
+        query_priority=_env("QUERY_PRIORITY", "INTERACTIVE"),
         filter_expression=_env("PARTITION_FILTER"),
         allow_field_addition=_bool_from_str(_env("ALLOW_FIELD_ADDITION", "false")),
         use_spillover=_bool_from_str(_env("USE_SPILLOVER", "false")),
@@ -154,6 +194,7 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
         load_method=LoadMethod[require("LOAD_METHOD")],
         timezone=get("TIMEZONE", "UTC"),
         concurrency=int(get("CONCURRENCY", "1")),
+        query_priority=get("QUERY_PRIORITY", "INTERACTIVE"),
         filter_expression=get("PARTITION_FILTER"),
         allow_field_addition=_bool_from_str(get("ALLOW_FIELD_ADDITION", "false")),
         use_spillover=_bool_from_str(get("USE_SPILLOVER", "false")),

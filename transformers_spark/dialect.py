@@ -159,11 +159,8 @@ _ARRAY_LENGTH_RE = re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE)
 _GENERATE_UUID_RE = re.compile(r"\bGENERATE_UUID\s*\(\s*\)", re.IGNORECASE)
 _STARTS_WITH_RE = re.compile(r"\bSTARTS_WITH\s*\(", re.IGNORECASE)
 _ENDS_WITH_RE = re.compile(r"\bENDS_WITH\s*\(", re.IGNORECASE)
-_TS_ARITH_RE = re.compile(
-    r"\b(?:TIMESTAMP|DATETIME)_(SUB|ADD)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,"
-    r"\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
-    re.IGNORECASE,
-)
+_TS_ARITH_RE = re.compile(r"\b(?:TIMESTAMP|DATETIME)_(SUB|ADD)\s*\(", re.IGNORECASE)
+_INTERVAL_LIT_RE = re.compile(r"INTERVAL\s+(\d+)\s+(\w+)", re.IGNORECASE)
 _DIFF_RE = re.compile(r"\b(TIMESTAMP|DATETIME|DATE)_DIFF\s*\(", re.IGNORECASE)
 _FORMAT_DT_RE = re.compile(r"\bFORMAT_(?:DATE|DATETIME|TIMESTAMP)\s*\(", re.IGNORECASE)
 _PARSE_DATE_RE = re.compile(r"\bPARSE_DATE\s*\(", re.IGNORECASE)
@@ -351,13 +348,32 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
     text = _STARTS_WITH_RE.sub("STARTSWITH(", text)
     text = _ENDS_WITH_RE.sub("ENDSWITH(", text)
 
-    # TIMESTAMP_ADD/SUB(ts, INTERVAL n unit) → (ts ± INTERVAL n unit)
-    def ts_arith(m: re.Match) -> str:
-        op, operand, n, unit = m.group(1).upper(), m.group(2).strip(), m.group(3), m.group(4)
+    # TIMESTAMP_ADD/SUB(ts, INTERVAL n unit) → (ts ± INTERVAL n unit).
+    # Balanced-paren scan (not a one-level regex) so arbitrarily nested
+    # operands — TIMESTAMP_SUB(DATE_TRUNC(CAST(x AS TIMESTAMP), DAY),
+    # INTERVAL 1 HOUR) — rewrite too; unrewritable shapes (expression
+    # intervals) raise HERE, not as a confusing Spark parse error later.
+    def ts_arith_render(arg_text: str, m: re.Match) -> str:
+        op = m.group(1).upper()
         sign = "-" if op == "SUB" else "+"
-        return f"({operand} {sign} INTERVAL {n} {unit})"
+        args = _split_top_level_args(arg_text)
+        if len(args) != 2:
+            raise ValueError(
+                f"TIMESTAMP_{op}/DATETIME_{op} expects "
+                f"(expr, INTERVAL <n> <unit>); got ({arg_text})"
+            )
+        operand, interval = args[0].strip(), args[1].strip()
+        im = _INTERVAL_LIT_RE.fullmatch(interval)
+        if not im:
+            raise ValueError(
+                f"TIMESTAMP_{op}: cannot rewrite interval {interval!r} — "
+                "only INTERVAL <integer literal> <unit> is supported"
+            )
+        # nested *_ADD/_SUB inside the operand rewrite recursively
+        operand = _replace_balanced_call(operand, _TS_ARITH_RE, ts_arith_render)
+        return f"({operand} {sign} INTERVAL {im.group(1)} {im.group(2)})"
 
-    text = _TS_ARITH_RE.sub(ts_arith, text)
+    text = _replace_balanced_call(text, _TS_ARITH_RE, ts_arith_render)
 
     # *_DIFF(later, earlier, unit) → Spark equivalents. BQ semantics
     # differ by family: TIMESTAMP_DIFF counts whole elapsed intervals

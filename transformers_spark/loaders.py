@@ -25,6 +25,7 @@ by a plan that scans it.
 
 from __future__ import annotations
 
+import re
 import uuid
 from datetime import date, datetime
 
@@ -32,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import PARTITION_COL, Catalog, PartitionKind, TableMeta
+
+# "bigint NOT NULL" → constraint recognized in catalog type strings
+_NOT_NULL_RE = re.compile(r"\s+not\s+null\s*$", re.IGNORECASE)
 
 __all__ = ["Writer"]
 
@@ -53,8 +57,18 @@ class Writer:
         self, df: DataFrame, meta: TableMeta, allow_field_addition: bool
     ) -> DataFrame:
         """Project df onto the destination's user columns (by name,
-        casting types); optionally evolve the destination schema first
-        (ALLOW_FIELD_ADDITION)."""
+        casting types); optionally evolve the destination schema first.
+
+        ``allow_field_addition`` enables BOTH schema-update options the
+        reference sets together (bigquery_service.py:111-115): new
+        columns are added (ALLOW_FIELD_ADDITION) and NOT NULL
+        destination columns are relaxed to nullable
+        (ALLOW_FIELD_RELAXATION). Without it, a NOT NULL column is
+        ENFORCED at write time: a missing source column fails the plan
+        (it would write all NULLs), and a present-but-null value fails
+        the job via a per-row raise_error guard — Spark itself doesn't
+        enforce declared constraints on v1 parquet tables.
+        """
         df_cols = {c.lower(): c for c in df.columns}
         extra = [c for c in df.columns if c.lower() not in {n.lower() for n, _ in meta.columns}]
         if extra:
@@ -71,12 +85,32 @@ class Writer:
         missing = [n for n, _ in meta.columns if n.lower() not in df_cols]
         if missing and not allow_field_addition:
             raise ValueError(f"result missing destination columns {missing} for {meta.fqn}")
+        required = [n for n, t in meta.columns if _NOT_NULL_RE.search(t)]
+        if required and allow_field_addition:
+            # reference couples addition+relaxation in one option set
+            self.catalog.relax_columns(meta.fqn, required)
+        # without relaxation: a missing required column already failed the
+        # generic missing-columns check above; present columns get a
+        # per-row NULL guard below
+        required_set = {n.lower() for n in required} if not allow_field_addition else set()
         select = []
         for name, ddl_type in meta.columns:
+            base_type = _NOT_NULL_RE.sub("", ddl_type)
             if name.lower() in df_cols:
-                select.append(F.col(f"`{df_cols[name.lower()]}`").cast(ddl_type).alias(name))
+                col = F.col(f"`{df_cols[name.lower()]}`").cast(base_type)
+                if name.lower() in required_set:
+                    col = F.coalesce(
+                        col,
+                        F.raise_error(
+                            F.lit(
+                                f"NULL written to NOT NULL column {name} of "
+                                f"{meta.fqn}; set ALLOW_FIELD_ADDITION to relax"
+                            )
+                        ).cast(base_type),
+                    )
+                select.append(col.alias(name))
             else:
-                select.append(F.lit(None).cast(ddl_type).alias(name))
+                select.append(F.lit(None).cast(base_type).alias(name))
         return df.select(*select)
 
     def _with_dt(

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .. import cache
 from .skew import fan_out
 from .split import split_expr
 from .text import tokens
@@ -107,9 +108,10 @@ def contamination_report(
     # persist: the train and eval branches below are independent
     # subtrees — without this the scan/tokenize/ngram/md5 pipeline (the
     # dominant cost) executes twice in the one action. The cached frame
-    # is 3 narrow columns; the result carries it as ``_grams_cache`` so
-    # callers can unpersist once materialized (or clearCache()).
-    grams = grams.persist()
+    # is 3 narrow columns; registered with cache.track so the catalog
+    # harnesses unpersist it after materialization (the ``_grams_cache``
+    # attribute below is only a direct-caller convenience).
+    grams = cache.track(grams.persist())
     train_set = grams.filter(F.col("split") == train_split).select("h").distinct()
     eval_grams = grams.filter(F.col("split") != train_split)
     hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
@@ -226,8 +228,13 @@ def pack_sequences(
     # persist: the totals collect below and the returned plan both
     # consume this frame — without it the range partitioning (whose
     # sampled boundaries are not guaranteed stable across recomputes)
-    # would run twice and could disagree between the two uses
-    with_local = ranged.withColumn("__cum", F.sum(count_col).over(local)).persist()
+    # would run twice and could disagree between the two uses.
+    # cache.track releases it only AFTER the result materializes (see
+    # cache.py) — releasing earlier would re-run the range partitioning
+    # against the already-collected offsets.
+    with_local = cache.track(
+        ranged.withColumn("__cum", F.sum(count_col).over(local)).persist()
+    )
     # one row per range partition: (pid, total) — driver-side prefix sum
     # over a list the size of the partition count, not the data
     totals = sorted(
@@ -245,11 +252,15 @@ def pack_sequences(
     start = F.col("__cum") + F.col("__off") - F.col(count_col)
     result = (
         with_local.join(F.broadcast(offset_df), "__pid")
+        .withColumn("__start", start.cast("bigint"))
         .select(
             F.col(id_col),
             F.col(count_col),
-            (start / seq_len).cast("bigint").alias("seq_id"),
-            (start % seq_len).cast("bigint").alias("seq_offset"),
+            # integer `div`, not double /: float division drifts at the
+            # floor boundary once cumulative starts near 2^53 (same rule
+            # as text.unigram_frequency_scores' ppm)
+            F.expr(f"__start div {int(seq_len)}").alias("seq_id"),
+            (F.col("__start") % seq_len).cast("bigint").alias("seq_offset"),
         )
     )
     result._packed_input = with_local  # unpersist handle (see docstring)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 __all__ = [
     "tokens",
     "normalized_text",
@@ -304,7 +306,7 @@ def unigram_frequency_scores(
     # explode): the corpus total derives from it lazily, and the
     # per-doc join reuses it — memory cost is |vocab| rows. Exposed as
     # ``result._freq_cache`` for unpersist after materialization.
-    freq_counts = (
+    freq_counts = cache.track(
         doc_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
     )
     # total joins in as a broadcast 1-row aggregate: no eager driver

@@ -23,6 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import cache
 from .macros import render_macros
 from .sources.testdata import register_tables
 from .windowing import Window, window_for
@@ -525,7 +526,19 @@ QUERIES: dict[str, QuerySpec] = {spec.name: spec for spec in _all_specs()}
 
 
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.build for name, spec in QUERIES.items()}
+    """Catalog callables with cache lifecycle: building a query first
+    releases intermediates persisted by PREVIOUS queries (materialized
+    by then in every harness — build → collect → build), so cached
+    gram/vocab frames don't accumulate across a full catalog run."""
+
+    def with_release(build: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            cache.release()
+            return build(spark, sf_dir)
+
+        return run
+
+    return {name: with_release(spec.build) for name, spec in QUERIES.items()}
 
 
 def oracle_sqls() -> dict[str, str]:

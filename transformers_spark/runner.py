@@ -43,6 +43,14 @@ def run_task(
     if task_config.labels:
         label_str = ",".join(f"{k}={v}" for k, v in task_config.labels.items())
         spark.sparkContext.setJobGroup("transformers-spark", label_str)
+    # QUERY_PRIORITY → FAIR scheduler pool (reference config.py:159-163
+    # maps it to the BigQuery job priority): BATCH jobs yield cluster
+    # slots to INTERACTIVE ones when spark.scheduler.mode=FAIR and the
+    # pools are weighted accordingly; a thread-local property, so
+    # concurrent tasks in one session schedule independently.
+    spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", task_config.query_priority.lower()
+    )
     result = eng.transform(
         task_config, sql_query, dstart, dend, execution_time, dry_run=dry_run
     )

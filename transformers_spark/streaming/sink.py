@@ -17,6 +17,9 @@ makes batch ids stable across restarts.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,9 +46,11 @@ def stream_into_table(
     the micro-batch id (the replay-dedup hook) — pass ``None`` to
     disable tagging. ``mode='overwrite_dynamic'`` replaces exactly the
     day-partitions present in each micro-batch (idempotent under
-    replay) and RAISES if a later batch touches a partition an earlier
-    batch of the same run already wrote — partition data straddling
-    micro-batches would otherwise be silently erased.
+    replay) and RAISES if a later batch touches a partition a DIFFERENT
+    earlier batch already wrote — including batches committed before a
+    checkpoint restart (the seen-partition set is persisted next to the
+    checkpoint) — partition data straddling micro-batches would
+    otherwise be silently erased.
 
     Returns the started ``StreamingQuery``; callers drain with
     ``awaitTermination()``.
@@ -73,9 +78,22 @@ def stream_into_table(
     # data-loss guard for overwrite_dynamic: each batch replaces whole
     # day-partitions, so a day whose data straddles two micro-batches
     # would silently lose the earlier batch's rows — detect and raise.
-    # The per-batch distinct-partition list is tiny (bounded by days
-    # touched per batch); state lives for this query object only.
-    seen_days: set = set()
+    # The seen-partition set is PERSISTED under the checkpoint dir (one
+    # tiny json per committed batch, written only after the overwrite
+    # succeeds) so the guard survives a checkpoint restart — which is
+    # exactly when at-least-once replay makes the clobber real. A
+    # replayed batch id is exempt: dynamic overwrite of the same batch's
+    # own partitions is the idempotent case. Paths use the local
+    # filesystem; on an object store, write the same per-batch markers
+    # through that store's API.
+    state_dir = os.path.join(checkpoint_dir, "_seen_partitions")
+    seen_days: dict[int, set] = {}
+    if mode == "overwrite_dynamic":
+        os.makedirs(state_dir, exist_ok=True)
+        for fn in os.listdir(state_dir):
+            if fn.startswith("days_") and fn.endswith(".json"):
+                with open(os.path.join(state_dir, fn)) as fh:
+                    seen_days[int(fn[5:-5])] = set(json.load(fh))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
@@ -85,14 +103,17 @@ def stream_into_table(
             writer.append(fqn, out)
         else:
             part_field = meta.partition.field
+            days: set = set()
             if part_field:
                 days = {
-                    r[0]
+                    str(r[0])
                     for r in out.select(
                         F.to_date(F.col(f"`{part_field}`"))
                     ).distinct().collect()
                 }
-                clobbered = days & seen_days
+                clobbered = days & {
+                    d for b, ds in seen_days.items() if b != batch_id for d in ds
+                }
                 if clobbered:
                     raise ValueError(
                         "overwrite_dynamic sink: partitions "
@@ -101,8 +122,14 @@ def stream_into_table(
                         "Align batches to partitions or use append mode "
                         "with batch-id dedup."
                     )
-                seen_days.update(days)
             writer.overwrite_dynamic(fqn, out)
+            if part_field:
+                seen_days.setdefault(batch_id, set()).update(days)
+                path = os.path.join(state_dir, f"days_{batch_id}.json")
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(sorted(seen_days[batch_id]), fh)
+                os.replace(tmp, path)
 
     stream = (
         sdf.writeStream.foreachBatch(write_batch)
