@@ -527,3 +527,69 @@ def test_bpe_merge_candidates_counts_and_ties(spark):
            for r in bpe_merge_candidates(df, top_k=3).collect()]
     # pairs: doc1 -> (a b),(b a),(a b),(b c); doc2 -> (a b),(b x); doc3 dropped
     assert got == [(1, "a b", 3), (2, "b a", 1), (3, "b c", 1)]
+
+
+def test_simhash_64bit_matches_python_reference(spark):
+    """64-bit fingerprints (VERDICT r1 item 8): exact equality with a
+    driver-side md5 reference, incl. the two's-complement sign bit."""
+    import hashlib as _hl
+
+    from transformers_spark.operators.dedup import SIMHASH_BITS, simhash_fingerprints
+
+    assert SIMHASH_BITS == 64
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zq xw vv kk jj uu ii oo pp"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+
+    def ref(text):
+        votes = [0] * 64
+        for tok in text.strip().split():
+            d = _hl.md5(tok.encode()).hexdigest()
+            lo, hi = int(d[:8], 16), int(d[8:16], 16)
+            for b in range(32):
+                votes[b] += 1 if (lo >> b) & 1 else -1
+                votes[32 + b] += 1 if (hi >> b) & 1 else -1
+        fp = sum(1 << b for b in range(64) if votes[b] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    for doc_id, text in [(1, "alpha beta gamma delta epsilon"),
+                         (3, "zq xw vv kk jj uu ii oo pp")]:
+        assert got[doc_id] == ref(text), doc_id
+    assert got[1] == got[2]  # identical docs -> identical fingerprints
+    assert got[1] != got[3]
+    # a real 64-bit fingerprint: some doc must use bits above 31
+    assert any(abs(v) >= (1 << 32) for v in got.values())
+
+
+def test_minhash_lsh_production_width(spark):
+    """Production 128/16 S-curve parameters (VERDICT r1 item 8) on the
+    fast hasher: exact duplicates agree in all 16 bands, dissimilar
+    docs yield no candidate pair."""
+    from transformers_spark.operators.dedup import (
+        PRODUCTION_BANDS,
+        PRODUCTION_NUM_PERM,
+        minhash_lsh_pairs,
+    )
+
+    assert PRODUCTION_NUM_PERM % PRODUCTION_BANDS == 0
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, "completely unrelated tokens about spark shuffles and parquet footers")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["d1"], r["d2"]): r["matching_bands"]
+        for r in minhash_lsh_pairs(
+            docs,
+            num_perm=PRODUCTION_NUM_PERM,
+            bands=PRODUCTION_BANDS,
+            hasher="fast",
+        ).collect()
+    }
+    assert pairs == {(1, 2): PRODUCTION_BANDS}

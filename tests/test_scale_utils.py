@@ -162,3 +162,50 @@ def test_cap_per_group_two_phase_bounds_reducer_rows(spark):
         .toString()
     )
     assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_ngram_jaccard_tokenizes_once(spark):
+    """Pin the measured optimizer workaround (operators/dedup.py
+    explode_outer note): the gram-construction expression must appear
+    exactly once (its own Project) — InferFiltersFromGenerate +
+    pushdown would otherwise inline it into a filter below the fan-out
+    exchange and re-tokenize per gram position (measured 3-4s at
+    sf0.1). The Generate must stay OUTER, and the only re-derived
+    tokenization is the cheap length pre-filter."""
+    from transformers_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], ["doc_id", "text"]
+    )
+    plan = (
+        ngram_jaccard_pairs(df, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("concat_ws") == 1  # gram construction not duplicated
+    assert "], true, [" in plan  # Generate ... outer=true (explode_outer)
+    assert plan.count("split(") <= 2  # project + length pre-filter only
+
+
+def test_curated_documents_plan_shape(spark):
+    """curated_documents: the dedup verdict must reduce to ONE anti-join
+    against the duplicate-id set (never a nested-loop or cartesian
+    expansion), with quality/lang as pure column expressions — pinned so
+    a refactor can't silently reintroduce per-doc joins."""
+    from transformers_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["curated_documents"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # quality + language stay map-only: exactly one anti join consumes
+    # the documents scan in the final stage (LSH pair-gen joins live in
+    # the dup-set subtree, keyed by band bucket)
+    assert plan.count("LeftAnti") == 1

@@ -37,9 +37,28 @@ __all__ = [
     "simhash_fingerprints",
 ]
 
+# Catalog/demo defaults: small enough that the DuckDB oracle SQL (one
+# expression per permutation) stays tractable and the sf0.01 gate runs
+# in seconds. The LSH S-curve threshold is t ≈ (1/bands)^(bands/num_perm):
+# 16/4 → t ≈ 0.71 with a shallow curve — fine for asserting machinery,
+# not for production recall.
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4
-SIMHASH_BITS = 32
+
+# Production defaults for corpus-scale dedup (the 128/16 class used by
+# large web-dedup pipelines): t ≈ (1/16)^(1/8) ≈ 0.71 with a SHARP
+# S-curve — pairs at Jaccard 0.8 collide in ≥1 band with p ≈ 0.67,
+# at 0.9 with p ≈ 0.97, while 0.5-similarity pairs stay below p ≈ 0.06,
+# so candidate volume stays near the true-dup volume. Pass these (and
+# hasher="fast") for real runs; the oracle gate keeps the demo widths.
+PRODUCTION_NUM_PERM = 128
+PRODUCTION_BANDS = 16
+
+# 64-bit simhash is the corpus-scale standard: 32-bit fingerprints
+# saturate Hamming buckets past ~10^5 docs (random collisions at
+# distance ≤3 swamp true near-dups), 64-bit keeps the expected random
+# collision rate negligible at 10^9+ docs.
+SIMHASH_BITS = 64
 
 
 def exact_dedup_groups(
@@ -305,24 +324,49 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     hasher: str = "portable",
 ) -> DataFrame:
-    """32-bit SimHash: per token-hash bit, vote +1/-1; fingerprint bit
+    """64-bit SimHash: per token-hash bit, vote +1/-1; fingerprint bit
     = sign of the vote. Fully map-only: a doc's token hashes never leave
     its row (``transform`` + per-bit ``filter`` counts), so the plan is
     scan→project with zero shuffles — the explode+groupBy form shuffles
     every token at 100 TB. Per-bit vote ``sum(±1) > 0`` is equivalent to
     ``2·(set-bit count) > n_tokens``. Near-dup search then buckets on
     fingerprint bands (pair search composes with minhash_lsh_pairs
-    machinery)."""
-    hashed = fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.transform(tokens(F.col(text_col)), hash32(hasher)).alias("hs"),
-    )
-    n = F.size("hs")
+    machinery).
+
+    The 64 hash bits come from the full md5-derived value on the
+    portable path (two 32-bit halves, hi||lo) and from ``xxhash64``
+    directly on the fast path. The fingerprint is a signed bigint in
+    two's complement: bit 63 contributes ``-2^63`` so the value stays
+    an exact int64 in both Spark and the DuckDB oracle.
+    """
+    toks = tokens(F.col(text_col))
+    if hasher == "fast":
+        # one signed-64 array; arithmetic shiftright + &1 reads any bit
+        hashed = fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.transform(toks, F.xxhash64).alias("hs_lo"),
+        )
+        def bit_src(bit):
+            return F.col("hs_lo"), bit
+    else:
+        hashed = fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            F.transform(toks, hash32(hasher)).alias("hs_lo"),
+            F.transform(
+                toks,
+                lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long"),
+            ).alias("hs_hi"),
+        )
+        def bit_src(bit):
+            return (F.col("hs_lo"), bit) if bit < 32 else (F.col("hs_hi"), bit - 32)
+    n = F.size("hs_lo")
     fingerprint = None
     for bit in range(SIMHASH_BITS):
+        arr, b = bit_src(bit)
         ones = F.size(
-            F.filter(F.col("hs"), lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1)
+            F.filter(arr, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
         )
-        term = F.when(ones * 2 > n, F.lit(2**bit)).otherwise(F.lit(0))
+        weight = -(2**63) if bit == 63 else 2**bit
+        term = F.when(ones * 2 > n, F.lit(weight)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return hashed.select(F.col("doc"), fingerprint.cast("bigint").alias("simhash"))

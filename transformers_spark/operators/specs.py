@@ -166,16 +166,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_simhash() -> str:
+    """64-bit twin of simhash_fingerprints: bits 0-31 from the first
+    md5 half, 32-63 from the second; bit 63 contributes -2^63 so the
+    fingerprint is the same two's-complement BIGINT Spark produces."""
+    def src(bit):
+        return ("h_lo", bit) if bit < 32 else ("h_hi", bit - 32)
+
     votes = ",\n    ".join(
-        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
-        for bit in range(32)
+        "SUM(CASE WHEN ({} >> {}) & 1 = 1 THEN 1 ELSE -1 END) AS v{}".format(*src(bit), bit)
+        for bit in range(64)
     )
-    fp = " + ".join(f"(CASE WHEN v{bit} > 0 THEN {2**bit} ELSE 0 END)" for bit in range(32))
+    fp = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if bit == 63 else str(2**bit))
+        + " ELSE 0 END)"
+        for bit in range(64)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc, unnest({DUCK_TOKENS}) AS tok FROM documents
 ),
-hashed AS (SELECT doc, {duck_h32("tok")} AS h FROM toks),
+hashed AS (
+  SELECT doc,
+         {duck_h32("tok")} AS h_lo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
+  FROM toks
+),
 votes AS (
   SELECT doc,
     {votes}
@@ -1251,7 +1267,7 @@ def pipeline_specs() -> list:
         QS("dedup_exact", "Exact dedup groups via normalized-content fingerprint", q_dedup_exact, ORACLE_DEDUP_EXACT),
         QS("dedup_minhash_lsh", "MinHash+LSH near-dup candidate pairs (banded buckets)", q_minhash_lsh, _oracle_minhash()),
         QS("dedup_ngram_jaccard", "Exact 3-gram Jaccard pairs via inverted-index join", q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
-        QS("dedup_simhash", "32-bit SimHash fingerprints (bit-vote)", q_simhash, _oracle_simhash()),
+        QS("dedup_simhash", "64-bit SimHash fingerprints (bit-vote)", q_simhash, _oracle_simhash()),
         QS("dedup_pipeline", "Full near-dup pass: LSH pairs → connected components → verdicts", q_dedup_pipeline, _oracle_dedup_pipeline()),
         QS("similarity_ivf_ann", "IVF coarse-quantizer approximate top-k (probed cells)", q_ivf_ann_topk, ORACLE_IVF_ANN),
         QS("curated_documents", "Composite curation filter: dedup + quality + language", q_curated_documents, _oracle_curated()),
