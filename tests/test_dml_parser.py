@@ -104,3 +104,22 @@ def test_parse_delete():
     )
     assert target == "g_project_playground.t"
     assert pred == "load_timestamp = '2020-06-02'"
+
+
+def test_script_select_row_cap(spark):
+    """Bare script SELECTs are driver-bounded: over-cap results raise
+    instead of collecting (VERDICT r1 defect 3)."""
+    import pytest as _pytest
+
+    from transformers_spark.engine import Engine
+
+    eng = Engine(spark)
+    old = Engine.MAX_SCRIPT_RESULT_ROWS
+    Engine.MAX_SCRIPT_RESULT_ROWS = 10
+    try:
+        out = eng.run_script("SELECT id FROM RANGE(5)")
+        assert len(out) == 1 and len(out[0]) == 5
+        with _pytest.raises(ValueError, match="more than 10 rows"):
+            eng.run_script("SELECT id FROM RANGE(50)")
+    finally:
+        Engine.MAX_SCRIPT_RESULT_ROWS = old

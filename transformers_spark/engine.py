@@ -393,10 +393,20 @@ class Engine:
 
     _VAR_TYPES = ("INT64", "FLOAT64", "STRING", "DATE", "TIMESTAMP", "BOOL")
 
+    # Bare SELECTs in a script return rows to the client (BQ script
+    # semantics) — but an unbounded collect of a SELECT over a 100 TB
+    # table is a driver OOM. Mirrors BQ's own response-size cap in
+    # spirit: scripts wanting large results should write to a table.
+    MAX_SCRIPT_RESULT_ROWS = 100_000
+
     def run_script(self, script: str, default_destination: str | None = None) -> list:
         """Execute a (rendered, BQ-dialect) script statement by
         statement: DECLARE/SET variables, CREATE TEMP TABLE/FUNCTION,
-        MERGE/DELETE (emulated), DROP TABLE, SELECT."""
+        MERGE/DELETE (emulated), DROP TABLE, SELECT.
+
+        Each bare SELECT's result is returned driver-side, capped at
+        ``MAX_SCRIPT_RESULT_ROWS`` — exceeding the cap raises rather
+        than silently truncating (or silently OOMing the driver)."""
         variables: dict[str, Any] = {}
         results: list = []
         for raw_stmt in split_statements(script):
@@ -423,7 +433,17 @@ class Engine:
                 fqn = fqn_for_spark_name(self.catalog, name.replace("`", "")) or name
                 self.catalog.drop_table(fqn) if "." in fqn else self.spark.sql(stmt)
             elif kind == "select":
-                results.append(self.spark.sql(stmt).collect())
+                # take(cap+1): bounded driver transfer even when the
+                # result is huge — never a full collect before the check
+                rows = self.spark.sql(stmt).take(self.MAX_SCRIPT_RESULT_ROWS + 1)
+                if len(rows) > self.MAX_SCRIPT_RESULT_ROWS:
+                    raise ValueError(
+                        f"script SELECT returned more than "
+                        f"{self.MAX_SCRIPT_RESULT_ROWS} rows; write large "
+                        "results to a destination table instead of "
+                        "returning them to the client"
+                    )
+                results.append(rows)
             else:
                 self.spark.sql(stmt)
         return results
