@@ -344,7 +344,9 @@ def simhash_fingerprints(
         # one signed-64 array; arithmetic shiftright + &1 reads any bit
         hashed = fan_out(df).select(
             F.col(id_col).alias("doc"),
-            F.transform(toks, F.xxhash64).alias("hs_lo"),
+            # lambda wrapper: Spark 4 rejects *cols-variadic builtins
+            # (F.xxhash64) as higher-order-function callbacks
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("hs_lo"),
         )
         def bit_src(bit):
             return F.col("hs_lo"), bit
