@@ -593,3 +593,82 @@ def test_minhash_lsh_production_width(spark):
         ).collect()
     }
     assert pairs == {(1, 2): PRODUCTION_BANDS}
+
+
+def test_span_dedup_stats_tiled_spans(spark):
+    from transformers_spark.operators.text import span_dedup_stats
+
+    # doc 1 and 2 share identical text -> every span duplicated;
+    # doc 3 is unique -> zero. 5 words at span_len=2 -> 3 spans
+    # (last is the 1-word tail, also counted).
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in span_dedup_stats(df, span_len=2).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 3
+    assert out[1]["dup_span_frac"] == 1.0
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_frac"] == 0.0
+
+
+def test_span_dedup_offset_shift_is_missed(spark):
+    from transformers_spark.operators.text import span_dedup_stats
+
+    # documented stride limitation: the same phrase shifted by one
+    # word tiles differently and is NOT flagged
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "z a b c")], ["doc_id", "text"]
+    )
+    out = {r["doc"]: r for r in span_dedup_stats(df, span_len=2).collect()}
+    assert out[1]["n_dup_spans"] == 0 and out[2]["n_dup_spans"] == 0
+
+
+def test_pii_redaction_patterns(spark):
+    from transformers_spark.operators.text import pii_redaction
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com and call 555123 ok"),
+            (2, "no pii here"),
+            (3, "codes 42 and 9 and 123456"),
+        ],
+        ["record_id", "payload"],
+    )
+    out = {r["record_id"]: r for r in pii_redaction(df, "payload").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_numbers"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> and call <NUM> ok"
+    assert out[2]["n_emails"] == 0 and out[2]["n_numbers"] == 0
+    assert out[2]["redacted"] == "no pii here"
+    # single digits are not digit runs; 42 and 123456 are
+    assert out[3]["n_numbers"] == 2
+    assert out[3]["redacted"] == "codes <NUM> and 9 and <NUM>"
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from transformers_spark.operators.curation import temperature_sample
+
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, "de") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # alpha=1 is the natural mix: keeps everything
+    assert temperature_sample(df, "lang", alpha=1.0).count() == 500
+    kept = temperature_sample(df, "lang", alpha=0.5).toPandas()
+    by_lang = kept.groupby("lang")["doc_id"].count()
+    # de (minority) keeps all; en keeps ~sqrt(100/400)=50% of 400
+    assert by_lang["de"] == 100
+    assert 130 <= by_lang["en"] <= 270  # md5-bucket noise around 200
+    # deterministic: same input -> identical kept set
+    kept2 = temperature_sample(df, "lang", alpha=0.5).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(kept2["doc_id"])
+
+
+def test_label_centroids_hand_computed(spark):
+    from transformers_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 6.0], 0), (3, [10.0, 0.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {(r["label"], r["dim"]): r for r in label_centroids(df).collect()}
+    assert out[(0, 0)]["mean_v"] == 2.0 and out[(0, 1)]["mean_v"] == 4.0
+    assert out[(0, 0)]["n_vectors"] == 2
+    assert out[(1, 0)]["mean_v"] == 10.0 and out[(1, 1)]["mean_v"] == 0.0

@@ -1024,6 +1024,187 @@ GROUP BY event_type, bar_start
 """
 
 
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all revenue on orders
+    placed by ASIA-region customers, the fraction supplied by one
+    nation's suppliers, per order year. The share is a conditional
+    decimal sum over the SAME aggregate pass as the total — one
+    star-join + one shuffle, no second scan. All four dimension joins
+    broadcast (region/nation/supplier/customer are tiny next to
+    lineitem); the only shuffles are lineitem⋈orders on orderkey and
+    the final year groupBy. At 100 TB the orderkey join is the cost —
+    co-partitioned/bucketed layouts on orderkey make it shuffle-free."""
+    register_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    asia_nations = (
+        spark.table("nation")
+        .join(
+            F.broadcast(spark.table("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(7,4)")
+    li = spark.table("lineitem")
+    joined = (
+        li.join(spark.table("orders"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(spark.table("supplier")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    target = F.col("supp_nation") == "NATION_3"
+    agg = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(F.when(target, revenue).otherwise(F.lit(0).cast("decimal(12,4)"))).alias(
+            "nation_rev"
+        ),
+        F.sum(revenue).alias("total_rev"),
+    )
+    return agg.select(
+        "order_year",
+        F.round(F.col("nation_rev").cast("double"), 4).alias("nation_revenue"),
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+ORACLE_NATIONAL_MARKET_SHARE = """
+SELECT
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+  ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(7,4))
+                 ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE), 4) AS nation_revenue,
+  ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(1 - l_discount AS DECIMAL(7,4))
+                 ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(1 - l_discount AS DECIMAL(7,4))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region    ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship month, the percent
+    of revenue from PROMO-type parts. part⋈lineitem broadcast; the
+    conditional and total sums share one aggregate pass."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    revenue = F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(7,4)")
+    li = spark.table("lineitem").join(
+        F.broadcast(spark.table("part")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # to_date: DuckDB's date_trunc('month', ts) yields DATE, Spark's a
+    # midnight TIMESTAMP — align the types or the value-hash diverges
+    agg = li.groupBy(
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month")
+    ).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+                F.lit(0).cast("decimal(12,4)")
+            )
+        ).alias("promo_rev"),
+        F.sum(revenue).alias("total_rev"),
+    )
+    return agg.select(
+        "ship_month",
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+SELECT
+  date_trunc('month', l_shipdate) AS ship_month,
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                         * CAST(1 - l_discount AS DECIMAL(7,4))
+                    ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(1 - l_discount AS DECIMAL(7,4))) AS DOUBLE), 6) AS promo_pct,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * CAST(1 - l_discount AS DECIMAL(7,4))) AS DOUBLE), 4) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and NO orders since 2000 ("lapsed" — Q22's no-orders
+    predicate scoped to a recent window so the dense testdata yields
+    rows), grouped by market segment. The scalar AVG subquery is one
+    tiny aggregate broadcast into the filter (Spark decorrelates it
+    the same way BigQuery would); the NOT EXISTS is a left-anti join
+    on custkey. The anti-join build side prunes orders to the custkey
+    column AND the date predicate before the shuffle — at scale both
+    reach the parquet scan as PushedFilters/ReadSchema."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    cutoff = "2000-01-01 00:00:00"
+    cust = spark.table("customer")
+    # scalar subquery: average positive balance (exact decimal sum /
+    # count, divided as double at the end — deterministic both sides)
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = cust.join(
+        F.broadcast(pos), F.col("c_acctbal").cast("double") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        spark.table("orders")
+        .filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return no_orders.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
+
+
+ORACLE_GLOBAL_SALES_OPPORTUNITY = """
+SELECT
+  c_mktsegment AS segment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_balance
+FROM customer c
+WHERE CAST(c_acctbal AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1052,4 +1233,7 @@ def analytics_specs() -> list:
         QS("large_volume_orders", "TPC-H Q18-shape IN-subquery over HAVING aggregate", q_large_volume_orders, ORACLE_LARGE_VOLUME_ORDERS),
         QS("top_revenue_suppliers", "TPC-H Q15-shape view + scalar MAX subquery", q_top_revenue_suppliers, ORACLE_TOP_REVENUE_SUPPLIERS),
         QS("customer_balance_quartiles", "NTILE quartiles + re-aggregation", q_customer_balance_quartiles, ORACLE_CUSTOMER_BALANCE_QUARTILES),
+        QS("national_market_share", "TPC-H Q8-shape conditional-share over a star join", q_national_market_share, ORACLE_NATIONAL_MARKET_SHARE),
+        QS("promo_revenue_share", "TPC-H Q14-shape promo revenue percent per month", q_promo_revenue_share, ORACLE_PROMO_REVENUE_SHARE),
+        QS("global_sales_opportunity", "TPC-H Q22-shape scalar-avg filter + NOT EXISTS", q_global_sales_opportunity, ORACLE_GLOBAL_SALES_OPPORTUNITY),
     ]

@@ -28,6 +28,8 @@ none present in the reference (its surface is delegated SQL —
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -42,6 +44,7 @@ __all__ = [
     "contamination_report",
     "cap_per_group",
     "stratified_sample",
+    "temperature_sample",
     "pack_sequences",
 ]
 
@@ -294,6 +297,61 @@ def stratified_sample(
         % 10000
     )
     rate: Column = F.lit(default_rate_bp)
+    for value, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    floor_bp: int = 1,
+    kept_col: str = "sample_bucket",
+) -> DataFrame:
+    """Temperature-flattened source mix: downsample each stratum with
+    keep-rate ``(min_count / count_s)^(1-alpha)`` so the sampled corpus
+    shifts from the natural source distribution (alpha=1, keep all)
+    toward uniform (alpha=0) — the standard mixing knob when one crawl
+    dominates a multilingual/multi-source training set.
+
+    Rates come from one COUNT aggregate whose result is bounded by the
+    number of strata (a driver collect of #sources rows, not data);
+    the filter itself is the same map-only md5-bucket arithmetic as
+    :func:`stratified_sample`, salted ``'temp:'`` so it is independent
+    of both the split hash and the stratified-sample hash. alpha=0.5
+    keeps rate math inside correctly-rounded IEEE ``sqrt`` so the
+    identical rates fall out of any engine; other alphas use ``pow``
+    (deterministic on one platform, may drift at the floor boundary
+    across libm implementations — the rates are integers in basis
+    points, so drift is a 1e-4 keep-rate step at worst).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1))).collect()
+    }
+    if not counts:
+        return df.withColumn(kept_col, F.lit(0)).filter(F.lit(False))
+    min_c = min(counts.values())
+    rates_bp = {
+        v: max(
+            int(floor_bp),
+            int(math.floor(10000.0 * math.pow(min_c / c, 1.0 - alpha))),
+        )
+        for v, c in counts.items()
+    }
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate: Column = F.lit(0)
     for value, bp in rates_bp.items():
         rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)

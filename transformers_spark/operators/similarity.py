@@ -32,6 +32,7 @@ __all__ = [
     "hyperplane_signature",
     "embedding_neardup_pairs",
     "random_projection",
+    "label_centroids",
 ]
 
 
@@ -431,4 +432,41 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class centroid and dispersion over an embedding column:
+    (label, dim, mean_v, n_vectors) — the class-prototype build step of
+    a labeled-embedding pipeline (nearest-class-mean classifiers,
+    class-balanced coreset picks, per-class drift monitors).
+
+    Plan shape: ``posexplode`` fans each vector into (dim, value) rows,
+    then ONE hash aggregate on (label, dim). The fan-out is map-only;
+    map-side combine collapses every partition to at most
+    n_labels x dim partial sums before the single shuffle, so the
+    shuffle volume is O(labels x dim x partitions), independent of row
+    count — the plan that survives a 100 TB corpus. Values are rounded
+    then decimal-summed so the mean is bit-identical at any
+    parallelism (raw double sums are partitioning-order-dependent).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    agg = ex.groupBy("label", "dim").agg(
+        F.sum(
+            F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n_vectors"), 6).alias("mean_v"),
+        "n_vectors",
     )

@@ -36,13 +36,16 @@ from .similarity import (
     hyperplane_weights,
     ivf_topk,
     kmeans_centroids,
+    label_centroids,
     lsh_bucketed_topk,
 )
 from .text import (
     BPE_TOKEN_RE,
     STOPWORDS,
     lang_id,
+    pii_redaction,
     quality_scores,
+    span_dedup_stats,
     text_stats,
     tfidf_top_terms,
     token_counts,
@@ -1256,6 +1259,131 @@ GROUP BY e.event_type
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated 8-word-span fraction per document (substring-level
+    dedup rollup; operators/text.py:span_dedup_stats)."""
+    register_tables(spark, sf_dir, ("documents",))
+    return span_dedup_stats(spark.table("documents"), span_len=8)
+
+
+ORACLE_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ts, i*8 + 1, i*8 + 8), ' ')) AS span_h
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(ts) / 8.0) AS INT) - 1)) AS g(i)
+  WHERE len(ts) > 0
+),
+counts AS (
+  SELECT span_h, COUNT(*) AS global_cnt FROM spans GROUP BY span_h
+)
+SELECT s.doc_id AS doc,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c.global_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(SUM(CASE WHEN c.global_cnt > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS dup_span_frac
+FROM spans s JOIN counts c USING (span_h)
+GROUP BY s.doc_id
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped scrub over the events props payload: per event type,
+    match counts and distinct redacted payload shapes
+    (operators/text.py:pii_redaction). The per-record scrub is
+    map-only; this rollup is one hash aggregate."""
+    register_tables(spark, sf_dir, ("events",))
+    red = pii_redaction(
+        spark.table("events").select("event_id", "event_type", "props"),
+        text_col="props",
+    )
+    return red.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_numbers").cast("bigint").alias("total_numbers"),
+        F.countDistinct("redacted").alias("n_redacted_shapes"),
+    )
+
+
+ORACLE_PII_REDACTION = """
+SELECT event_type,
+       COUNT(*) AS n_records,
+       CAST(SUM(len(regexp_extract_all(props,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))) AS BIGINT)
+         AS total_emails,
+       CAST(SUM(len(regexp_extract_all(
+            regexp_replace(props,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{2,}'))) AS BIGINT) AS total_numbers,
+       COUNT(DISTINCT regexp_replace(
+            regexp_replace(props,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{2,}', '<NUM>', 'g')) AS n_redacted_shapes
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode + decimal-summed
+    mean (operators/similarity.py:label_centroids)."""
+    register_tables(spark, sf_dir, ("embeddings",))
+    return label_centroids(spark.table("embeddings"))
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_v,
+       COUNT(*) AS n_vectors
+FROM ex
+GROUP BY 1, 2
+"""
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mix (alpha=0.5): en dominates the
+    corpus, so its keep-rate drops toward sqrt(min/count)
+    (operators/curation.py:temperature_sample)."""
+    from .curation import temperature_sample
+
+    register_tables(spark, sf_dir, ("documents",))
+    return temperature_sample(
+        spark.table("documents").select("doc_id", "lang", "source"),
+        strata_col="lang",
+        alpha=0.5,
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLE = """
+WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT MIN(c) AS mc FROM counts),
+rates AS (
+  SELECT lang,
+         GREATEST(1, CAST(FLOOR(10000 * sqrt(mc::DOUBLE / c::DOUBLE)) AS BIGINT))
+           AS rate_bp
+  FROM counts, m
+)
+SELECT doc_id, d.lang, d.source,
+       ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000 AS sample_bucket
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000
+      < r.rate_bp
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -1296,4 +1424,8 @@ def pipeline_specs() -> list:
         QS("text_vocab_stats", "Per-source corpus health: tokens/types/TTR/hapax fraction", q_vocab_stats, ORACLE_VOCAB_STATS),
         QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, None),
         QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (sentinel-flushed drain) vs batch oracle", q_streaming_sessionization, ORACLE_STREAMING_SESSIONIZATION),
+        QS("text_span_dedup", "Repeated 8-word-span fraction per doc (substring-dedup rollup)", q_span_dedup, ORACLE_SPAN_DEDUP),
+        QS("text_pii_redaction", "PII-shaped regex scrub counts + redacted-shape cardinality", q_pii_redaction, ORACLE_PII_REDACTION),
+        QS("embedding_label_centroids", "Per-label centroids via posexplode + decimal-sum mean", q_label_centroids, ORACLE_LABEL_CENTROIDS),
+        QS("curation_temperature_sample", "Temperature-flattened (alpha=0.5) language-mix sampling", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE),
     ]

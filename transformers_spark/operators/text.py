@@ -30,7 +30,11 @@ __all__ = [
     "bpe_merge_candidates",
     "unigram_frequency_scores",
     "vocab_stats",
+    "span_dedup_stats",
+    "pii_redaction",
     "BPE_TOKEN_RE",
+    "PII_EMAIL_RE",
+    "PII_NUMBER_RE",
     "STOPWORDS",
 ]
 
@@ -488,4 +492,104 @@ def repetition_ratios(
             / F.size("__t"),
             6,
         ).alias("top_word_frac"),
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Repeated-span statistics: per document, the fraction of its
+    fixed-length word spans that occur elsewhere in the corpus — the
+    rollup behind substring-level dedup (the "remove duplicated
+    substrings, not whole documents" regime; whole-doc similarity ops
+    in dedup.py can't see a boilerplate paragraph shared by otherwise
+    distinct pages).
+
+    Returns (doc, n_spans, n_dup_spans, dup_span_frac).
+
+    Plan shape, scale-first: span generation is MAP-ONLY — the token
+    array is sliced in place via ``sequence``+``transform``+``slice``
+    (no explode-then-regroup round trip), and only the md5 of each
+    span travels into the aggregation, never the span text. Then one
+    shuffle counts global span frequencies, and the duplicated subset
+    (global count > 1, typically a small fraction of distinct spans)
+    joins back against the per-doc span list — AQE turns that into a
+    broadcast join whenever the duplicated set fits, else it is a hash
+    join on the 16-byte hash. Final per-doc rollup re-aggregates on
+    the doc id. Tail spans shorter than ``span_len`` are kept: dropped
+    tails would blind the stat on short documents.
+
+    Spans are TILED (stride = span_len), not sliding: an offset-shifted
+    repeat lands in different tiles and is missed, so this undercounts
+    relative to a suffix-array substring pass — the accepted trade for
+    a corpus-scale first cut at 1/span_len the span volume. A sliding
+    variant is the same plan with ``sequence(0, n - span_len)`` span
+    starts and span_len x the rows.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = int(span_len)
+    n_spans = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
+    span_hashes = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - F.lit(1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i * k + 1, k), " ")),
+        )
+    )
+    spans = df.select(
+        F.col(id_col).alias("doc"), F.explode(span_hashes).alias("span_h")
+    )
+    dup_spans = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("global_cnt"))
+        .filter(F.col("global_cnt") > 1)
+    )
+    flagged = spans.join(dup_spans, "span_h", "left")
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("global_cnt").isNotNull(), 1).otherwise(0)
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            "doc",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+# PII-shaped patterns, ASCII-simplified so the identical regex runs in
+# Spark (Java regex) and DuckDB (RE2). Redaction order matters: emails
+# first (they contain digit runs), then standalone digit runs.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_NUMBER_RE = "[0-9]{2,}"
+
+
+def pii_redaction(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-record PII-shaped pattern scrub: appends match counts for
+    email-shaped and digit-run patterns and the redacted text (emails
+    → ``<EMAIL>``, digit runs → ``<NUM>``) while preserving every
+    input column. Map-only — three regex passes per row, all
+    JVM-side; at corpus scale this is the cheap first pass before a
+    model-based PII stage, and the match counts feed per-source
+    redaction-rate monitors."""
+    txt = F.col(text_col)
+    email_scrubbed = F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(txt, F.lit(PII_EMAIL_RE)))
+        .withColumn(
+            "n_numbers", F.regexp_count(email_scrubbed, F.lit(PII_NUMBER_RE))
+        )
+        .withColumn(
+            "redacted", F.regexp_replace(email_scrubbed, PII_NUMBER_RE, "<NUM>")
+        )
     )
