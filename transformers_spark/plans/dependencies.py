@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from ..dialect import spark_table_name_from_fqn, split_statements, table_references, transpile
+from ..tracing import start_child_span
 
 __all__ = [
     "resolve_with_regex",
@@ -45,13 +46,20 @@ _RESOLVED_RE = re.compile(r"\bRelation (\S+?)\[")
 
 def destination_urn(fqn: str) -> str:
     """``project.dataset.table`` → ``spark://project_dataset.table``
-    (reference GenerateDestination, main.go:183-197)."""
-    return URN_FORMAT.format(name=spark_table_name_from_fqn(fqn))
+    (reference GenerateDestination, main.go:183-197; span name from
+    main.go:184)."""
+    with start_child_span("GenerateDestination") as span:
+        span.set_attribute("fqn", fqn)
+        return URN_FORMAT.format(name=spark_table_name_from_fqn(fqn))
 
 
 def resolve_with_regex(sql: str, destination: str | None = None) -> list[str]:
-    """Regex-layer dependencies as BQ-style FQNs."""
-    return table_references(sql, destination=destination)
+    """Regex-layer dependencies as BQ-style FQNs (span name from
+    main.go:371 FindDependenciesWithRegex)."""
+    with start_child_span("FindDependenciesWithRegex") as span:
+        deps = table_references(sql, destination=destination)
+        span.set_attribute("n_dependencies", len(deps))
+        return deps
 
 
 def _parsed_relations(spark: SparkSession, spark_sql: str) -> list[str]:
@@ -82,7 +90,17 @@ def resolve_with_catalyst(
     dialect) query. Statements whose tables all resolve are analyzed
     (views expand to base tables); otherwise the parsed plan's
     unresolved relations are reported. CTE names never appear (Catalyst
-    scopes them), so no pseudo-table pass is needed here."""
+    scopes them), so no pseudo-table pass is needed here. Span name
+    from main.go:466 (this is the dry-run analogue)."""
+    with start_child_span("FindDependenciesWithDryRun") as span:
+        deps = _catalyst_relations(spark, sql, destination)
+        span.set_attribute("n_dependencies", len(deps))
+        return deps
+
+
+def _catalyst_relations(
+    spark: SparkSession, sql: str, destination: str | None = None
+) -> list[str]:
     deps: list[str] = []
     dest_spark = spark_table_name_from_fqn(destination) if destination and destination.count(".") == 2 else destination
     for stmt in split_statements(transpile(sql)):
@@ -114,10 +132,16 @@ class DependencyResolver:
     _cache: dict[str, _CacheEntry] = field(default_factory=dict)
 
     def resolve(self, sql: str, destination: str | None = None) -> list[str]:
+        with start_child_span("GenerateDependencies") as span:
+            return self._resolve_traced(span, sql, destination)
+
+    def _resolve_traced(self, span, sql: str, destination: str | None) -> list[str]:
         key = hashlib.md5(f"{destination}\x00{sql}".encode()).hexdigest()
         entry = self._cache.get(key)
         now = time.time()
         if entry is not None and now - entry.at < self.ttl_seconds:
+            # span event mirrors main.go:217
+            span.add_event("Request found in cache")
             return entry.value
         regex_deps = resolve_with_regex(sql, destination)
         if self.spark is not None:

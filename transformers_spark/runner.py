@@ -15,6 +15,7 @@ from pyspark.sql import SparkSession
 from .config import TaskConfig, task_config_from_env, task_config_from_properties
 from .engine import Engine, TransformResult, compile_assets
 from .stats import collect_job_stats, write_xcom
+from .tracing import init_telemetry, start_child_span
 from .windowing import parse_datetime
 
 __all__ = ["run_task", "run_task_files"]
@@ -51,9 +52,13 @@ def run_task(
     spark.sparkContext.setLocalProperty(
         "spark.scheduler.pool", task_config.query_priority.lower()
     )
-    result = eng.transform(
-        task_config, sql_query, dstart, dend, execution_time, dry_run=dry_run
-    )
+    with start_child_span("Transform") as span:
+        span.set_attribute("destination", task_config.destination_table)
+        span.set_attribute("load_method", task_config.load_method.value)
+        span.set_attribute("dry_run", dry_run)
+        result = eng.transform(
+            task_config, sql_query, dstart, dend, execution_time, dry_run=dry_run
+        )
     stats = collect_job_stats(spark, started)
     stats.extras["dry_run"] = dry_run
     stats.extras["load_method"] = task_config.load_method.value
@@ -87,6 +92,10 @@ def main() -> None:
                 query_file = os.path.join(dirpath, filename)
     if query_file is None:
         raise FileNotFoundError(f"no query.sql under {job_dir}/in")
+    # TRACING_ADDR ≙ the reference's tracingAddr flag (telemetry.go:16):
+    # empty → tracing off; spans join an upstream TRACEPARENT if the
+    # scheduler exported one.
+    shutdown_telemetry = init_telemetry(os.environ.get("TRACING_ADDR", ""))
     spark = get_spark(app_name="transformers-spark-task")
     try:
         run_task_files(
@@ -94,6 +103,7 @@ def main() -> None:
         )
     finally:
         spark.stop()
+        shutdown_telemetry()
 
 
 def run_task_files(
