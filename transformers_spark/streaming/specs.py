@@ -97,21 +97,30 @@ def _stream_flush_source_dir(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(out, "_FLUSH_READY")
     if not os.path.exists(marker):
         import glob
-        import shutil
 
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
-        n_files = 4
+        # max BEFORE the write (identical rows either way): parquet
+        # column stats serve it without re-reading the written copy.
+        # Collected as a Python value, not unix_micros(ts) — the column
+        # is TIMESTAMP in engine sessions but TIMESTAMP_NTZ in plain
+        # ones, and pandas normalizes both to epoch micros. n_files=2
+        # keeps micro-batch count (and the ~1s-per-batch stateful-drain
+        # overhead) minimal while still proving cross-batch state
+        # carry; contiguous ascending time ranges are preserved at any
+        # file count.
+        import pandas as pd
+
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        max_ts_us = pd.Timestamp(max_ts).value // 1000
+        n_files = 2
         (
             ev.repartitionByRange(n_files, "ts")
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
             .parquet(out)
         )
-        max_ts_us = spark.read.parquet(out).agg(
-            F.max(F.unix_micros("ts")).alias("m")
-        ).collect()[0]["m"]
         # range-partition order == part-file name order; stamp strictly
         # increasing mtimes so the file source's (modTime, path) order
         # is the time order regardless of write timing
@@ -122,25 +131,23 @@ def _stream_flush_source_dir(spark: SparkSession, sf_dir: str) -> str:
         hour_us = 3_600_000_000
         s1_us = max_ts_us + 2 * hour_us + SESSION_GAP_US + 2 * hour_us
         s2_us = s1_us + hour_us
+        # sentinels are 1-row files: write them with pyarrow directly
+        # (two Spark write jobs here measurably dominate cold prep)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         for j, ts_us in enumerate((s1_us, s2_us)):
-            tmp = out + f".sentinel{j}"
-            (
-                spark.range(1)
-                .select(
-                    F.lit(-1000 - j).cast("long").alias("event_id"),
-                    F.timestamp_micros(F.lit(ts_us)).alias("ts"),
-                    F.lit(SENTINEL_USER).cast("long").alias("user_id"),
-                    F.lit("sentinel").alias("event_type"),
-                    F.lit(0.0).alias("value"),
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
+            table = pa.table(
+                {
+                    "event_id": pa.array([-1000 - j], pa.int64()),
+                    "ts": pa.array([ts_us], pa.timestamp("us")),
+                    "user_id": pa.array([SENTINEL_USER], pa.int64()),
+                    "event_type": pa.array(["sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                }
             )
-            part = glob.glob(os.path.join(tmp, "part-*"))[0]
             dest = os.path.join(out, f"zz-sentinel-{j}.parquet")
-            shutil.move(part, dest)
-            shutil.rmtree(tmp, ignore_errors=True)
+            pq.write_table(table, dest)
             os.utime(dest, (base + 10 + j, base + 10 + j))
         with open(marker, "w") as fh:
             fh.write("ok")
