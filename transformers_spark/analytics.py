@@ -1205,6 +1205,154 @@ GROUP BY 1
 """
 
 
+def q_nation_profit_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted
+    to the testdata's schema: no partsupp table, so unit cost is a
+    deterministic fraction of p_retailprice. The only non-broadcast
+    join is lineitem⋈orders on orderkey (orders pruned to
+    orderkey+date before the shuffle); part/supplier/nation broadcast.
+    Profit is one exact-decimal expression summed in a single pass."""
+    register_tables(
+        spark, sf_dir, ("lineitem", "orders", "part", "supplier", "nation")
+    )
+    li = spark.table("lineitem")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(7,4)")
+        - F.col("p_retailprice").cast("decimal(12,4)")
+        * F.lit(0.1).cast("decimal(7,4)")
+        * F.col("l_quantity").cast("decimal(12,4)")
+    )
+    joined = (
+        li.join(
+            spark.table("orders").select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(spark.table("part")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(spark.table("supplier")), li.l_suppkey == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(spark.table("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+    ).agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
+
+
+ORACLE_NATION_PROFIT_TREND = """
+SELECT
+  n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * CAST(1 - l_discount AS DECIMAL(7,4))
+               - CAST(p_retailprice AS DECIMAL(12,4))
+                 * CAST(0.1 AS DECIMAL(7,4))
+                 * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 4) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_balance_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST + full-frame LAST_VALUE per market
+    segment, filtered to the top decile: the OVER-clause distribution
+    functions not covered by NTILE/ROW_NUMBER elsewhere. One window
+    shuffle on segment; the filter happens after ranking (it must —
+    rank is relative to the whole segment)."""
+    register_tables(spark, sf_dir, ("customer",))
+    seg = W.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    full_frame = seg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = spark.table("customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(12,4)").cast("double").alias("balance"),
+        F.round(F.percent_rank().over(seg), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(seg), 6).alias("cume"),
+        F.last("c_acctbal")
+        .over(full_frame)
+        .cast("decimal(12,4)")
+        .cast("double")
+        .alias("segment_max"),
+    )
+    return ranked.filter(F.col("pct_rank") >= 0.9)
+
+
+ORACLE_BALANCE_RANK_DISTRIBUTION = """
+SELECT * FROM (
+  SELECT
+    c_custkey,
+    c_mktsegment AS segment,
+    CAST(CAST(c_acctbal AS DECIMAL(12,4)) AS DOUBLE) AS balance,
+    ROUND(percent_rank() OVER w, 6) AS pct_rank,
+    ROUND(cume_dist() OVER w, 6) AS cume,
+    CAST(CAST(last_value(c_acctbal) OVER
+         (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS DECIMAL(12,4)) AS DOUBLE) AS segment_max
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+)
+WHERE pct_rank >= 0.9
+"""
+
+
+def q_hopping_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) time windows in BATCH: 1-hour windows
+    sliding every 30 minutes via ``F.window(ts, '1 hour', '30
+    minutes')`` — each event lands in exactly two windows. Spark's
+    window assignment is an Expand (map-only row doubling) before one
+    hash aggregate; no per-window re-scan. The oracle replays the
+    same assignment arithmetic with an explicit 2-row unnest."""
+    register_tables(spark, sf_dir, ("events",))
+    win = F.window("ts", "1 hour", "30 minutes")
+    agg = (
+        spark.table("events")
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE_HOPPING_EVENT_WINDOWS = """
+WITH assigned AS (
+  SELECT
+    make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+                   - k * 1800000000) AS window_start,
+    event_type,
+    CAST(value AS DECIMAL(12,4)) AS val
+  FROM events, unnest([0, 1]) AS u(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(val) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1236,4 +1384,7 @@ def analytics_specs() -> list:
         QS("national_market_share", "TPC-H Q8-shape conditional-share over a star join", q_national_market_share, ORACLE_NATIONAL_MARKET_SHARE),
         QS("promo_revenue_share", "TPC-H Q14-shape promo revenue percent per month", q_promo_revenue_share, ORACLE_PROMO_REVENUE_SHARE),
         QS("global_sales_opportunity", "TPC-H Q22-shape scalar-avg filter + NOT EXISTS", q_global_sales_opportunity, ORACLE_GLOBAL_SALES_OPPORTUNITY),
+        QS("nation_profit_trend", "TPC-H Q9-shape profit by supplier nation and year", q_nation_profit_trend, ORACLE_NATION_PROFIT_TREND),
+        QS("balance_rank_distribution", "PERCENT_RANK/CUME_DIST/full-frame LAST_VALUE top decile", q_balance_rank_distribution, ORACLE_BALANCE_RANK_DISTRIBUTION),
+        QS("hopping_event_windows", "Batch hopping windows (1h width, 30min slide) via F.window", q_hopping_event_windows, ORACLE_HOPPING_EVENT_WINDOWS),
     ]
