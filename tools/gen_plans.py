@@ -39,6 +39,29 @@ PICKS = {
         "BPE pair counting — map-side combined count + TakeOrderedAndProject "
         "distributed top-k."
     ),
+    "dedup_ngram_jaccard": (
+        "n-gram Jaccard — inverted-index shuffle on gram hashes with "
+        "stop-gram cap; pair expansion stays local to the posting list "
+        "(no gram self-join), sizes carried with postings."
+    ),
+    "curated_documents": (
+        "Composite curation filter — hashed-gram decontamination join plus "
+        "quality/lang map work; no cartesian stage, no row-at-a-time UDF."
+    ),
+    "nation_profit_trend": (
+        "TPC-H Q9-shape profit rollup — part/supplier/nation broadcast; the "
+        "only candidate shuffle join is lineitem⋈orders on orderkey (AQE "
+        "may broadcast orders at small SF), one partial+final aggregate."
+    ),
+    "text_span_dedup": (
+        "Tiled-span substring dedup — span generation is a map-only "
+        "projection (sequence+slice, no explode/regroup); only 16-byte "
+        "span hashes shuffle into the count and the per-doc rollup."
+    ),
+    "hopping_event_windows": (
+        "Batch hopping windows — Expand doubles rows map-side, then ONE "
+        "partial+final aggregate pair; never a per-window re-scan."
+    ),
 }
 
 _KEEP_PREFIXES = (
