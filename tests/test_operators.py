@@ -672,3 +672,41 @@ def test_label_centroids_hand_computed(spark):
     assert out[(0, 0)]["mean_v"] == 2.0 and out[(0, 1)]["mean_v"] == 4.0
     assert out[(0, 0)]["n_vectors"] == 2
     assert out[(1, 0)]["mean_v"] == 10.0 and out[(1, 1)]["mean_v"] == 0.0
+
+
+def test_bigram_lm_probabilities(spark):
+    from transformers_spark.operators.text import bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")],  # doc 3: no bigrams
+        ["doc_id", "text"],
+    )
+    out = bigram_lm(df, k_smooth=0.5, top_k=3).collect()
+    rows = {(r["w1"], r["w2"]): r for r in out}
+    # heads: a (b,b,c), b (a); V = 2 distinct heads
+    # P(b|a) = (2+0.5)/(3+0.5*2) = 2.5/4 ; P(c|a) = 1.5/4
+    assert rows[("a", "b")]["prob"] == 0.625
+    assert rows[("a", "c")]["prob"] == 0.375
+    assert rows[("a", "b")]["c12"] == 2 and rows[("a", "b")]["c1"] == 3
+    assert rows[("b", "a")]["rank"] == 1
+    assert not any(r["w1"] == "x" for r in out)  # lone token: no head
+
+
+def test_bm25_excludes_self_and_ranks_shared_terms(spark):
+    from transformers_spark.operators.text import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),
+            (3, "apple dog elephant"),
+            (4, "fig grape hazelnut"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(corpus, corpus.filter(F.col("doc_id") == 1), top_k=3).collect()
+    assert all(r["doc_id"] != 1 for r in out)  # no self-match
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 2  # identical doc wins
+    assert ranked[1] == 3  # one shared term
+    assert 4 not in ranked  # zero shared terms never scored

@@ -1384,6 +1384,101 @@ WHERE ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table: top-3 smoothed next tokens per head
+    (operators/text.py:bigram_lm)."""
+    from .text import bigram_lm
+
+    register_tables(spark, sf_dir, ("documents",))
+    return bigram_lm(spark.table("documents"), k_smooth=0.5, top_k=3)
+
+
+ORACLE_BIGRAM_LM = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents
+),
+pairs AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+),
+counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+v AS (SELECT COUNT(*) AS vocab FROM heads)
+SELECT w1, w2, rank, prob, c12, c1 FROM (
+  SELECT w1, w2, c12, c1, prob,
+         row_number() OVER (PARTITION BY w1
+                            ORDER BY prob DESC, w2 ASC) AS rank
+  FROM (
+    SELECT c.w1, c.w2, c.c12, h.c1,
+           ROUND((c.c12 + 0.5) / (h.c1 + 0.5 * v.vocab), 6) AS prob
+    FROM counts c JOIN heads h USING (w1), v
+  )
+) WHERE rank <= 3
+"""
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 corpus docs for each of the first 5 documents as
+    queries (operators/text.py:bm25_topk, log-free rational idf)."""
+    from .text import bm25_topk
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), top_k=5)
+
+
+# float discipline: every constant-folding step mirrors the Spark
+# expression exactly — (1.2 + 1.0) stays an ADDITION (the 2.2 literal
+# is a DIFFERENT double), (0.75 * dl) / avgdl keeps Spark's left
+# association, and per-term scores are rounded then decimal-summed so
+# the total ignores term order.
+ORACLE_BM25_RETRIEVAL = """
+WITH post AS (
+  SELECT doc_id AS doc, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents)
+  WHERE length(term) >= 3
+  GROUP BY 1, 2
+),
+doclen AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(COUNT(*) AS DOUBLE) AS n_docs
+  FROM doclen
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents WHERE doc_id < 5)
+  WHERE length(term) >= 3
+),
+matched AS (
+  SELECT q.query_id, p.doc,
+         CAST(ROUND(((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * ((p.tf * (1.2 + 1.0))
+                  / (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * l.dl) / s.avgdl))), 6)
+              AS DECIMAL(18,6)) AS part_score
+  FROM qterms q
+  JOIN post p  ON q.term = p.term
+  JOIN dfreq f ON q.term = f.term
+  JOIN doclen l ON p.doc = l.doc
+  CROSS JOIN stats s
+  WHERE q.query_id <> p.doc
+),
+scored AS (
+  SELECT query_id, doc, ROUND(CAST(SUM(part_score) AS DOUBLE), 6) AS score
+  FROM matched GROUP BY 1, 2
+)
+SELECT query_id, doc AS doc_id, rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def pipeline_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -1428,4 +1523,6 @@ def pipeline_specs() -> list:
         QS("text_pii_redaction", "PII-shaped regex scrub counts + redacted-shape cardinality", q_pii_redaction, ORACLE_PII_REDACTION),
         QS("embedding_label_centroids", "Per-label centroids via posexplode + decimal-sum mean", q_label_centroids, ORACLE_LABEL_CENTROIDS),
         QS("curation_temperature_sample", "Temperature-flattened (alpha=0.5) language-mix sampling", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE),
+        QS("text_bigram_lm", "Bigram LM table: smoothed top-3 next tokens per head", q_bigram_lm, ORACLE_BIGRAM_LM),
+        QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
     ]

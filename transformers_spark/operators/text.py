@@ -32,6 +32,8 @@ __all__ = [
     "vocab_stats",
     "span_dedup_stats",
     "pii_redaction",
+    "bigram_lm",
+    "bm25_topk",
     "BPE_TOKEN_RE",
     "PII_EMAIL_RE",
     "PII_NUMBER_RE",
@@ -592,4 +594,156 @@ def pii_redaction(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn(
             "redacted", F.regexp_replace(email_scrubbed, PII_NUMBER_RE, "<NUM>")
         )
+    )
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+    top_k: int = 3,
+) -> DataFrame:
+    """Corpus bigram language-model table: for each head token, the
+    ``top_k`` next tokens by add-k-smoothed conditional probability
+    ``P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V)`` — the statistic behind
+    n-gram perplexity filters and cheap LM-based quality scores when a
+    neural scorer is too expensive for a full-corpus pass.
+
+    Plan shape: adjacent pairs come from a map-only zip of the token
+    array with its shifted self (no posexplode+self-join); ONE shuffle
+    counts (w1, w2); the head totals ``c(w1·)`` are the per-w1 SUM of
+    those pair counts (a window over the already-shuffled counts —
+    no second corpus scan; the last token of a doc is never a head,
+    which is exactly the bigram normalization). V (distinct heads) is
+    a driver scalar from the same counts. Probabilities are exact
+    integer-ratio doubles rounded to 6 — bit-identical in any engine.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs_arr = F.when(n < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    pairs = (
+        df.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    vocab = pairs.select("w1").distinct().count()  # driver scalar
+    head_w = W.partitionBy("w1")
+    rank_w = W.partitionBy("w1").orderBy(F.desc("prob"), F.asc("w2"))
+    return (
+        pairs.withColumn("c1", F.sum("c12").over(head_w))
+        .withColumn(
+            "prob",
+            F.round(
+                (F.col("c12") + F.lit(float(k_smooth)))
+                / (F.col("c1") + F.lit(float(k_smooth) * vocab)),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .select("w1", "w2", "rank", "prob", "c12", "c1")
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Lexical retrieval: BM25 top-k corpus documents per query
+    document, with a LOG-FREE rational idf ``(N - df + 0.5)/(df + 0.5)``
+    (monotone in the standard log idf, so rankings agree; division is
+    correctly-rounded IEEE, so Spark and a DuckDB oracle agree
+    bit-for-bit where ``ln`` implementations may not).
+
+    Plan shape — an inverted-index join, never query×corpus:
+    (doc, term, tf, dl) postings from one corpus pass; df and avgdl
+    from term-keyed / global aggregates (avgdl and N are driver
+    scalars); DISTINCT query terms join postings ON TERM, so each
+    query only meets documents sharing a term. ``max_doc_freq`` drops
+    stop terms — the skew cap that keeps the hottest posting list
+    bounded at corpus scale (same discipline as the Jaccard inverted
+    index). Per-term partial scores are rounded then decimal-summed so
+    the (query, doc) total is independent of term arrival order at any
+    parallelism.
+
+    Self-matches (a query retrieving itself when queries come from the
+    corpus) are excluded. Returns (query_id, doc_id, rank, score).
+    """
+    from pyspark.sql import Window as W
+
+    from .skew import fan_out
+
+    n_docs = corpus.count()  # driver scalar
+
+    def postings_of(frame: DataFrame) -> DataFrame:
+        toks = (
+            fan_out(frame)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("term"),
+            )
+            .filter(F.col("term").isNotNull() & (F.length("term") >= min_term_len))
+        )
+        return toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    post = postings_of(corpus)
+    doclen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    post = post.join(doclen, "doc")
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("a")
+    ).collect()[0]["a"]  # driver scalar
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    q_terms = (
+        fan_out(queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term").isNotNull() & (F.length("term") >= min_term_len))
+        .distinct()
+    )
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    matched = (
+        q_terms.join(post, "term")
+        .join(dfreq, "term")
+        .filter(F.col("query_id") != F.col("doc"))
+        .select(
+            "query_id",
+            "doc",
+            F.round(idf * tf_part, 6).cast("decimal(18,6)").alias("part_score"),
+        )
+    )
+    scored = matched.groupBy("query_id", "doc").agg(
+        F.round(F.sum("part_score").cast("double"), 6).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col("doc").alias("doc_id"), "rank", "score")
     )
