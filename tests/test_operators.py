@@ -710,3 +710,21 @@ def test_bm25_excludes_self_and_ranks_shared_terms(spark):
     assert ranked[0] == 2  # identical doc wins
     assert ranked[1] == 3  # one shared term
     assert 4 not in ranked  # zero shared terms never scored
+
+
+def test_incremental_lsh_finds_known_duplicate(spark):
+    from transformers_spark.operators.dedup import incremental_lsh_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content about spark plans")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+         (101, "nothing like anything in the index whatsoever zzz")],
+        ["doc_id", "text"],
+    )
+    out = {r["new_doc"]: r for r in incremental_lsh_matches(corpus, new).collect()}
+    assert out[100]["corpus_doc"] == 1 and out[100]["matching_bands"] == 4
+    assert 101 not in out  # no spurious match

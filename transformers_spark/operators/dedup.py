@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "incremental_lsh_matches",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
 ]
@@ -139,6 +140,33 @@ def minhash_signatures(
     return hashed.select("doc", *sig_cols)
 
 
+def _band_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int, hasher: str
+) -> DataFrame:
+    """(doc, band, bucket) rows from a signature frame — the shared
+    banding step of the self-join (:func:`minhash_lsh_pairs`) and
+    incremental (:func:`incremental_lsh_matches`) LSH paths."""
+    band_cols = []
+    for band in range(bands):
+        members = [
+            F.col(f"sig_{band * rows_per_band + j}") for j in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                (
+                    F.md5(F.concat_ws("-", *members))
+                    if hasher == "portable"
+                    # fast path: 64-bit bucket id, no hex string
+                    else F.xxhash64(*members).cast("string")
+                ).alias("bucket"),
+            )
+        )
+    return sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -156,23 +184,7 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, hasher)
-    band_cols = []
-    for band in range(bands):
-        members = [F.col(f"sig_{band * rows_per_band + j}") for j in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                (
-                    F.md5(F.concat_ws("-", *members))
-                    if hasher == "portable"
-                    # fast path: 64-bit bucket id, no hex string
-                    else F.xxhash64(*members).cast("string")
-                ).alias("bucket"),
-            )
-        )
-    buckets = sigs.select(
-        F.col("doc"), F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_buckets(sigs, bands, rows_per_band, hasher)
     # One shuffle groups each bucket's members; oversized buckets
     # (degenerate content, the skew hazard) are dropped wholesale, and
     # each surviving list expands to its (d1 < d2) pairs locally — no
@@ -372,3 +384,55 @@ def simhash_fingerprints(
         term = F.when(ones * 2 > n, F.lit(weight)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return hashed.select(F.col("doc"), fingerprint.cast("bigint").alias("simhash"))
+
+
+def incremental_lsh_matches(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    min_bands: int = 1,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Incremental near-dup check: (new_doc, corpus_doc,
+    matching_bands) for every new document that shares at least
+    ``min_bands`` LSH bands with an already-indexed corpus document —
+    the production dedup shape, where each crawl increment is checked
+    against the standing index instead of re-pairing the whole corpus.
+
+    Plan shape: both sides get map-only signatures + band buckets; the
+    join is corpus-buckets ⋈ broadcast(new-buckets) ON (band, bucket).
+    The NEW side is broadcast — an increment is orders of magnitude
+    smaller than the index, so the 100 TB corpus bucket table streams
+    through map tasks with no shuffle at all (at equal sizes AQE falls
+    back to a hash join on the 16-byte bucket key). One aggregate
+    counts agreeing bands per (new, corpus) pair. In a real deployment
+    the corpus band table is computed once and persisted (it is pure
+    column math, so appending an increment to the index is the same
+    map-only signature pass).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    c_buckets = _band_buckets(
+        minhash_signatures(corpus, text_col, id_col, num_perm, shingle_n, hasher),
+        bands,
+        rows_per_band,
+        hasher,
+    ).withColumnRenamed("doc", "corpus_doc")
+    n_buckets = _band_buckets(
+        minhash_signatures(new, text_col, id_col, num_perm, shingle_n, hasher),
+        bands,
+        rows_per_band,
+        hasher,
+    ).withColumnRenamed("doc", "new_doc")
+    matched = (
+        c_buckets.join(F.broadcast(n_buckets), ["band", "bucket"])
+        .filter(F.col("corpus_doc") != F.col("new_doc"))
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("matching_bands"))
+    )
+    return matched.filter(F.col("matching_bands") >= min_bands)

@@ -1384,6 +1384,96 @@ WHERE ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the newest 20% of documents checked
+    against the older 80% as the standing index
+    (operators/dedup.py:incremental_lsh_matches). Returns every new
+    doc with its best corpus match (most agreeing bands, min-id
+    tie-break) or NULLs when nothing collides."""
+    from .dedup import incremental_lsh_matches
+    from pyspark.sql import Window as W
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    threshold = (max_id * 4) // 5
+    corpus = docs.filter(F.col("doc_id") < threshold)
+    new = docs.filter(F.col("doc_id") >= threshold)
+    matches = incremental_lsh_matches(corpus, new)
+    best = (
+        matches.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("new_doc").orderBy(
+                    F.desc("matching_bands"), F.asc("corpus_doc")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        new.select(F.col("doc_id").alias("new_doc"))
+        .join(best, "new_doc", "left")
+        .select(
+            "new_doc",
+            F.col("corpus_doc").alias("matched_doc"),
+            "matching_bands",
+        )
+    )
+
+
+def _oracle_dedup_incremental() -> str:
+    consts = lcg_constants(DEFAULT_NUM_PERM)
+    rows_per_band = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    sig_exprs = ",\n    ".join(
+        f"MIN({duck_perm_hash(duck_h32('gram'), a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {band} AS band, md5(concat_ws('-', {cols})) AS bucket FROM sigs".format(
+            band=band,
+            cols=", ".join(
+                f"sig_{band * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(DEFAULT_BANDS)
+    )
+    return f"""
+WITH thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
+toks AS (
+  SELECT doc_id AS doc, {DUCK_TOKENS} AS t FROM documents
+  WHERE len({DUCK_TOKENS}) >= 2
+),
+grams AS (
+  SELECT doc, unnest({_duck_grams(2)}) AS gram FROM toks
+),
+sigs AS (
+  SELECT doc,
+    {sig_exprs}
+  FROM grams GROUP BY doc
+),
+buckets AS ({band_selects}),
+matches AS (
+  SELECT b.doc AS new_doc, a.doc AS corpus_doc, COUNT(*) AS matching_bands
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket, thr
+  WHERE a.doc < thr.t AND b.doc >= thr.t
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_doc
+                                 ORDER BY matching_bands DESC, corpus_doc ASC) AS rn
+    FROM matches
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS new_doc, best.corpus_doc AS matched_doc, best.matching_bands
+FROM documents d LEFT JOIN best ON d.doc_id = best.new_doc, thr
+WHERE d.doc_id >= thr.t
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM table: top-3 smoothed next tokens per head
     (operators/text.py:bigram_lm)."""
@@ -1523,6 +1613,7 @@ def pipeline_specs() -> list:
         QS("text_pii_redaction", "PII-shaped regex scrub counts + redacted-shape cardinality", q_pii_redaction, ORACLE_PII_REDACTION),
         QS("embedding_label_centroids", "Per-label centroids via posexplode + decimal-sum mean", q_label_centroids, ORACLE_LABEL_CENTROIDS),
         QS("curation_temperature_sample", "Temperature-flattened (alpha=0.5) language-mix sampling", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE),
+        QS("dedup_incremental", "New-batch near-dup check against the standing LSH index", q_dedup_incremental, _oracle_dedup_incremental()),
         QS("text_bigram_lm", "Bigram LM table: smoothed top-3 next tokens per head", q_bigram_lm, ORACLE_BIGRAM_LM),
         QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
     ]
