@@ -630,11 +630,15 @@ def bigram_lm(
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
     )
-    pairs = (
+    # persist: pair counts feed both the vocab scalar action and the
+    # final probability plan — uncached, the corpus re-tokenizes for
+    # each. Released by the harness after materialization (cache.py).
+    pairs = cache.track(
         df.select(F.explode(pairs_arr).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .persist()
     )
     vocab = pairs.select("w1").distinct().count()  # driver scalar
     head_w = W.partitionBy("w1")
@@ -703,7 +707,12 @@ def bm25_topk(
         )
         return toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    post = postings_of(corpus)
+    # persist: the postings (scan+tokenize+aggregate) feed THREE
+    # consumers — the avgdl scalar action, the df aggregate, and the
+    # final match join; without the cache the corpus tokenizes three
+    # times (measured ~2.5x the query time at sf0.1). Released by the
+    # harness after materialization (cache.py registry).
+    post = cache.track(postings_of(corpus).persist())
     doclen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
     post = post.join(doclen, "doc")
     avgdl = doclen.agg(
