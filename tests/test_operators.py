@@ -728,3 +728,49 @@ def test_incremental_lsh_finds_known_duplicate(spark):
     out = {r["new_doc"]: r for r in incremental_lsh_matches(corpus, new).collect()}
     assert out[100]["corpus_doc"] == 1 and out[100]["matching_bands"] == 4
     assert 101 not in out  # no spurious match
+
+
+def test_pq_roundtrip_and_determinism(spark):
+    from transformers_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    # 8-dim vectors, 2 subspaces: three tight clusters + one outlier
+    base = [
+        (0, [0.0] * 8), (1, [0.01] * 8), (2, [0.02] * 8),
+        (3, [1.0] * 8), (4, [1.01] * 8),
+        (5, [5.0] * 8),
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    books = pq_codebooks(df, m=2, n_codes=3, iters=4)
+    assert len(books) == 2 and len(books[0]) == 3 and len(books[0][0]) == 4
+    codes = {r["doc"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    # same-cluster vectors share codes; clusters get distinct codes
+    assert codes[0] == codes[1] == codes[2]
+    assert codes[3] == codes[4]
+    assert codes[0] != codes[3] and codes[0] != codes[5]
+    # deterministic retrain
+    assert books == pq_codebooks(df, m=2, n_codes=3, iters=4)
+    # ADC ranks the same-cluster doc first for a cluster-0 query
+    q = df.filter(F.col("vec_id") == 0)
+    top = sorted(
+        pq_adc_topk(pq_encode(df, books), q, books, k=5).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert top[0]["neighbor_id"] in (1, 2)  # own cluster wins
+    assert top[-1]["neighbor_id"] == 5  # outlier ranks last
+
+
+def test_l2_topk_exact(spark):
+    from transformers_spark.operators.similarity import l2_topk
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [3.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    rows = sorted(l2_topk(df, q, k=2).collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["sq_dist"] == 1.0 and rows[1]["sq_dist"] == 25.0

@@ -33,6 +33,10 @@ __all__ = [
     "embedding_neardup_pairs",
     "random_projection",
     "label_centroids",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "l2_topk",
 ]
 
 
@@ -469,4 +473,198 @@ def label_centroids(
         "dim",
         F.round(F.col("s").cast("double") / F.col("n_vectors"), 6).alias("mean_v"),
         "n_vectors",
+    )
+
+
+def _nested_array_lit(values) -> Column:
+    """Nested array literal (arbitrary depth) as ONE parsed SQL
+    expression — same py4j-round-trip rationale as
+    :func:`_double_array_lit`."""
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return repr(float(v)) + "D"
+
+    return F.expr(render(values))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_vectors: int = 65536,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding space splits into
+    ``m`` contiguous subspaces and each learns its own ``n_codes``-entry
+    Lloyd's codebook — the compression that makes billion-vector ANN
+    feasible (a 64-dim float32 vector becomes ``m`` uint8 codes: 256
+    bytes → 4, so a 100 TB embedding store's code table fits in the
+    aggregate page cache and ADC scans become memory-bandwidth-bound).
+
+    Training mirrors :func:`kmeans_centroids`'s bounded-sample
+    discipline: ONE id-ordered take of ``max_train_vectors`` rows, all
+    Lloyd iterations driver-side in numpy (m small k-means on slices of
+    the same sample — the cluster is never touched per iteration).
+    Deterministic: id-ordered sample, lowest-id init, fixed-order
+    float64 reductions, argmin ties to the lowest code.
+
+    Returns plain nested lists ``[m][n_codes][dim/m]`` — they are
+    broadcast into encode/score expressions as literals, never joined.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .orderBy("vid")
+        .limit(max_train_vectors)
+        .collect()
+    )
+    x = np.array([r["vec"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ds = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = x[:, j * ds : (j + 1) * ds]
+        centers = sub[:n_codes].copy()
+        for _ in range(iters):
+            dists = -2.0 * (sub @ centers.T) + (centers * centers).sum(axis=1)
+            cell = np.argmin(dists, axis=1)
+            for i in range(n_codes):
+                members = sub[cell == i]
+                if len(members):
+                    centers[i] = members.sum(axis=0) / len(members)
+        books.append([[float(v) for v in c] for c in centers])
+    return books
+
+
+def _subspace_code(vec: Column, book: list[list[float]], j: int, ds: int) -> Column:
+    """argmin code for subspace ``j`` — an array_min over (dist, code)
+    structs, so ties break to the lowest code deterministically."""
+    qslice = F.slice(vec, j * ds + 1, ds)
+    cands = []
+    for c, center in enumerate(book):
+        d = F.aggregate(
+            F.zip_with(
+                qslice,
+                _double_array_lit(center),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+    return F.array_min(F.array(*cands))["c"]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to ``m`` small ints — one
+    map-only projection with the codebooks inlined as literals (no
+    join, no shuffle; the 100 TB encode pass is a pure scan)."""
+    ds = len(books[0][0])
+    codes = F.array(
+        *[_subspace_code(F.col(vec_col), book, j, ds) for j, book in enumerate(books)]
+    )
+    return corpus.select(F.col(id_col).alias("doc"), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: raw query vectors score
+    against COMPRESSED corpus codes — approximate squared L2 is the
+    sum over subspaces of ||q_j - codebook_j[code_j]||². The scan
+    touches only (id, codes) — at scale that is the whole point: the
+    ~64x-smaller code table streams while queries broadcast. Ranks on
+    rounded distance with id tie-breaks (deterministic)."""
+    m, ds = len(books), len(books[0][0])
+    cb = _nested_array_lit(books)  # [m][n_codes][ds]
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    )
+    terms = []
+    for j in range(m):
+        chosen = F.element_at(
+            F.element_at(cb, j + 1), F.col("codes").getItem(j) + 1
+        )
+        qslice = F.slice(F.col("qvec"), j * ds + 1, ds)
+        terms.append(
+            F.aggregate(
+                F.zip_with(
+                    qslice,
+                    chosen,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    scored = (
+        codes_df.crossJoin(q)
+        .filter(F.col("doc") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc").alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k (the metric PQ/ADC approximates) — same
+    broadcast-queries/scan-corpus shape as :func:`cosine_topk`."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sq, 6).alias("sq_dist"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sq_dist")
     )

@@ -1384,6 +1384,86 @@ WHERE ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+PQ_SHORTLIST_K = 20
+PQ_MIN_TOTAL_HITS = 5  # aggregate shortlist recall: ≥5 of the 25 exact
+# top-5 slots across the 5 queries must survive PQ compression — ~25%
+# corpus-level recall, vs ~1 expected hit by chance at sf0.01. Uniform
+# random embeddings are PQ's worst case (no cluster structure), so the
+# gate is corpus-level: per-query recall on this data is noisy, but a
+# broken codebook/encode/ADC drops the total to chance level.
+
+
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the full production shape: train m
+    per-subspace codebooks (driver-side Lloyd's on a bounded sample),
+    encode the corpus to m uint8-sized codes (map-only, codebooks as
+    literals — at 100 TB the ~64x-smaller code table is the whole
+    point), ADC-score a broadcast query set against the codes for a
+    shortlist, then RE-RANK the shortlist with exact distances on the
+    raw vectors (touching only |q|x20 rows of the full-width table).
+    Gated on recall against the independently-oracled exact top-5
+    (operators/similarity.py:pq_codebooks/pq_encode/pq_adc_topk)."""
+    from .similarity import l2_topk, pq_adc_topk, pq_codebooks, pq_encode
+    from pyspark.sql import Window as W
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    books = pq_codebooks(emb, m=8, n_codes=16, iters=3)
+    codes = pq_encode(emb, books)
+    shortlist = pq_adc_topk(codes, queries, books, k=PQ_SHORTLIST_K)
+    # exact re-rank of the shortlist only
+    qvecs = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    nvecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("nv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rerank_w = W.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    reranked = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(nvecs, "neighbor_id")
+        .join(qvecs, "query_id")
+        .select("query_id", "neighbor_id", F.round(sq, 6).alias("sq_dist"))
+        .withColumn("rr", F.row_number().over(rerank_w))
+        .filter(F.col("rr") <= 5)
+    )
+    exact = l2_topk(emb, queries, k=5)
+    hits = (
+        reranked.join(
+            exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    total_w = W.partitionBy()
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select("query_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+        .select(
+            "query_id",
+            (F.sum("n_hits").over(total_w) >= PQ_MIN_TOTAL_HITS).alias("recall_ok"),
+        )
+    )
+
+
+ORACLE_PQ_ADC = f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: the newest 20% of documents checked
     against the older 80% as the standing index
@@ -1614,6 +1694,7 @@ def pipeline_specs() -> list:
         QS("embedding_label_centroids", "Per-label centroids via posexplode + decimal-sum mean", q_label_centroids, ORACLE_LABEL_CENTROIDS),
         QS("curation_temperature_sample", "Temperature-flattened (alpha=0.5) language-mix sampling", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE),
         QS("dedup_incremental", "New-batch near-dup check against the standing LSH index", q_dedup_incremental, _oracle_dedup_incremental()),
+        QS("similarity_pq_adc", "PQ compress + ADC shortlist + exact re-rank, recall-gated", q_similarity_pq_adc, ORACLE_PQ_ADC),
         QS("text_bigram_lm", "Bigram LM table: smoothed top-3 next tokens per head", q_bigram_lm, ORACLE_BIGRAM_LM),
         QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
     ]
