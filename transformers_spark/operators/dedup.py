@@ -34,6 +34,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "incremental_lsh_matches",
+    "minhash_band_buckets",
+    "incremental_matches_from_buckets",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
 ]
@@ -416,21 +418,50 @@ def incremental_lsh_matches(
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
-    c_buckets = _band_buckets(
-        minhash_signatures(corpus, text_col, id_col, num_perm, shingle_n, hasher),
+    return incremental_matches_from_buckets(
+        minhash_band_buckets(corpus, text_col, id_col, num_perm, bands, shingle_n, hasher),
+        minhash_band_buckets(new, text_col, id_col, num_perm, bands, shingle_n, hasher),
+        min_bands,
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Public (doc, band, bucket) table — the persistable LSH index.
+    Computing this ONCE and filtering it into corpus/new sides (or
+    writing it as the standing index table) avoids re-tokenizing the
+    documents per side; it is what a production deployment stores."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    return _band_buckets(
+        minhash_signatures(df, text_col, id_col, num_perm, shingle_n, hasher),
         bands,
-        rows_per_band,
+        num_perm // bands,
         hasher,
-    ).withColumnRenamed("doc", "corpus_doc")
-    n_buckets = _band_buckets(
-        minhash_signatures(new, text_col, id_col, num_perm, shingle_n, hasher),
-        bands,
-        rows_per_band,
-        hasher,
-    ).withColumnRenamed("doc", "new_doc")
+    )
+
+
+def incremental_matches_from_buckets(
+    corpus_buckets: DataFrame,
+    new_buckets: DataFrame,
+    min_bands: int = 1,
+) -> DataFrame:
+    """Bucket-level half of :func:`incremental_lsh_matches`, for when
+    the band-bucket tables already exist (one shared computation or a
+    persisted index). Same broadcast-new-side join discipline."""
     matched = (
-        c_buckets.join(F.broadcast(n_buckets), ["band", "bucket"])
+        corpus_buckets.withColumnRenamed("doc", "corpus_doc")
+        .join(
+            F.broadcast(new_buckets.withColumnRenamed("doc", "new_doc")),
+            ["band", "bucket"],
+        )
         .filter(F.col("corpus_doc") != F.col("new_doc"))
         .groupBy("new_doc", "corpus_doc")
         .agg(F.count(F.lit(1)).alias("matching_bands"))

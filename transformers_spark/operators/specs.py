@@ -1467,19 +1467,27 @@ FROM embeddings WHERE vec_id < {N_QUERY_VECS}
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: the newest 20% of documents checked
     against the older 80% as the standing index
-    (operators/dedup.py:incremental_lsh_matches). Returns every new
-    doc with its best corpus match (most agreeing bands, min-id
-    tie-break) or NULLs when nothing collides."""
-    from .dedup import incremental_lsh_matches
+    (operators/dedup.py:incremental_matches_from_buckets). Returns
+    every new doc with its best corpus match (most agreeing bands,
+    min-id tie-break) or NULLs when nothing collides. The band-bucket
+    index is computed ONCE over all documents and filtered into the
+    two sides (persisted — both sides branch off the same tokenize+
+    minhash lineage; in production the corpus side is a standing
+    table)."""
+    from .dedup import incremental_matches_from_buckets, minhash_band_buckets
     from pyspark.sql import Window as W
+    from .. import cache
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     threshold = (max_id * 4) // 5
-    corpus = docs.filter(F.col("doc_id") < threshold)
     new = docs.filter(F.col("doc_id") >= threshold)
-    matches = incremental_lsh_matches(corpus, new)
+    buckets = cache.track(minhash_band_buckets(docs).persist())
+    matches = incremental_matches_from_buckets(
+        buckets.filter(F.col("doc") < threshold),
+        buckets.filter(F.col("doc") >= threshold),
+    )
     best = (
         matches.withColumn(
             "rn",
