@@ -266,3 +266,54 @@ def test_hopping_windows_one_expand_one_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_zorder_localizes_both_dimensions(spark, tmp_path):
+    """The layout-quality claim, measured from parquet footer stats:
+    for a 2-D box predicate, a z-ordered layout must prune MORE files
+    than a linear sort on the non-leading dimension can (linear sort
+    localizes only its leading column)."""
+    from transformers_spark.sources.layout import (
+        file_minmax_stats,
+        write_zordered,
+        zorder_value,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    n_files = 16
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear_x")
+    write_zordered(df, zpath, ["x", "y"], n_files=n_files, bits=8)
+    (
+        df.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def overlapping(path, box):
+        stats = file_minmax_stats(path, ["x", "y"])
+        assert len(stats) == n_files
+        n = 0
+        for s in stats:
+            if all(s[f"{c}_min"] <= hi and s[f"{c}_max"] >= lo for c, lo, hi in box):
+                n += 1
+        return n
+
+    box = [("x", 10, 13), ("y", 10, 13)]  # small 2-D box
+    z_files = overlapping(zpath, box)
+    # y-only predicate against the x-sorted layout: every file matches
+    y_only = overlapping(lpath, [("y", 10, 13)])
+    assert y_only == n_files  # linear sort can't localize y at all
+    assert z_files <= n_files // 2  # z-order prunes the 2-D box hard
+    # round-trip integrity: same rows, same count
+    assert spark.read.parquet(zpath).count() == 4096
+    # z-value is deterministic
+    z1, c1 = zorder_value(df, ["x", "y"], bits=8)
+    z2, _ = zorder_value(df, ["x", "y"], bits=8)
+    assert sorted(r[c1] for r in z1.select(c1).collect()) == sorted(
+        r[c1] for r in z2.select(c1).collect()
+    )
