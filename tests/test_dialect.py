@@ -216,3 +216,46 @@ def test_new_rewrites_execute_in_spark(spark):
     assert r["hm"] == "06:07 UTC"  # adjacent literal letters quote as one run
     assert r["ym"] == "2024/05" and r["iso"] == "2024-05-04T06:07:08"
     assert str(r["parsed"]) == "2024-05-04"
+
+
+def test_common_bq_function_rewrites_execute(spark):
+    from transformers_spark.dialect import transpile
+
+    rows = spark.sql(transpile(
+        "SELECT SAFE_DIVIDE(10, 0) AS dz,"
+        " SAFE_DIVIDE(10, 4) AS dq,"
+        " DIV(17, 5) AS intdiv,"
+        " GENERATE_ARRAY(1, 5, 2) AS ga,"
+        " GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-04') AS gda,"
+        " GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-03-01',"
+        "                     INTERVAL 1 MONTH) AS gdm,"
+        " ARRAY_TO_STRING(['a', 'b', 'c'], '-') AS ats,"
+        " FORMAT('%d-%s', 7, 'x') AS fmt"
+    )).collect()
+    r = rows[0]
+    assert r["dz"] is None and r["dq"] == 2.5
+    assert r["intdiv"] == 3
+    assert list(r["ga"]) == [1, 3, 5]
+    assert [str(d) for d in r["gda"]] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    ]
+    assert [str(d) for d in r["gdm"]] == ["2024-01-01", "2024-02-01", "2024-03-01"]
+    assert r["ats"] == "a-b-c"
+    assert r["fmt"] == "7-x"
+
+
+def test_logical_agg_rewrites_execute(spark):
+    from transformers_spark.dialect import transpile
+
+    rows = spark.sql(transpile(
+        "SELECT LOGICAL_AND(x > 0) AS all_pos, LOGICAL_OR(x > 2) AS any_big"
+        " FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)"
+    )).collect()
+    assert rows[0]["all_pos"] is True and rows[0]["any_big"] is True
+
+
+def test_format_date_untouched_by_format_rename():
+    from transformers_spark.dialect import transpile
+
+    out = transpile("SELECT FORMAT_DATE('%Y', DATE '2024-01-01') AS y")
+    assert "FORMAT_STRING" not in out.upper() or "DATE_FORMAT" in out.upper()

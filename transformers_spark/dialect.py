@@ -159,6 +159,16 @@ _ARRAY_LENGTH_RE = re.compile(r"\bARRAY_LENGTH\s*\(", re.IGNORECASE)
 _GENERATE_UUID_RE = re.compile(r"\bGENERATE_UUID\s*\(\s*\)", re.IGNORECASE)
 _STARTS_WITH_RE = re.compile(r"\bSTARTS_WITH\s*\(", re.IGNORECASE)
 _ENDS_WITH_RE = re.compile(r"\bENDS_WITH\s*\(", re.IGNORECASE)
+_SAFE_ARITH_RE = re.compile(
+    r"\bSAFE_(DIVIDE|ADD|SUBTRACT|MULTIPLY)\s*\(", re.IGNORECASE
+)
+_LOGICAL_AND_RE = re.compile(r"\bLOGICAL_AND\s*\(", re.IGNORECASE)
+_LOGICAL_OR_RE = re.compile(r"\bLOGICAL_OR\s*\(", re.IGNORECASE)
+_GENERATE_ARRAY_RE = re.compile(r"\bGENERATE_ARRAY\s*\(", re.IGNORECASE)
+_GENERATE_DATE_ARRAY_RE = re.compile(r"\bGENERATE_DATE_ARRAY\s*\(", re.IGNORECASE)
+_ARRAY_TO_STRING_RE = re.compile(r"\bARRAY_TO_STRING\s*\(", re.IGNORECASE)
+_FORMAT_FN_RE = re.compile(r"\bFORMAT\s*\(", re.IGNORECASE)
+_DIV_FN_RE = re.compile(r"\bDIV\s*\(", re.IGNORECASE)
 _TS_ARITH_RE = re.compile(r"\b(?:TIMESTAMP|DATETIME)_(SUB|ADD)\s*\(", re.IGNORECASE)
 _INTERVAL_LIT_RE = re.compile(r"INTERVAL\s+(\d+)\s+(\w+)", re.IGNORECASE)
 _DIFF_RE = re.compile(r"\b(TIMESTAMP|DATETIME|DATE)_DIFF\s*\(", re.IGNORECASE)
@@ -347,6 +357,50 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
     text = _GENERATE_UUID_RE.sub("UUID()", text)
     text = _STARTS_WITH_RE.sub("STARTSWITH(", text)
     text = _ENDS_WITH_RE.sub("ENDSWITH(", text)
+    # SAFE_DIVIDE/ADD/SUBTRACT/MULTIPLY → TRY_* (NULL instead of
+    # error — BQ's SAFE_ and Spark's TRY_ have identical semantics
+    # for overflow and division by zero)
+    text = _SAFE_ARITH_RE.sub(lambda m: f"TRY_{m.group(1).upper()}(", text)
+    # aggregate spellings
+    text = _LOGICAL_AND_RE.sub("BOOL_AND(", text)
+    text = _LOGICAL_OR_RE.sub("BOOL_OR(", text)
+    # GENERATE_ARRAY(a, b[, step]) → SEQUENCE — both are inclusive of
+    # the end bound when the step lands on it
+    text = _GENERATE_ARRAY_RE.sub("SEQUENCE(", text)
+    text = _ARRAY_TO_STRING_RE.sub("ARRAY_JOIN(", text)
+    # BQ FORMAT is printf-style, exactly format_string
+    text = _FORMAT_FN_RE.sub("FORMAT_STRING(", text)
+
+    # GENERATE_DATE_ARRAY(d1, d2[, INTERVAL n unit]) → SEQUENCE over
+    # DATEs; the default step is INTERVAL 1 DAY (BQ's default)
+    def gen_date_array(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if len(args) == 2:
+            step = "INTERVAL 1 DAY"
+        elif len(args) == 3:
+            im = _INTERVAL_LIT_RE.fullmatch(args[2].strip())
+            if not im:
+                raise ValueError(
+                    "GENERATE_DATE_ARRAY: only INTERVAL <integer> <unit> "
+                    f"steps are supported, got {args[2]!r}"
+                )
+            step = f"INTERVAL {im.group(1)} {im.group(2)}"
+        else:
+            raise ValueError(f"GENERATE_DATE_ARRAY takes 2-3 args: {arg_text!r}")
+        return (
+            f"SEQUENCE(CAST({args[0]} AS DATE), CAST({args[1]} AS DATE), {step})"
+        )
+
+    text = _replace_balanced_call(text, _GENERATE_DATE_ARRAY_RE, gen_date_array)
+
+    # DIV(a, b) → integer division operator
+    def div_render(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if len(args) != 2:
+            raise ValueError(f"DIV takes 2 args: {arg_text!r}")
+        return f"(({args[0]}) DIV ({args[1]}))"
+
+    text = _replace_balanced_call(text, _DIV_FN_RE, div_render)
 
     # TIMESTAMP_ADD/SUB(ts, INTERVAL n unit) → (ts ± INTERVAL n unit).
     # Balanced-paren scan (not a one-level regex) so arbitrarily nested
