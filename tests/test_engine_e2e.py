@@ -60,11 +60,13 @@ def test_append_accumulates(spark, engine):
     dest = "g-project.playground.append_dest"
     engine.catalog.create_table(dest, [("event_date", "date"), ("n", "bigint")])
     c = cfg("append_dest", LoadMethod.APPEND)
-    engine.transform(c, DAILY_COUNT_SQL, datetime(2024, 1, 1), datetime(2024, 1, 4), EXEC_TIME)
+    r1 = engine.transform(c, DAILY_COUNT_SQL, datetime(2024, 1, 1), datetime(2024, 1, 4), EXEC_TIME)
     first = engine.catalog.read(dest).count()
     engine.transform(c, DAILY_COUNT_SQL, datetime(2024, 1, 1), datetime(2024, 1, 4), EXEC_TIME)
     assert first == 3
     assert engine.catalog.read(dest).count() == 6
+    # observed output-row metric rides the write (no extra job)
+    assert r1.rows_written == 3
 
 
 def test_replace_non_partitioned_truncates(spark, engine):

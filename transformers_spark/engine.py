@@ -56,6 +56,9 @@ class TransformResult:
     partitions_written: list[date] = field(default_factory=list)
     rows: list[Any] = field(default_factory=list)  # script SELECT results
     dry_run: bool = False
+    # observed output rows (BQ job output-row statistics analogue);
+    # None for dry runs and pure-script tasks with no observed write
+    rows_written: int | None = None
 
 
 def compile_assets(
@@ -133,6 +136,22 @@ class Engine:
         execution_time: datetime,
         dry_run: bool = False,
     ) -> TransformResult:
+        result = self._transform(
+            task_config, sql_query, dstart, dend, execution_time, dry_run
+        )
+        # stamp observed output rows once, whatever branch returned
+        result.rows_written = self.writer.rows_written
+        return result
+
+    def _transform(
+        self,
+        task_config: TaskConfig,
+        sql_query: str,
+        dstart: datetime,
+        dend: datetime,
+        execution_time: datetime,
+        dry_run: bool = False,
+    ) -> TransformResult:
         tz = task_config.timezone
         l_dstart = localise_datetime(dstart, tz)
         l_dend = localise_datetime(dend, tz)
@@ -140,6 +159,7 @@ class Engine:
         dest = task_config.destination_table
         method = task_config.load_method
         result = TransformResult(load_method=method, destination=dest, dry_run=dry_run)
+        self.writer.reset_rows_written()
 
         if method is LoadMethod.MERGE:
             window = CustomWindow(l_dstart, l_dend)

@@ -44,6 +44,30 @@ class Writer:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
         self.catalog = catalog
+        # rows written by observed write calls since the last
+        # reset_rows_written() — the analogue of a BQ job's output-row
+        # statistics, surfaced into the xcom JSON by the runner
+        self.rows_written: int | None = None
+
+    def reset_rows_written(self) -> None:
+        self.rows_written = None
+
+    def _observed(self, df: DataFrame):
+        """Attach a row-count Observation to a frame about to be
+        written: zero extra jobs and zero extra scans — the metric
+        rides the write itself (vs a df.count() that would double-read
+        the input)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
+    def _record(self, obs) -> None:
+        try:
+            n = int(obs.get["rows"])
+        except Exception:
+            return  # metric is best-effort, never fail a write over it
+        self.rows_written = (self.rows_written or 0) + n
 
     def _refresh(self, meta: TableMeta) -> None:
         """Invalidate cached file listings after a destructive write:
@@ -142,7 +166,9 @@ class Writer:
     ) -> None:
         meta = self.catalog.get_table(fqn)
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, partition_date)
+        out, obs = self._observed(out)
         out.write.insertInto(meta.spark_name, overwrite=False)
+        self._record(obs)
 
     def overwrite_table(
         self,
@@ -161,8 +187,10 @@ class Writer:
         # Static mode: INSERT OVERWRITE with no partition spec truncates
         # the WHOLE table (in dynamic mode it would only replace touched
         # partitions — not WRITE_TRUNCATE semantics).
+        out, obs = self._observed(out)
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
             out.write.insertInto(meta.spark_name, overwrite=True)
+        self._record(obs)
         self._refresh(meta)
 
     def overwrite_partition(
@@ -227,8 +255,10 @@ class Writer:
                 f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
                 f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
             )
+        combined, obs = self._observed(combined)
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             combined.write.insertInto(meta.spark_name, overwrite=True)
+        self._record(obs)
         self._refresh(meta)
 
     def overwrite_dynamic(
@@ -241,8 +271,10 @@ class Writer:
         if not meta.partition.is_partitioned:
             raise ValueError(f"{meta.fqn} is not partitioned")
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
+        out, obs = self._observed(out)
         with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             out.write.insertInto(meta.spark_name, overwrite=True)
+        self._record(obs)
         self._refresh(meta)
 
     def delete_insert(

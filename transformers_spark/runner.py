@@ -62,6 +62,8 @@ def run_task(
     stats = collect_job_stats(spark, started)
     stats.extras["dry_run"] = dry_run
     stats.extras["load_method"] = task_config.load_method.value
+    if result.rows_written is not None:
+        stats.extras["rows_written"] = result.rows_written
     write_xcom(stats, xcom_path)
     return result
 
