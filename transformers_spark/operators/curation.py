@@ -41,6 +41,7 @@ from .text import tokens
 
 __all__ = [
     "gram_hash60",
+    "temperature_rates_bp",
     "contamination_report",
     "cap_per_group",
     "stratified_sample",
@@ -302,6 +303,25 @@ def stratified_sample(
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
 
 
+def temperature_rates_bp(
+    counts: dict, alpha: float, floor_bp: int = 1
+) -> dict:
+    """Per-stratum keep-rates in basis points for temperature
+    sampling: ``floor(10000 * (min_count/count)^(1-alpha))``, floored
+    at ``floor_bp``. alpha=0.5 routes through ``math.sqrt`` (correctly
+    rounded by IEEE-754, so ANY engine computes the identical rate);
+    other alphas use ``pow``, which may differ in the last ulp across
+    libm implementations — at worst a 1-bp rate step at the floor
+    boundary."""
+    min_c = min(counts.values())
+    out = {}
+    for v, c in counts.items():
+        x = min_c / c
+        scaled = math.sqrt(x) if alpha == 0.5 else math.pow(x, 1.0 - alpha)
+        out[v] = max(int(floor_bp), int(math.floor(10000.0 * scaled)))
+    return out
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str = "source",
@@ -333,14 +353,7 @@ def temperature_sample(
     }
     if not counts:
         return df.withColumn(kept_col, F.lit(0)).filter(F.lit(False))
-    min_c = min(counts.values())
-    rates_bp = {
-        v: max(
-            int(floor_bp),
-            int(math.floor(10000.0 * math.pow(min_c / c, 1.0 - alpha))),
-        )
-        for v, c in counts.items()
-    }
+    rates_bp = temperature_rates_bp(counts, alpha, floor_bp)
     bucket = (
         F.conv(
             F.substring(
