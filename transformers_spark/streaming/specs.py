@@ -22,6 +22,7 @@ from .windows import (
     run_available_now,
     streaming_distinct,
     streaming_event_counts,
+    streaming_running_totals,
     streaming_view_purchase_join,
 )
 
@@ -269,6 +270,44 @@ JOIN events p
 """
 
 
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode stateful running totals per user
+    (streaming/windows.py:streaming_running_totals): every micro-batch
+    emits the user's (count, min, max) so far; the drained final row
+    per user — picked by max(struct(n_events, ...)), valid because the
+    count is strictly monotone per key — must equal the batch GROUP BY
+    exactly. All emitted stats commute across arrival order, which is
+    what makes an exact oracle possible for an update-mode stream."""
+    source = _stream_source_dir(spark, sf_dir)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf = streaming_running_totals(spark, source)
+        name = "stream_totals_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        drained = run_available_now(sdf, name, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    final = F.max(
+        F.struct("n_events", "min_value", "max_value")
+    ).alias("s")
+    return drained.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.min_value").alias("min_value"),
+        F.col("s.max_value").alias("max_value"),
+    )
+
+
+ORACLE_STREAMING_RUNNING_TOTALS = """
+SELECT user_id,
+       COUNT(*)   AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def streaming_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -290,5 +329,11 @@ def streaming_specs() -> list:
             "Watermarked stream-stream interval join (availableNow drain) vs batch self-join",
             q_streaming_view_purchase_join,
             ORACLE_STREAMING_SS_JOIN,
+        ),
+        QS(
+            "streaming_running_totals",
+            "Update-mode stateful running per-user totals vs batch GROUP BY",
+            q_streaming_running_totals,
+            ORACLE_STREAMING_RUNNING_TOTALS,
         ),
     ]

@@ -35,6 +35,7 @@ __all__ = [
     "streaming_event_counts",
     "streaming_distinct",
     "streaming_view_purchase_join",
+    "streaming_running_totals",
     "sessionize",
     "run_available_now",
 ]
@@ -326,3 +327,71 @@ def run_available_now(
     )
     query.awaitTermination()
     return sdf.sparkSession.table(query_name)
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType()),
+        StructField("mn", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _running_totals_fn(key, batches, state) -> "Iterator[pd.DataFrame]":
+    """Per-user running (count, min, max) — every emitted stat is
+    ORDER-INDEPENDENT, so the drained final row per user equals the
+    batch GROUP BY exactly regardless of micro-batch boundaries (a
+    running double SUM would be arrival-order-dependent in its rounding
+    and could never hash-match an oracle; min/max/count commute)."""
+    (user_id,) = key
+    cnt, mn, mx = state.get if state.exists else (0, None, None)
+    saw = False
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        saw = True
+        cnt += len(pdf)
+        bmn = float(pdf["value"].min())
+        bmx = float(pdf["value"].max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    if not saw:
+        return
+    state.update((int(cnt), float(mn), float(mx)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [cnt],
+            "min_value": [mn],
+            "max_value": [mx],
+        }
+    )
+
+
+def streaming_running_totals(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Update-mode stateful running aggregates per user via
+    applyInPandasWithState: each micro-batch emits the user's totals so
+    far; downstream consumers (dashboards, feature stores) read the
+    latest row per key. State is three scalars per user — constant
+    size however long the stream runs. NoTimeout: totals never expire
+    (add an event-time timeout for windowed variants)."""
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir).select(
+        "user_id", "value"
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
