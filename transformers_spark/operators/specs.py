@@ -1562,6 +1562,38 @@ WHERE d.doc_id >= thr.t
 """
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of orders: null rate, exact
+    distinct count, min/max (operators/profile.py:column_profile) —
+    one aggregate pass + a map-only unpivot."""
+    from .profile import column_profile
+
+    register_tables(spark, sf_dir, ("orders",))
+    return column_profile(
+        spark.table("orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+def _profile_oracle_col(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column",
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+
+
+ORACLE_COLUMN_PROFILE = " UNION ALL ".join(
+    _profile_oracle_col(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+)
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM table: top-3 smoothed next tokens per head
     (operators/text.py:bigram_lm)."""
@@ -1705,4 +1737,5 @@ def pipeline_specs() -> list:
         QS("similarity_pq_adc", "PQ compress + ADC shortlist + exact re-rank, recall-gated", q_similarity_pq_adc, ORACLE_PQ_ADC),
         QS("text_bigram_lm", "Bigram LM table: smoothed top-3 next tokens per head", q_bigram_lm, ORACLE_BIGRAM_LM),
         QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
+        QS("column_profile", "Per-column null/distinct/min/max profile in one pass", q_column_profile, ORACLE_COLUMN_PROFILE),
     ]
