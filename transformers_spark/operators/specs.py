@@ -363,6 +363,50 @@ FROM with_best
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation the way a real pipeline validates its
+    language-ID stage: confusion matrix of the corpus's labeled lang
+    vs the stopword-vote prediction, plus each cell's share of its
+    true-label row. One map-only scoring pass + one (true, pred)
+    aggregate; the per-true-label share is a window over the tiny
+    aggregated matrix, not the corpus."""
+    from pyspark.sql import Window as W
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    preds = lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    cells = preds.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("predicted_lang").alias("pred_lang"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    per_true = W.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(per_true), 6).alias(
+            "row_frac"
+        ),
+    )
+
+
+def _oracle_langid_confusion() -> str:
+    pred_sql = _oracle_lang_id().strip().rstrip(";")
+    return f"""
+WITH preds AS ({pred_sql}),
+cells AS (
+  SELECT d.lang AS true_lang, p.predicted_lang AS pred_lang,
+         COUNT(*) AS n_docs
+  FROM documents d JOIN preds p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY true_lang), 6) AS row_frac
+FROM cells
+"""
+
+
 # --- similarity --------------------------------------------------------
 
 
@@ -1738,4 +1782,5 @@ def pipeline_specs() -> list:
         QS("text_bigram_lm", "Bigram LM table: smoothed top-3 next tokens per head", q_bigram_lm, ORACLE_BIGRAM_LM),
         QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
         QS("column_profile", "Per-column null/distinct/min/max profile in one pass", q_column_profile, ORACLE_COLUMN_PROFILE),
+        QS("text_langid_confusion", "Lang-ID confusion matrix vs labeled lang (classifier eval)", q_langid_confusion, _oracle_langid_confusion()),
     ]
