@@ -545,21 +545,29 @@ def pq_codebooks(
 
 def _subspace_code(vec: Column, book: list[list[float]], j: int, ds: int) -> Column:
     """argmin code for subspace ``j`` — an array_min over (dist, code)
-    structs, so ties break to the lowest code deterministically."""
+    structs, so ties break to the lowest code deterministically. The
+    candidate loop is ONE ``transform`` over code indices with the
+    codebook as a packed literal (the _probe_cells discipline), so the
+    expression tree — and its codegen compile time, which dominated an
+    unrolled per-code version — is independent of n_codes."""
     qslice = F.slice(vec, j * ds + 1, ds)
-    cands = []
-    for c, center in enumerate(book):
-        d = F.aggregate(
-            F.zip_with(
-                qslice,
-                _double_array_lit(center),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
-    return F.array_min(F.array(*cands))["c"]
+    book_lit = _nested_array_lit(book)  # [n_codes][ds]
+    cands = F.transform(
+        F.sequence(F.lit(1), F.lit(len(book))),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qslice,
+                    F.element_at(book_lit, c),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            (c - 1).alias("c"),
+        ),
+    )
+    return F.array_min(cands)["c"]
 
 
 def pq_encode(

