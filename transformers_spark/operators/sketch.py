@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .hashing import hash32
 
-__all__ = ["kmv_distinct", "theta_sketch_setops"]
+__all__ = ["kmv_distinct", "theta_sketch_setops", "count_min_frequencies"]
 
 HASH_SPACE = 1 << 32
 
@@ -148,4 +148,83 @@ def theta_sketch_setops(
             ),
             6,
         ).alias("jaccard"),
+    )
+
+
+def count_min_frequencies(
+    df: DataFrame,
+    key_col: str,
+    queries: list[str],
+    width: int = 256,
+    depth: int = 4,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for ``queries``, plus the exact count for comparison.
+
+    The sketch is ``depth`` hash rows x ``width`` counters: each key
+    increments one counter per row (hash salted with the row index);
+    a key's estimate is the MIN of its ``depth`` counters — always an
+    OVERestimate (collisions only add), within eN/width with
+    probability 1-(1/2)^depth. What it buys at 100 TB: the counter
+    table is depth x width longs regardless of key cardinality — it
+    fits in memory, merges across corpora by addition, and answers
+    any later frequency query without re-touching the data, where an
+    exact per-key count table scales with the vocabulary.
+
+    Determinism: counters come from one hash-groupBy over md5-derived
+    buckets (exact integer arithmetic, same plan class as a word
+    count), so a DuckDB oracle reproduces every counter and estimate
+    bit-for-bit. Returns (key, est_count, exact_count, overestimate).
+    """
+    h = hash32(hasher)
+    rows = []
+    for d in range(depth):
+        salted = h(F.concat(F.lit(f"cms{d}:"), F.col(key_col).cast("string")))
+        rows.append(
+            df.select(
+                F.lit(d).alias("row_idx"), (salted % width).alias("bucket")
+            )
+        )
+    all_rows = rows[0]
+    for r in rows[1:]:
+        all_rows = all_rows.unionByName(r)
+    counters = all_rows.groupBy("row_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # estimates for the queried keys: their (row, bucket) coordinates
+    # come from the SAME hash expression as the data side (hasher-
+    # agnostic), over a tiny |queries| x depth frame, then a broadcast
+    # join against the counter table
+    spark = df.sparkSession
+    lookup_df = spark.createDataFrame(
+        [(q, d) for q in queries for d in range(depth)], ["key", "row_idx"]
+    )
+    lookup_salted = h(
+        F.concat(
+            F.lit("cms"), F.col("row_idx").cast("string"), F.lit(":"), F.col("key")
+        )
+    )
+    lookup_df = lookup_df.withColumn("bucket", lookup_salted % width)
+    est = (
+        F.broadcast(lookup_df)
+        .join(counters, ["row_idx", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        df.filter(F.col(key_col).cast("string").isin(queries))
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            "key",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            (F.col("est_count") >= F.coalesce("exact_count", F.lit(0))).alias(
+                "overestimate_ok"
+            ),
+        )
     )

@@ -363,6 +363,65 @@ FROM with_best
 """
 
 
+CMS_WIDTH, CMS_DEPTH = 64, 4
+CMS_QUERY_USERS = ["1", "2", "3", "7", "42"]
+
+
+def q_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch event frequencies for five user ids, vs their
+    exact counts (operators/sketch.py:count_min_frequencies). width=64
+    over ~150 users forces real collisions, so the overestimate
+    property is exercised, not vacuous."""
+    from .sketch import count_min_frequencies
+
+    register_tables(spark, sf_dir, ("events",))
+    return count_min_frequencies(
+        spark.table("events"),
+        key_col="user_id",
+        queries=CMS_QUERY_USERS,
+        width=CMS_WIDTH,
+        depth=CMS_DEPTH,
+    )
+
+
+def _oracle_count_min() -> str:
+    def bucket(expr: str, d: int) -> str:
+        salted = "'cms" + str(d) + ":' || " + expr
+        return f"{duck_h32(salted)} % {CMS_WIDTH}"
+
+    counter_rows = " UNION ALL ".join(
+        f"SELECT {d} AS row_idx, {bucket('CAST(user_id AS VARCHAR)', d)} AS bucket FROM events"
+        for d in range(CMS_DEPTH)
+    )
+    lookup_rows = " UNION ALL ".join(
+        f"SELECT '{q}' AS key, {d} AS row_idx, {bucket(repr(q), d)} AS bucket"
+        for q in CMS_QUERY_USERS
+        for d in range(CMS_DEPTH)
+    )
+    keys = ", ".join(f"'{q}'" for q in CMS_QUERY_USERS)
+    return f"""
+WITH counters AS (
+  SELECT row_idx, bucket, COUNT(*) AS cnt
+  FROM ({counter_rows}) GROUP BY 1, 2
+),
+lookups AS ({lookup_rows}),
+est AS (
+  SELECT l.key, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM lookups l LEFT JOIN counters c USING (row_idx, bucket)
+  GROUP BY l.key
+),
+exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS exact_count
+  FROM events WHERE CAST(user_id AS VARCHAR) IN ({keys})
+  GROUP BY 1
+)
+SELECT e.key, e.est_count,
+       CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count,
+       e.est_count >= COALESCE(x.exact_count, 0) AS overestimate_ok
+FROM est e LEFT JOIN exact x USING (key)
+"""
+
+
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation the way a real pipeline validates its
     language-ID stage: confusion matrix of the corpus's labeled lang
@@ -1794,4 +1853,5 @@ def pipeline_specs() -> list:
         QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
         QS("column_profile", "Per-column null/distinct/min/max profile in one pass", q_column_profile, ORACLE_COLUMN_PROFILE),
         QS("text_langid_confusion", "Lang-ID confusion matrix vs labeled lang (classifier eval)", q_langid_confusion, _oracle_langid_confusion()),
+        QS("sketch_count_min", "Count-min sketch frequencies vs exact (overestimate-gated)", q_count_min_users, _oracle_count_min()),
     ]
