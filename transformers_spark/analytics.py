@@ -1353,6 +1353,165 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: a user
+    converts a stage only if its event happens AT OR AFTER the
+    previous stage's first completion. Three running-min window
+    projections share ONE shuffle (all partitioned on user_id, ordered
+    by ts — Catalyst reuses the sort), then a per-user rollup and a
+    single-row funnel summary. No self-joins: the classic 3-way
+    event-sequence join would shuffle events three times."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_view = ev.withColumn(
+        "first_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    with_click = with_view.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view").isNotNull()
+                & (F.col("ts") >= F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    with_purchase = with_click.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("first_click").isNotNull()
+                & (F.col("ts") >= F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = with_purchase.groupBy("user_id").agg(
+        F.max(F.col("first_view").isNotNull().cast("int")).alias("did_view"),
+        F.max(F.col("first_click").isNotNull().cast("int")).alias("did_click"),
+        F.max(F.col("first_purchase").isNotNull().cast("int")).alias("did_purchase"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("did_view").cast("bigint").alias("n_view"),
+        F.sum("did_click").cast("bigint").alias("n_view_click"),
+        F.sum("did_purchase").cast("bigint").alias("n_view_click_purchase"),
+    )
+    return agg.select(
+        "n_users",
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.round(F.col("n_view_click") / F.col("n_view"), 6).alias("click_rate"),
+        F.round(
+            F.col("n_view_click_purchase") / F.col("n_view_click"), 6
+        ).alias("purchase_rate"),
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH v AS (
+  SELECT user_id, event_type, ts, event_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS first_view
+  FROM events
+),
+c AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                   AND ts >= first_view THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS first_click
+  FROM v
+),
+p AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL
+                   AND ts >= first_click THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS first_purchase
+  FROM c
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS did_view,
+         MAX(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS did_click,
+         MAX(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS did_purchase
+  FROM p GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(did_view) AS BIGINT) AS n_view,
+       CAST(SUM(did_click) AS BIGINT) AS n_view_click,
+       CAST(SUM(did_purchase) AS BIGINT) AS n_view_click_purchase,
+       ROUND(CAST(SUM(did_click) AS DOUBLE) / SUM(did_view), 6) AS click_rate,
+       ROUND(CAST(SUM(did_purchase) AS DOUBLE) / SUM(did_click), 6) AS purchase_rate
+FROM per_user
+"""
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, tracked
+    across subsequent weeks. Two aggregates — per-user first week
+    (tiny, broadcast back) and (cohort, offset) distinct users — plus
+    a window share over the small cohort matrix. Weeks are epoch-day
+    div 7 buckets (engine-agnostic arithmetic; DATE_TRUNC('week')
+    anchors differ between engines)."""
+    register_tables(spark, sf_dir, ("events",))
+    # integer div, not /7-then-cast: DuckDB casts double->int by
+    # ROUNDING where Spark truncates — the repo's integer-div rule
+    ev = spark.table("events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        )
+        .cast("int")
+        .alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = ev.join(F.broadcast(first), "user_id")
+    cells = joined.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    size_w = W.partitionBy("cohort_week")
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(size_w)
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / base, 6).alias("retention"),
+    )
+
+
+ORACLE_WEEKLY_RETENTION = """
+WITH ev AS (
+  SELECT user_id,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS INT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+cells AS (
+  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+         COUNT(DISTINCT e.user_id) AS n_active
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       ROUND(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week), 6) AS retention
+FROM cells
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1387,4 +1546,6 @@ def analytics_specs() -> list:
         QS("nation_profit_trend", "TPC-H Q9-shape profit by supplier nation and year", q_nation_profit_trend, ORACLE_NATION_PROFIT_TREND),
         QS("balance_rank_distribution", "PERCENT_RANK/CUME_DIST/full-frame LAST_VALUE top decile", q_balance_rank_distribution, ORACLE_BALANCE_RANK_DISTRIBUTION),
         QS("hopping_event_windows", "Batch hopping windows (1h width, 30min slide) via F.window", q_hopping_event_windows, ORACLE_HOPPING_EVENT_WINDOWS),
+        QS("funnel_conversion", "Ordered view->click->purchase funnel, one shuffle, no self-joins", q_funnel_conversion, ORACLE_FUNNEL_CONVERSION),
+        QS("weekly_retention", "Cohort retention matrix by first-activity week", q_weekly_retention, ORACLE_WEEKLY_RETENTION),
     ]
