@@ -539,6 +539,56 @@ SELECT d1, d2, cosine FROM scored WHERE cosine >= 0.3
 """
 
 
+def q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full embedding-space dedup pass: hyperplane-bucketed cosine
+    pairs → connected components → per-vector verdict (keep lowest id
+    per component) — the modality-agnostic twin of the text
+    dedup_pipeline, for corpora deduped on semantic embeddings rather
+    than surface text. Same scale shape: bucketed candidate pairs
+    (never all-pairs), log-diameter label propagation, one verdict
+    join."""
+    from .graph import connected_components
+    from .similarity import embedding_neardup_pairs
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.3).select("d1", "d2")
+    components = connected_components(pairs)
+    return (
+        emb.select(F.col("vec_id"))
+        .join(components, F.col("vec_id") == components.vertex, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("keep_id"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id")) != F.col("vec_id")
+            ).alias("is_duplicate"),
+        )
+    )
+
+
+def _oracle_embedding_dedup_pipeline() -> str:
+    pairs_sql = _oracle_embedding_neardup().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(v, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+),
+components AS (SELECT v AS vertex, MIN(r) AS component FROM reach GROUP BY v)
+SELECT emb.vec_id,
+       COALESCE(c.component, emb.vec_id) AS keep_id,
+       COALESCE(c.component, emb.vec_id) != emb.vec_id AS is_duplicate
+FROM embeddings emb LEFT JOIN components c ON emb.vec_id = c.vertex
+"""
+
+
 def _oracle_lsh_ann() -> str:
     sig_terms = _duck_sig_terms()
     return f"""
@@ -1824,6 +1874,7 @@ def pipeline_specs() -> list:
         QS("similarity_cosine_topk", "Exact brute-force cosine top-k neighbors", q_cosine_topk, ORACLE_COSINE_TOPK),
         QS("similarity_lsh_ann", "Random-hyperplane LSH-bucketed approximate top-k", q_lsh_ann_topk, _oracle_lsh_ann()),
         QS("dedup_embedding_cosine", "Embedding-cosine near-dup pairs (hyperplane-bucketed)", q_embedding_neardup, _oracle_embedding_neardup()),
+        QS("dedup_embedding_pipeline", "Embedding-space dedup: pairs -> components -> verdicts", q_embedding_dedup_pipeline, _oracle_embedding_dedup_pipeline()),
         QS("similarity_ivf_kmeans", "IVF top-k with Lloyd's-trained codebook, recall-gated vs exact top-k", q_ivf_kmeans_topk, ORACLE_IVF_KMEANS),
         QS("text_fingerprint", "Winnowing rolling-hash document fingerprints", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         QS("text_tfidf_terms", "Log-free TF-IDF top-3 salient terms per document", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
