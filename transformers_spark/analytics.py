@@ -1512,6 +1512,39 @@ FROM cells
 """
 
 
+def q_correlated_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT clause, submitted as
+    SQL TEXT (not DataFrame calls) — exercising the spark.sql path the
+    engine's pass-through queries ride. Catalyst decorrelates the
+    subquery into a left outer aggregate join; per-row re-execution
+    never happens (the same rewrite BigQuery applies)."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               c_mktsegment AS segment,
+               (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+                FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c_acctbal > 9000.0
+        """
+    )
+
+
+ORACLE_CORRELATED_SCALAR_SELECT = """
+SELECT c_custkey,
+       c_mktsegment AS segment,
+       (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c_acctbal > 9000.0
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1548,4 +1581,5 @@ def analytics_specs() -> list:
         QS("hopping_event_windows", "Batch hopping windows (1h width, 30min slide) via F.window", q_hopping_event_windows, ORACLE_HOPPING_EVENT_WINDOWS),
         QS("funnel_conversion", "Ordered view->click->purchase funnel, one shuffle, no self-joins", q_funnel_conversion, ORACLE_FUNNEL_CONVERSION),
         QS("weekly_retention", "Cohort retention matrix by first-activity week", q_weekly_retention, ORACLE_WEEKLY_RETENTION),
+        QS("correlated_scalar_select", "SELECT-clause correlated scalar subqueries via spark.sql", q_correlated_scalar_select, ORACLE_CORRELATED_SCALAR_SELECT),
     ]
