@@ -774,3 +774,52 @@ def test_l2_topk_exact(spark):
     rows = sorted(l2_topk(df, q, k=2).collect(), key=lambda r: r["rank"])
     assert [r["neighbor_id"] for r in rows] == [1, 2]
     assert rows[0]["sq_dist"] == 1.0 and rows[1]["sq_dist"] == 25.0
+
+
+def test_funnel_requires_stage_order(spark):
+    from transformers_spark.analytics import q_funnel_conversion
+    import os, tempfile
+
+    # user 1: view -> click -> purchase (converts all stages)
+    # user 2: purchase BEFORE view/click (must NOT count as converted)
+    # user 3: view only
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00:00", 0.0),
+        (2, 1, "click", "2024-01-01 10:05:00", 0.0),
+        (3, 1, "purchase", "2024-01-01 10:10:00", 0.0),
+        (4, 2, "purchase", "2024-01-01 09:00:00", 0.0),
+        (5, 2, "view", "2024-01-01 10:00:00", 0.0),
+        (6, 2, "click", "2024-01-01 11:00:00", 0.0),
+        (7, 3, "view", "2024-01-01 10:00:00", 0.0),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = q_funnel_conversion(spark, d).collect()[0]
+    assert r["n_users"] == 3 and r["n_view"] == 3
+    assert r["n_view_click"] == 2  # users 1 and 2 click after view
+    assert r["n_view_click_purchase"] == 1  # only user 1 in order
+
+
+def test_weekly_retention_cohort_shares(spark):
+    from transformers_spark.analytics import q_weekly_retention
+    import os, tempfile
+
+    # cohort A (week of 2024-01-01): users 1,2; user 1 returns next week
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00:00", 0.0),
+        (2, 2, "view", "2024-01-02 10:00:00", 0.0),
+        (3, 1, "view", "2024-01-08 10:00:00", 0.0),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["week_offset"]: r for r in q_weekly_retention(spark, d).collect()}
+    assert out[0]["n_active"] == 2 and out[0]["retention"] == 1.0
+    assert out[1]["n_active"] == 1 and out[1]["retention"] == 0.5

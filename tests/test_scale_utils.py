@@ -317,3 +317,21 @@ def test_zorder_localizes_both_dimensions(spark, tmp_path):
     assert sorted(r[c1] for r in z1.select(c1).collect()) == sorted(
         r[c1] for r in z2.select(c1).collect()
     )
+
+
+def test_funnel_windows_share_one_shuffle(spark):
+    """The three running-min stage windows must reuse ONE user_id
+    shuffle and sort — a per-stage re-shuffle (or the classic triple
+    self-join) would triple the event movement at corpus scale."""
+    from transformers_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["funnel_conversion"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 3
+    assert plan.count("Sort") == 1
+    assert plan.count("Exchange") <= 2  # window shuffle + final tiny agg

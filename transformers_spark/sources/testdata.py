@@ -47,13 +47,24 @@ def _nano_timestamp_columns(path: str) -> tuple[str, ...]:
             return ()
         path = os.path.join(path, sorted(parts)[0])
     try:
-        schema = pq.read_schema(path)
+        pf = pq.ParquetFile(path)
+        schema = pf.schema_arrow
     except Exception:
         return ()
+    # INT96 (Spark's default timestamp output) ALSO surfaces as
+    # timestamp[ns] in the arrow schema, but Spark reads it back as a
+    # real TIMESTAMP — only annotated TIMESTAMP(NANOS) int64 columns
+    # need the long->timestamp conversion. The physical type separates
+    # the two.
+    physical = {
+        pf.schema.column(i).name: pf.schema.column(i).physical_type
+        for i in range(len(pf.schema))
+    }
     return tuple(
         field.name
         for field in schema
         if str(field.type).startswith("timestamp[ns")
+        and physical.get(field.name) == "INT64"
     )
 
 
