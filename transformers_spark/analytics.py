@@ -1545,6 +1545,98 @@ WHERE c_acctbal > 9000.0
 """
 
 
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (no partsupp table): distinct supplier
+    count per (brand, type, size-bucket) from observed lineitem
+    shipments, excluding one brand and a NOT-IN supplier subquery
+    (negative-balance suppliers stand in for the complaints filter).
+    The distinct agg shuffles (brand,type,bucket,supplier) once; the
+    exclusion list is a tiny broadcast anti-join."""
+    register_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    bad_suppliers = spark.table("supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    li = (
+        spark.table("lineitem")
+        .join(F.broadcast(spark.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand") != "Brand#1")
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return li.groupBy(
+        "p_brand",
+        "p_type",
+        (F.col("p_size") - F.col("p_size") % 10).alias("size_bucket"),
+    ).agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+
+
+ORACLE_PART_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type,
+       p_size - p_size % 10 AS size_bucket,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted: suppliers that shipped more than 20%
+    of some part's total shipped quantity ("dominant" supply
+    relationships — the excess-stock predicate re-expressed over
+    observed shipments; 20% is ~2x the uniform share in this data, so
+    the result is non-trivial at every scale factor). One (part, supplier) aggregate, a window
+    share per part over the aggregated table (not the fact table),
+    then a supplier rollup and broadcast name join."""
+    register_tables(spark, sf_dir, ("lineitem", "supplier"))
+    per_ps = spark.table("lineitem").groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("qty")
+    )
+    part_w = W.partitionBy("l_partkey")
+    dominant = per_ps.withColumn(
+        "part_total", F.sum("qty").over(part_w)
+    ).filter(F.col("qty").cast("double") > F.lit(0.2) * F.col("part_total").cast("double"))
+    per_supp = dominant.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominant_parts"),
+        F.sum("qty").cast("double").alias("dominant_qty"),
+    )
+    return per_supp.join(
+        F.broadcast(spark.table("supplier")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier"),
+        "n_dominant_parts",
+        "dominant_qty",
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+dominant AS (
+  SELECT * FROM (
+    SELECT l_partkey, l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+    FROM per_ps
+  ) WHERE CAST(qty AS DOUBLE) > 0.2 * CAST(part_total AS DOUBLE)
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier,
+       COUNT(*) AS n_dominant_parts,
+       CAST(SUM(qty) AS DOUBLE) AS dominant_qty
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1582,4 +1674,6 @@ def analytics_specs() -> list:
         QS("funnel_conversion", "Ordered view->click->purchase funnel, one shuffle, no self-joins", q_funnel_conversion, ORACLE_FUNNEL_CONVERSION),
         QS("weekly_retention", "Cohort retention matrix by first-activity week", q_weekly_retention, ORACLE_WEEKLY_RETENTION),
         QS("correlated_scalar_select", "SELECT-clause correlated scalar subqueries via spark.sql", q_correlated_scalar_select, ORACLE_CORRELATED_SCALAR_SELECT),
+        QS("part_supplier_variety", "TPC-H Q16-shape distinct-supplier counts with NOT IN", q_part_supplier_variety, ORACLE_PART_SUPPLIER_VARIETY),
+        QS("dominant_part_suppliers", "TPC-H Q20-shape dominant-share-of-part-quantity", q_dominant_part_suppliers, ORACLE_DOMINANT_PART_SUPPLIERS),
     ]
