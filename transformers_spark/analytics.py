@@ -1637,6 +1637,82 @@ GROUP BY 1, 2
 """
 
 
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp): for each part shipped to
+    ASIA-region customers, the supplier offering the lowest observed
+    unit price (extendedprice/quantity), ties to the lowest supplier
+    key. The per-part minimum is a min-STRUCT aggregate — one shuffle,
+    no groupBy-then-join-back re-scan, which is the classic Q2
+    correlated-subquery plan this replaces. Top 50 parts by unit price
+    descending (Q2's ORDER BY ... LIMIT discipline)."""
+    register_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    asia_keys = (
+        spark.table("nation")
+        .join(
+            F.broadcast(spark.table("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    unit_price = F.round(
+        F.col("l_extendedprice").cast("decimal(12,4)").cast("double")
+        / F.col("l_quantity"),
+        6,
+    )
+    li = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_keys), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("l_quantity") > 0)
+    )
+    best = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.min(
+            F.struct(
+                unit_price.alias("unit_price"), F.col("l_suppkey").alias("suppkey")
+            )
+        ).alias("b")
+    )
+    named = best.join(
+        F.broadcast(spark.table("supplier")),
+        F.col("b.suppkey") == F.col("s_suppkey"),
+    ).select(
+        "partkey",
+        F.col("s_name").alias("supplier"),
+        F.col("b.unit_price").alias("unit_price"),
+    )
+    return named.orderBy(F.desc("unit_price"), F.asc("partkey")).limit(50)
+
+
+ORACLE_CHEAPEST_SUPPLIER_PER_PART = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DOUBLE)
+               / l_quantity, 6) AS unit_price
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+  WHERE l_quantity > 0
+),
+best AS (
+  SELECT l_partkey AS partkey,
+         MIN(struct_pack(unit_price := unit_price, suppkey := l_suppkey)) AS b
+  FROM li GROUP BY 1
+)
+SELECT partkey, s_name AS supplier, b.unit_price AS unit_price
+FROM best JOIN supplier ON b.suppkey = s_suppkey
+ORDER BY unit_price DESC, partkey ASC
+LIMIT 50
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1676,4 +1752,5 @@ def analytics_specs() -> list:
         QS("correlated_scalar_select", "SELECT-clause correlated scalar subqueries via spark.sql", q_correlated_scalar_select, ORACLE_CORRELATED_SCALAR_SELECT),
         QS("part_supplier_variety", "TPC-H Q16-shape distinct-supplier counts with NOT IN", q_part_supplier_variety, ORACLE_PART_SUPPLIER_VARIETY),
         QS("dominant_part_suppliers", "TPC-H Q20-shape dominant-share-of-part-quantity", q_dominant_part_suppliers, ORACLE_DOMINANT_PART_SUPPLIERS),
+        QS("cheapest_supplier_per_part", "TPC-H Q2-shape min-per-group via min-struct (no re-scan)", q_cheapest_supplier_per_part, ORACLE_CHEAPEST_SUPPLIER_PER_PART),
     ]
