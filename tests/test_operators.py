@@ -823,3 +823,25 @@ def test_weekly_retention_cohort_shares(spark):
     out = {r["week_offset"]: r for r in q_weekly_retention(spark, d).collect()}
     assert out[0]["n_active"] == 2 and out[0]["retention"] == 1.0
     assert out[1]["n_active"] == 1 and out[1]["retention"] == 0.5
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from transformers_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r["doc"], r["chunk_idx"]),
+    )
+    d1 = [r for r in out if r["doc"] == 1]
+    # stride 2, 10 tokens -> ceil((10-2)/2)=4 chunks
+    assert [r["chunk_text"] for r in d1] == [
+        "0 1 2 3", "2 3 4 5", "4 5 6 7", "6 7 8 9"
+    ]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4, 4]
+    # short doc -> exactly one (tail) chunk
+    d2 = [r for r in out if r["doc"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b" and d2[0]["n_tokens"] == 2

@@ -1747,6 +1747,32 @@ ORACLE_COLUMN_PROFILE = " UNION ALL ".join(
 )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks with 16-token overlap
+    (operators/text.py:chunk_documents) — RAG/embedding prep."""
+    from .text import chunk_documents
+
+    register_tables(spark, sf_dir, ("documents",))
+    return chunk_documents(spark.table("documents"), chunk_tokens=64, overlap=16)
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {DUCK_TOKENS} AS ts FROM documents
+),
+starts AS (
+  SELECT doc, ts,
+         GREATEST(1, CAST(CEIL((len(ts) - 16) / 48.0) AS INT)) AS n_starts
+  FROM toks
+)
+SELECT doc,
+       i AS chunk_idx,
+       array_to_string(list_slice(ts, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text,
+       CAST(LEAST(len(ts) - i * 48, 64) AS BIGINT) AS n_tokens
+FROM starts, unnest(generate_series(0, n_starts - 1)) AS g(i)
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM table: top-3 smoothed next tokens per head
     (operators/text.py:bigram_lm)."""
@@ -1905,4 +1931,5 @@ def pipeline_specs() -> list:
         QS("column_profile", "Per-column null/distinct/min/max profile in one pass", q_column_profile, ORACLE_COLUMN_PROFILE),
         QS("text_langid_confusion", "Lang-ID confusion matrix vs labeled lang (classifier eval)", q_langid_confusion, _oracle_langid_confusion()),
         QS("sketch_count_min", "Count-min sketch frequencies vs exact (overestimate-gated)", q_count_min_users, _oracle_count_min()),
+        QS("text_chunking", "Overlapping token-window chunks (RAG/embedding prep)", q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     ]

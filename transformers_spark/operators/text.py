@@ -34,6 +34,7 @@ __all__ = [
     "pii_redaction",
     "bigram_lm",
     "bm25_topk",
+    "chunk_documents",
     "BPE_TOKEN_RE",
     "PII_EMAIL_RE",
     "PII_NUMBER_RE",
@@ -755,4 +756,57 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query_id", F.col("doc").alias("doc_id"), "rank", "score")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks —
+    (doc, chunk_idx, chunk_text, n_tokens) — the retrieval/context-
+    window prep step (RAG indexing, long-doc embedding) that runs over
+    every corpus before an embedding pass.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span
+    ``chunk_tokens``; the final chunk is the shorter tail. A document
+    shorter than one chunk yields exactly one chunk. Map-only: chunk
+    starts come from ``sequence`` and each chunk is a ``slice`` +
+    ``array_join`` of the token array inside one projection — no
+    explode-then-regroup, no shuffle at any corpus size. Emitted
+    ``n_tokens`` is the chunk's real token count (tail-aware), which
+    downstream packing/batching needs.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last start index: the largest multiple of stride that still
+    # begins a NEW span (start < n); docs shorter than one chunk get
+    # the single start 0
+    n_starts = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(chunks).alias("c"))
+        .select(
+            "doc",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
