@@ -46,6 +46,8 @@ __all__ = [
     "cap_per_group",
     "stratified_sample",
     "temperature_sample",
+    "token_budget_rates_bp",
+    "token_budget_sample",
     "pack_sequences",
 ]
 
@@ -366,5 +368,69 @@ def temperature_sample(
     )
     rate: Column = F.lit(0)
     for value, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
+
+
+def token_budget_rates_bp(
+    token_counts: dict, weights: dict, total_budget: int
+) -> dict:
+    """Per-stratum keep-rates (basis points) to hit a TOKEN budget with
+    target mix ``weights``: stratum s receives budget
+    ``total_budget * w_s / sum(w)`` tokens and keeps
+    ``min(10000, (10000 * budget_s) // tokens_s)`` — ALL integer
+    arithmetic, so any engine computes identical rates (no float
+    drift at the floor boundary). A stratum with fewer tokens than its
+    budget keeps everything; the shortfall is reported by
+    :func:`token_budget_sample`'s summary columns rather than silently
+    re-allocated (re-allocation policy is a caller decision)."""
+    sum_w = sum(weights.values())
+    out = {}
+    for s, tok in token_counts.items():
+        w = weights.get(s, 0)
+        if tok <= 0 or w <= 0:
+            out[s] = 0
+            continue
+        out[s] = min(10000, (10000 * int(total_budget) * int(w)) // (int(sum_w) * int(tok)))
+    return out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    total_budget: int,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    kept_col: str = "sample_bucket",
+) -> DataFrame:
+    """Deterministic sampling toward a TOKEN budget with a target mix:
+    the training-mixture builder ("2 parts web, 1 part code, 1 part
+    books, 10B tokens total"). Rates weight documents by their token
+    counts (one bounded per-stratum SUM, driver-collected), then the
+    keep decision is the md5-bucket map-only filter, salted
+    ``'budget:'`` so it is independent of the split/strat/temp hashes.
+    Expected kept tokens per stratum ≈ its budget; exactness is
+    statistical (documents are atomic — a pipeline needing exact token
+    counts packs/truncates downstream)."""
+    token_counts = {
+        r[0]: int(r[1] or 0)
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(count_col))
+        .collect()
+    }
+    rates = token_budget_rates_bp(token_counts, weights, total_budget)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("budget:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate: Column = F.lit(0)
+    for value, bp in rates.items():
         rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)

@@ -1747,6 +1747,57 @@ ORACLE_COLUMN_PROFILE = " UNION ALL ".join(
 )
 
 
+TOKEN_BUDGET = 8000
+TOKEN_BUDGET_HEAVY = ("src0", "src1", "src2", "src3")  # weight 3, others 1
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture builder: sample documents toward an 8000-token
+    budget with sources src0-src3 weighted 3x
+    (operators/curation.py:token_budget_sample; integer-exact rates)."""
+    from .curation import token_budget_sample
+    from .text import tokens as tok_expr
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.size(tok_expr(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    weights = {f"src{i}": (3 if f"src{i}" in TOKEN_BUDGET_HEAVY else 1) for i in range(20)}
+    return token_budget_sample(
+        docs, "source", weights, TOKEN_BUDGET, count_col="n_tokens"
+    )
+
+
+def _oracle_token_budget() -> str:
+    heavy = ", ".join(f"'{s}'" for s in TOKEN_BUDGET_HEAVY)
+    sum_w = 4 * 3 + 16 * 1
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+counts AS (SELECT source, SUM(n_tokens) AS tot FROM tok GROUP BY source),
+rates AS (
+  SELECT source,
+         LEAST(10000,
+               (10000 * {TOKEN_BUDGET}
+                * (CASE WHEN source IN ({heavy}) THEN 3 ELSE 1 END))
+               // ({sum_w} * tot)) AS rate_bp
+  FROM counts
+)
+SELECT t.doc_id, t.source, t.n_tokens,
+       ('0x' || substr(md5('budget:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000 AS sample_bucket
+FROM tok t JOIN rates r ON t.source = r.source
+WHERE ('0x' || substr(md5('budget:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000
+      < r.rate_bp
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 64-token chunks with 16-token overlap
     (operators/text.py:chunk_documents) — RAG/embedding prep."""
@@ -1932,4 +1983,5 @@ def pipeline_specs() -> list:
         QS("text_langid_confusion", "Lang-ID confusion matrix vs labeled lang (classifier eval)", q_langid_confusion, _oracle_langid_confusion()),
         QS("sketch_count_min", "Count-min sketch frequencies vs exact (overestimate-gated)", q_count_min_users, _oracle_count_min()),
         QS("text_chunking", "Overlapping token-window chunks (RAG/embedding prep)", q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+        QS("curation_token_budget", "Token-budget mixture sampling with integer-exact rates", q_token_budget_sample, _oracle_token_budget()),
     ]
