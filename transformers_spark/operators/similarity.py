@@ -37,6 +37,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "l2_topk",
+    "embedding_outliers",
 ]
 
 
@@ -676,3 +677,88 @@ def l2_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sq_dist")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding QA: flag vectors whose squared distance to their
+    class centroid exceeds ``mean + z*stddev`` of their class — the
+    mislabeled-example / embedding-drift detector run before trusting
+    a labeled embedding set.
+
+    Determinism discipline (the oracle hash-matches): centroids are
+    the rounded decimal-sum means of :func:`label_centroids`; per-dim
+    squared deviations are rounded then decimal-summed (term order
+    independent); the class moments come from decimal power sums with
+    the same degenerate-class guards as the exact-moments query.
+
+    Plan: one posexplode aggregate for centroids (tiny result,
+    broadcast back), one zip computing each vector's distance against
+    its class centroid array, one class-moments aggregate (tiny),
+    one broadcast join to flag. The corpus is scanned twice (centroid
+    pass + distance pass) — unavoidable without an approximate
+    streaming mean, and both scans are map-heavy/shuffle-light.
+    """
+    cents = label_centroids(df, vec_col, label_col)
+    cent_arrays = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_v")))
+            ).alias("cs")
+        )
+        .select(
+            "label", F.transform("cs", lambda s: s["mean_v"]).alias("centvec")
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centvec"),
+            lambda a, b: F.round(
+                (a.cast("double") - b) * (a.cast("double") - b), 6
+            ).cast("decimal(18,6)"),
+        ),
+        F.lit(0).cast("decimal(28,6)"),
+        # re-cast per step: decimal addition widens precision by one
+        # and the fold requires a stable accumulator type; (28,6) has
+        # 9 integer digits of headroom over any realistic distance
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    dists = df.join(F.broadcast(cent_arrays), label_col).select(
+        F.col(id_col).alias("vec"),
+        F.col(label_col).alias("label"),
+        F.round(sq.cast("double"), 6).alias("sq_dist"),
+    )
+    d = F.col("sq_dist").cast("decimal(18,6)")
+    moments = dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("sx"),
+        F.sum(d * d).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    var = F.when(n > 1.0, (sxx - sx * sx / n) / (n - F.lit(1.0)))
+    stats = moments.select(
+        "label",
+        (sx / n).alias("mean_d"),
+        F.when(var >= 0, F.sqrt(var)).alias("std_d"),
+    )
+    flagged = dists.join(F.broadcast(stats), "label").select(
+        "vec",
+        "label",
+        "sq_dist",
+        F.when(
+            F.col("std_d").isNotNull(),
+            F.col("sq_dist")
+            > F.col("mean_d") + F.lit(float(z_threshold)) * F.col("std_d"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+    return flagged

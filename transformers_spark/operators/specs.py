@@ -1798,6 +1798,61 @@ WHERE ('0x' || substr(md5('budget:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGIN
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid z-score outlier flags per label
+    (operators/similarity.py:embedding_outliers)."""
+    from .similarity import embedding_outliers
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    return embedding_outliers(spark.table("embeddings"), z_threshold=2.0)
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT label, dim,
+         ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*), 6) AS mean_v
+  FROM ex GROUP BY 1, 2
+),
+dists AS (
+  SELECT e.vec_id AS vec, e.label,
+         ROUND(CAST(SUM(CAST(ROUND((CAST(e.v AS DOUBLE) - c.mean_v)
+                                   * (CAST(e.v AS DOUBLE) - c.mean_v), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS sq_dist
+  FROM ex e JOIN cents c USING (label, dim)
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT label, COUNT(*) AS n,
+         SUM(CAST(sq_dist AS DECIMAL(18,6))) AS sx,
+         SUM(CAST(sq_dist AS DECIMAL(18,6)) * CAST(sq_dist AS DECIMAL(18,6))) AS sxx
+  FROM dists GROUP BY 1
+),
+stats AS (
+  SELECT label,
+         CAST(sx AS DOUBLE) / n AS mean_d,
+         CASE WHEN n > 1
+               AND (CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1.0) >= 0
+              THEN SQRT((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1.0))
+         END AS std_d
+  FROM m
+)
+SELECT d.vec, d.label, d.sq_dist,
+       CASE WHEN s.std_d IS NOT NULL
+            THEN d.sq_dist > s.mean_d + 2.0 * s.std_d
+            ELSE FALSE END AS is_outlier
+FROM dists d JOIN stats s USING (label)
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 64-token chunks with 16-token overlap
     (operators/text.py:chunk_documents) — RAG/embedding prep."""
@@ -1984,4 +2039,5 @@ def pipeline_specs() -> list:
         QS("sketch_count_min", "Count-min sketch frequencies vs exact (overestimate-gated)", q_count_min_users, _oracle_count_min()),
         QS("text_chunking", "Overlapping token-window chunks (RAG/embedding prep)", q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
         QS("curation_token_budget", "Token-budget mixture sampling with integer-exact rates", q_token_budget_sample, _oracle_token_budget()),
+        QS("embedding_outliers", "Distance-to-centroid z-score outlier flags (embedding QA)", q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
     ]
