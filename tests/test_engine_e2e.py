@@ -529,3 +529,26 @@ def test_query_priority_sets_scheduler_pool(spark, engine, tmp_path):
     assert (
         spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "batch"
     )
+
+
+def test_curation_pipeline_writes_through_engine(spark, engine):
+    """Integration: the curation operator stack lands in a managed
+    catalog table through the write layer — the operators and the
+    orchestration engine compose (filtered corpus in, APPEND out,
+    observed rows_written agrees with the table)."""
+    from transformers_spark.operators.specs import q_curated_documents
+
+    # the composite already filters to the kept documents
+    kept = q_curated_documents(spark, "/root/testdata/sf0.001")
+    dest = "g-project.playground.curated_docs"
+    engine.catalog.create_table(
+        dest,
+        [(c, t) for c, t in zip(kept.schema.names,
+                                 [f.dataType.simpleString() for f in kept.schema.fields])],
+    )
+    engine.writer.reset_rows_written()
+    engine.writer.append(dest, kept)
+    n = engine.catalog.read(dest).count()
+    assert n > 0
+    assert engine.writer.rows_written == n
+    assert n == kept.count()
