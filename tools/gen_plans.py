@@ -62,6 +62,15 @@ PICKS = {
         "Batch hopping windows — Expand doubles rows map-side, then ONE "
         "partial+final aggregate pair; never a per-window re-scan."
     ),
+    "funnel_conversion": (
+        "Ordered event funnel — three running-min windows share ONE "
+        "user_id shuffle and sort (vs the classic triple self-join that "
+        "moves events three times)."
+    ),
+    "text_bm25_retrieval": (
+        "BM25 retrieval — inverted-index term join (never query x corpus); "
+        "postings persist once for the avgdl/df/match consumers."
+    ),
 }
 
 _KEEP_PREFIXES = (
