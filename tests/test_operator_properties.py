@@ -123,3 +123,82 @@ def test_span_dedup_matches_bruteforce(spark, texts, k):
         for r in span_dedup_stats(df, span_len=k).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_bigram_lm_matches_bruteforce(spark, texts):
+    """Spark bigram_lm equals a pure-Python model on arbitrary tiny
+    corpora (single-token docs, empty docs, tie-breaks)."""
+    from collections import Counter, defaultdict
+
+    from transformers_spark.operators.text import bigram_lm
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    import re
+
+    pair_counts = Counter()
+    for _, t in docs:
+        toks = re.split(r"\s+", t.strip().lower())
+        for a, b in zip(toks, toks[1:]):
+            pair_counts[(a, b)] += 1
+    heads = defaultdict(int)
+    for (a, _), c in pair_counts.items():
+        heads[a] += c
+    vocab = len(heads)
+    expect = {}
+    for a in heads:
+        cands = sorted(
+            ((w2, c) for (w1, w2), c in pair_counts.items() if w1 == a),
+            key=lambda x: (-round((x[1] + 0.5) / (heads[a] + 0.5 * vocab), 6), x[0]),
+        )[:3]
+        for rank, (w2, c) in enumerate(cands, 1):
+            expect[(a, w2)] = (
+                rank,
+                round((c + 0.5) / (heads[a] + 0.5 * vocab), 6),
+                c,
+                heads[a],
+            )
+    got = {
+        (r["w1"], r["w2"]): (r["rank"], r["prob"], r["c12"], r["c1"])
+        for r in bigram_lm(df, k_smooth=0.5, top_k=3).collect()
+    }
+    assert got == expect
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_covers_every_token(spark, n_tokens, chunk, overlap):
+    """Every token index appears in at least one chunk; consecutive
+    chunks overlap by exactly `overlap` (except the tail)."""
+    from hypothesis import assume
+
+    from transformers_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    text = " ".join(str(i) for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    stride = chunk - overlap
+    covered = set()
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tokens"] <= chunk
+        assert toks[0] == str(r["chunk_idx"] * stride)  # correct start
+        covered.update(int(t) for t in toks)
+    assert covered == set(range(n_tokens))
