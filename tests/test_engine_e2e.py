@@ -552,3 +552,25 @@ def test_curation_pipeline_writes_through_engine(spark, engine):
     assert n > 0
     assert engine.writer.rows_written == n
     assert n == kept.count()
+
+
+def test_view_ddl_and_dependency_expansion(spark, engine):
+    """Views created under catalog coordinates (BQ-dialect SQL) are
+    queryable, and dependency resolution expands them to base tables
+    — the referencedTables behavior the reference relies on."""
+    from transformers_spark.plans.dependencies import DependencyResolver
+
+    view_fqn = "g-project.playground.events_daily_view"
+    engine.catalog.create_view(
+        view_fqn,
+        f"SELECT DATE(ts) AS d, COUNT(1) AS n FROM `{SRC_FQN}` GROUP BY DATE(ts)",
+    )
+    spark_name = engine.catalog.spark_name(view_fqn)
+    assert spark.table(spark_name).count() > 0
+    deps = DependencyResolver(spark=spark).resolve(
+        f"SELECT * FROM `{view_fqn}`"
+    )
+    # the view's BASE table appears in the resolved dependencies
+    assert any("events_src" in d for d in deps)
+    engine.catalog.drop_view(view_fqn)
+    assert not spark.catalog.tableExists(spark_name)

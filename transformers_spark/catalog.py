@@ -127,6 +127,25 @@ class Catalog:
         self.spark.sql(f"DROP TABLE IF EXISTS {_q(self.spark_name(fqn))}")
         self._meta.pop(fqn, None)
 
+    def create_view(self, fqn: str, sql_query: str, replace: bool = True) -> str:
+        """Standard (non-materialized) view under catalog coordinates;
+        ``sql_query`` may be BigQuery dialect — it transpiles through
+        the same shim as task queries. Queries through the view expand
+        to base tables in Catalyst, so dependency resolution and
+        pushdown behave exactly as BigQuery's referencedTables does
+        (reference resolves views in its dry-run dependency path)."""
+        from .dialect import transpile
+
+        name = self.spark_name(fqn)
+        db = name.split(".")[0]
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        verb = "CREATE OR REPLACE VIEW" if replace else "CREATE VIEW"
+        self.spark.sql(f"{verb} {_q(name)} AS {transpile(sql_query)}")
+        return name
+
+    def drop_view(self, fqn: str) -> None:
+        self.spark.sql(f"DROP VIEW IF EXISTS {_q(self.spark_name(fqn))}")
+
     def table_exists(self, fqn: str) -> bool:
         return self.spark.catalog.tableExists(self.spark_name(fqn))
 
