@@ -123,3 +123,23 @@ def test_script_select_row_cap(spark):
             eng.run_script("SELECT id FROM RANGE(50)")
     finally:
         Engine.MAX_SCRIPT_RESULT_ROWS = old
+
+
+def test_parse_update():
+    from transformers_spark.dml import parse_update
+
+    target, assignments, pred = parse_update(
+        "UPDATE `proj.data.t` SET a = a + 1, b = 'x, y' WHERE c > 3;"
+    )
+    assert target == "proj.data.t"
+    assert assignments == {"a": "a + 1", "b": "'x, y'"}
+    assert pred == "c > 3"
+
+
+def test_parse_update_requires_where():
+    import pytest
+
+    from transformers_spark.dml import parse_update
+
+    with pytest.raises(ValueError):
+        parse_update("UPDATE t SET a = 1")

@@ -574,3 +574,60 @@ def test_view_ddl_and_dependency_expansion(spark, engine):
     assert any("events_src" in d for d in deps)
     engine.catalog.drop_view(view_fqn)
     assert not spark.catalog.tableExists(spark_name)
+
+
+def test_update_statement_partition_scoped(spark, engine):
+    """Standalone UPDATE (BigQuery DML surface): rows matching the
+    predicate are rewritten in place; out-of-scope partitions keep
+    their files untouched."""
+    import glob
+    import os
+
+    dest = "g-project.playground.update_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_ts", "timestamp"), ("n", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="event_ts"),
+    )
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} "
+        "VALUES (TIMESTAMP'2024-01-01 12:00:00', 5, DATE'2024-01-01'),"
+        "       (TIMESTAMP'2024-01-09 00:00:00', 7, DATE'2024-01-09')"
+    )
+    loc = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {engine.catalog.spark_name(dest)}"
+    ).filter("col_name = 'Location'").collect()[0]["data_type"].replace("file:", "")
+    before = set(glob.glob(os.path.join(loc, "dt=2024-01-09", "*.parquet")))
+    engine.run_script(
+        f"UPDATE `{dest}` SET n = n * 10 WHERE DATE(event_ts) = DATE'2024-01-01'"
+    )
+    rows = {r["dt"]: r["n"] for r in engine.catalog.read(dest).collect()}
+    from datetime import date as _date
+
+    assert rows[_date(2024, 1, 1)] == 50  # updated in place
+    assert rows[_date(2024, 1, 9)] == 7  # untouched
+    after = set(glob.glob(os.path.join(loc, "dt=2024-01-09", "*.parquet")))
+    assert before == after  # out-of-scope partition files not rewritten
+
+
+def test_update_on_partition_column_moves_rows(spark, engine):
+    """An UPDATE that changes the partition field falls back to the
+    whole-table staged rewrite and the row LANDS in its new
+    partition."""
+    dest = "g-project.playground.update_move_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_ts", "timestamp"), ("n", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="event_ts"),
+    )
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} "
+        "VALUES (TIMESTAMP'2024-01-01 12:00:00', 5, DATE'2024-01-01')"
+    )
+    engine.run_script(
+        f"UPDATE `{dest}` SET event_ts = TIMESTAMP'2024-02-02 12:00:00' WHERE n = 5"
+    )
+    from datetime import date as _date
+
+    rows = engine.catalog.read(dest).collect()
+    assert len(rows) == 1 and rows[0]["dt"] == _date(2024, 2, 2)

@@ -35,7 +35,7 @@ from .catalog import Catalog
 from .dialect import _split_top_level_args
 from .loaders import Writer
 
-__all__ = ["MergeStatement", "parse_merge", "parse_delete", "execute_merge", "execute_delete"]
+__all__ = ["MergeStatement", "parse_merge", "parse_delete", "parse_update", "execute_merge", "execute_delete", "execute_update"]
 
 
 @dataclass
@@ -378,3 +378,44 @@ def execute_delete(
     spark: SparkSession, catalog: Catalog, writer: Writer, fqn: str, predicate: str
 ) -> None:
     writer.delete_where(fqn, predicate)
+
+
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_update(sql: str) -> tuple[str, dict, str]:
+    """``UPDATE t SET c = expr, ... WHERE pred`` →
+    (target, {col: expr}, predicate). BigQuery requires the WHERE
+    clause on UPDATE — so does this parser. String literals are masked
+    before the comma split so ``SET b = 'x, y'`` parses."""
+    from .dialect import _mask, _unmask
+
+    masked = _mask(sql.strip().rstrip(";"))
+    m = _UPDATE_RE.match(masked.text)
+    if m is None:
+        raise ValueError("not an UPDATE statement (WHERE clause is required)")
+    assignments = {}
+    for part in _split_top_level_args(m.group(2)):
+        lhs, sep, rhs = part.partition("=")
+        if not sep:
+            raise ValueError(f"malformed SET assignment: {part!r}")
+        assignments[lhs.strip().strip("`")] = _unmask(masked, rhs.strip())
+    return (
+        _strip_ident(_unmask(masked, m.group(1))),
+        assignments,
+        _unmask(masked, m.group(3).strip()),
+    )
+
+
+def execute_update(
+    spark: SparkSession,
+    catalog: Catalog,
+    writer: Writer,
+    fqn: str,
+    assignments: dict,
+    predicate: str,
+) -> None:
+    writer.update_where(fqn, assignments, predicate)

@@ -37,7 +37,15 @@ from .dialect import (
     table_references,
     transpile,
 )
-from .dml import execute_delete, execute_merge, fqn_for_spark_name, parse_delete, parse_merge
+from .dml import (
+    execute_delete,
+    execute_merge,
+    execute_update,
+    fqn_for_spark_name,
+    parse_delete,
+    parse_merge,
+    parse_update,
+)
 from .loaders import Writer
 from .macros import render_macros
 from .session import apply_engine_conf
@@ -447,6 +455,14 @@ class Engine:
                 if fqn is None:
                     raise ValueError(f"unknown DELETE target {target}")
                 execute_delete(self.spark, self.catalog, self.writer, fqn, predicate)
+            elif kind == "update":
+                target, assignments, predicate = parse_update(stmt)
+                fqn = fqn_for_spark_name(self.catalog, target) or default_destination
+                if fqn is None:
+                    raise ValueError(f"unknown UPDATE target {target}")
+                execute_update(
+                    self.spark, self.catalog, self.writer, fqn, assignments, predicate
+                )
             elif kind == "drop_table":
                 m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+)$", stmt, re.IGNORECASE)
                 name = m.group(1).strip().strip(";").strip()

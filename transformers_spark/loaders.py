@@ -337,6 +337,42 @@ class Writer:
         order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
         self._replace_affected_partitions(meta, kept_in_scope.select(*order), affected)
 
+    def update_where(
+        self, fqn: str, assignments: dict, predicate: str
+    ) -> None:
+        """``UPDATE t SET c = expr WHERE pred`` via staged rewrite —
+        the same cost class as BigQuery's DML (a job that rewrites the
+        affected storage). Partition-scoped on partitioned tables
+        UNLESS an assignment can change the partition column (then
+        rows may move between partitions, so the whole table stages);
+        non-partitioned tables always stage whole."""
+        meta = self.catalog.get_table(fqn)
+        dest = self.spark.table(meta.spark_name)
+        matches = F.coalesce(F.expr(predicate), F.lit(False))
+        assigned = {c.lower() for c in assignments}
+        updated = dest
+        for col, expr in assignments.items():
+            updated = updated.withColumn(
+                col, F.when(matches, F.expr(expr)).otherwise(F.col(f"`{col}`"))
+            )
+        part = meta.partition
+        partition_safe = part.is_partitioned and not (
+            (part.field or "").lower() in assigned
+        )
+        if not partition_safe:
+            out = updated
+            if part.is_partitioned and part.field:
+                # dt derives from the partition field — recompute it
+                out = updated.withColumn(
+                    PARTITION_COL, F.to_date(F.col(f"`{part.field}`"))
+                )
+            self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
+            return
+        affected = dest.filter(matches).select(PARTITION_COL).distinct()
+        in_scope = updated.join(F.broadcast(affected), PARTITION_COL, "left_semi")
+        order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
+        self._replace_affected_partitions(meta, in_scope.select(*order), affected)
+
     def _replace_affected_partitions(
         self, meta: TableMeta, combined: DataFrame, affected: DataFrame
     ) -> None:
