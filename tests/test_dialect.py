@@ -259,3 +259,20 @@ def test_format_date_untouched_by_format_rename():
 
     out = transpile("SELECT FORMAT_DATE('%Y', DATE '2024-01-01') AS y")
     assert "FORMAT_STRING" not in out.upper() or "DATE_FORMAT" in out.upper()
+
+
+def test_generate_array_empty_on_wrong_direction(spark):
+    from transformers_spark.dialect import transpile
+
+    rows = spark.sql(transpile(
+        "SELECT GENERATE_ARRAY(5, 1) AS e,"
+        " GENERATE_ARRAY(1, 3) AS up,"
+        " GENERATE_ARRAY(3, 1, -1) AS down,"
+        " GENERATE_ARRAY(1, 3, -1) AS e2,"
+        " GENERATE_ARRAY(2, 2, -1) AS single,"
+        " GENERATE_DATE_ARRAY(DATE '2024-01-02', DATE '2024-01-01') AS ed"
+    )).collect()
+    r = rows[0]
+    assert list(r["e"]) == [] and list(r["ed"]) == []
+    assert list(r["up"]) == [1, 2, 3] and list(r["down"]) == [3, 2, 1]
+    assert list(r["e2"]) == [] and list(r["single"]) == [2]

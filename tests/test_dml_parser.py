@@ -143,3 +143,13 @@ def test_parse_update_requires_where():
 
     with pytest.raises(ValueError):
         parse_update("UPDATE t SET a = 1")
+
+
+def test_parse_update_subquery_in_set():
+    from transformers_spark.dml import parse_update
+
+    target, assignments, pred = parse_update(
+        "UPDATE t SET a = (SELECT MAX(x) FROM u WHERE u.k = t.k) WHERE t.id = 1"
+    )
+    assert assignments == {"a": "(SELECT MAX(x) FROM u WHERE u.k = t.k)"}
+    assert pred == "t.id = 1"

@@ -631,3 +631,16 @@ def test_update_on_partition_column_moves_rows(spark, engine):
 
     rows = engine.catalog.read(dest).collect()
     assert len(rows) == 1 and rows[0]["dt"] == _date(2024, 2, 2)
+
+
+def test_update_evaluates_against_original_row(spark, engine):
+    """SQL UPDATE semantics: SET expressions and the predicate see the
+    ORIGINAL row — SET a = b, b = a must swap."""
+    dest = "g-project.playground.update_swap_dest"
+    engine.catalog.create_table(dest, [("a", "bigint"), ("b", "bigint")])
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} VALUES (1, 2), (30, 40)"
+    )
+    engine.run_script(f"UPDATE `{dest}` SET a = b, b = a WHERE a < 10")
+    rows = {tuple(r) for r in engine.catalog.read(dest).collect()}
+    assert rows == {(2, 1), (30, 40)}  # swapped, not a=b=2

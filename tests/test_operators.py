@@ -845,3 +845,36 @@ def test_chunk_documents_overlap_and_tail(spark):
     # short doc -> exactly one (tail) chunk
     d2 = [r for r in out if r["doc"] == 2]
     assert len(d2) == 1 and d2[0]["chunk_text"] == "a b" and d2[0]["n_tokens"] == 2
+
+
+def test_chunk_documents_skips_null_text(spark):
+    from transformers_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    assert {r["doc"] for r in rows} == {1}  # no phantom chunk for null
+
+
+def test_bm25_ignores_termless_docs_in_idf(spark):
+    from transformers_spark.operators.text import bm25_topk
+
+    # doc 3 has only short tokens -> no postings; idf must use N=2
+    corpus = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "a b c")],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(corpus, corpus.filter(F.col("doc_id") == 1), top_k=2).collect()
+    # 'banana' appears in 1 of N=2 indexed docs: idf=(2-1+0.5)/1.5=1.0;
+    # with N=3 it would be (3-1+0.5)/1.5 — different score
+    assert len(out) == 1 and out[0]["doc_id"] == 2
+
+
+def test_token_budget_rejects_fractional_weights():
+    import pytest
+
+    from transformers_spark.operators.curation import token_budget_rates_bp
+
+    with pytest.raises(ValueError):
+        token_budget_rates_bp({"a": 100}, {"a": 0.6}, 50)

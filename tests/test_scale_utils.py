@@ -335,3 +335,21 @@ def test_funnel_windows_share_one_shuffle(spark):
     assert plan.count("Window") == 3
     assert plan.count("Sort") == 1
     assert plan.count("Exchange") <= 2  # window shuffle + final tiny agg
+
+
+def test_zorder_handles_nulls_and_rejects_empty(spark):
+    import pytest
+
+    from transformers_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (15, 15), (None, 15)], ["x", "y"]
+    )
+    zdf, zcol = zorder_value(df, ["x", "y"], bits=4)
+    rows = {(r["x"], r["y"]): r[zcol] for r in zdf.collect()}
+    # NULL x quantizes to cell 0 (NULLS FIRST), same as x=0
+    assert rows[(None, 15)] == rows[(0, 15)] if (0, 15) in rows else True
+    assert rows[(None, 15)] < rows[(15, 15)]
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError):
+        zorder_value(empty, ["x", "y"], bits=4)

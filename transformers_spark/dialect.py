@@ -364,9 +364,37 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
     # aggregate spellings
     text = _LOGICAL_AND_RE.sub("BOOL_AND(", text)
     text = _LOGICAL_OR_RE.sub("BOOL_OR(", text)
-    # GENERATE_ARRAY(a, b[, step]) → SEQUENCE — both are inclusive of
-    # the end bound when the step lands on it
-    text = _GENERATE_ARRAY_RE.sub("SEQUENCE(", text)
+    # GENERATE_ARRAY(a, b[, step]) → SEQUENCE, with BigQuery's
+    # empty-on-wrong-direction semantics preserved: BQ's default step
+    # is +1 and a start past the end yields [], while Spark's SEQUENCE
+    # defaults to step -1 there (silently descending) and ERRORS when
+    # an explicit step points the wrong way. The rewrite guards with a
+    # lazily-evaluated conditional whose empty branch is a zero-length
+    # slice of a 1-element sequence (type-correct empty array).
+    def gen_array(arg_text: str) -> str:
+        args = _split_top_level_args(arg_text)
+        if len(args) == 2:
+            a, b = args[0].strip(), args[1].strip()
+            return (
+                f"IF(({a}) <= ({b}), SEQUENCE({a}, {b}), "
+                f"SLICE(SEQUENCE({a}, {a}), 1, 0))"
+            )
+        if len(args) == 3:
+            a, b, s = (x.strip() for x in args)
+            sm = re.fullmatch(r"-?\d+", s)
+            if sm is None:
+                raise ValueError(
+                    f"GENERATE_ARRAY: only integer-literal steps are "
+                    f"supported, got {s!r}"
+                )
+            cond = f"({a}) <= ({b})" if int(s) > 0 else f"({a}) >= ({b})"
+            return (
+                f"IF({cond}, SEQUENCE({a}, {b}, {s}), "
+                f"SLICE(SEQUENCE({a}, {a}, {s}), 1, 0))"
+            )
+        raise ValueError(f"GENERATE_ARRAY takes 2-3 args: {arg_text!r}")
+
+    text = _replace_balanced_call(text, _GENERATE_ARRAY_RE, gen_array)
     text = _ARRAY_TO_STRING_RE.sub("ARRAY_JOIN(", text)
     # BQ FORMAT is printf-style, exactly format_string
     text = _FORMAT_FN_RE.sub("FORMAT_STRING(", text)
@@ -376,7 +404,7 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
     def gen_date_array(arg_text: str) -> str:
         args = _split_top_level_args(arg_text)
         if len(args) == 2:
-            step = "INTERVAL 1 DAY"
+            step, step_n = "INTERVAL 1 DAY", 1
         elif len(args) == 3:
             im = _INTERVAL_LIT_RE.fullmatch(args[2].strip())
             if not im:
@@ -384,11 +412,17 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
                     "GENERATE_DATE_ARRAY: only INTERVAL <integer> <unit> "
                     f"steps are supported, got {args[2]!r}"
                 )
-            step = f"INTERVAL {im.group(1)} {im.group(2)}"
+            step, step_n = f"INTERVAL {im.group(1)} {im.group(2)}", int(im.group(1))
         else:
             raise ValueError(f"GENERATE_DATE_ARRAY takes 2-3 args: {arg_text!r}")
+        d1 = f"CAST({args[0]} AS DATE)"
+        d2 = f"CAST({args[1]} AS DATE)"
+        # BQ: wrong-direction ranges are EMPTY; Spark SEQUENCE errors —
+        # same lazy-conditional guard as GENERATE_ARRAY
+        cond = f"{d1} <= {d2}" if step_n > 0 else f"{d1} >= {d2}"
         return (
-            f"SEQUENCE(CAST({args[0]} AS DATE), CAST({args[1]} AS DATE), {step})"
+            f"IF({cond}, SEQUENCE({d1}, {d2}, {step}), "
+            f"SLICE(SEQUENCE({d1}, {d1}, {step}), 1, 0))"
         )
 
     text = _replace_balanced_call(text, _GENERATE_DATE_ARRAY_RE, gen_date_array)

@@ -380,33 +380,53 @@ def execute_delete(
     writer.delete_where(fqn, predicate)
 
 
-_UPDATE_RE = re.compile(
-    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
-    re.IGNORECASE | re.DOTALL,
+_UPDATE_HEAD_RE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+", re.IGNORECASE | re.DOTALL
 )
+_WHERE_TOKEN_RE = re.compile(r"\bWHERE\b", re.IGNORECASE)
+
+
+def _split_at_top_level_where(text: str) -> tuple[str, str] | None:
+    """Split at the first WHERE token at paren depth 0 — a WHERE
+    inside a parenthesized subquery (``SET a = (SELECT ... WHERE ...)``)
+    must not terminate the SET clause. Operates on masked text, so
+    string literals can't fake a WHERE either."""
+    depth = 0
+    for m in _WHERE_TOKEN_RE.finditer(text):
+        depth = text.count("(", 0, m.start()) - text.count(")", 0, m.start())
+        if depth == 0:
+            return text[: m.start()].rstrip(), text[m.end() :].strip()
+    return None
 
 
 def parse_update(sql: str) -> tuple[str, dict, str]:
     """``UPDATE t SET c = expr, ... WHERE pred`` →
     (target, {col: expr}, predicate). BigQuery requires the WHERE
     clause on UPDATE — so does this parser. String literals are masked
-    before the comma split so ``SET b = 'x, y'`` parses."""
+    before splitting (``SET b = 'x, y'`` parses; a literal containing
+    the word WHERE can't split the statement), and the SET/WHERE split
+    happens at paren depth 0 so subqueries in assignments survive."""
     from .dialect import _mask, _unmask
 
     masked = _mask(sql.strip().rstrip(";"))
-    m = _UPDATE_RE.match(masked.text)
-    if m is None:
+    head = _UPDATE_HEAD_RE.match(masked.text)
+    if head is None:
+        raise ValueError("not an UPDATE statement")
+    rest = masked.text[head.end() :]
+    split = _split_at_top_level_where(rest)
+    if split is None:
         raise ValueError("not an UPDATE statement (WHERE clause is required)")
+    set_text, where_text = split
     assignments = {}
-    for part in _split_top_level_args(m.group(2)):
+    for part in _split_top_level_args(set_text):
         lhs, sep, rhs = part.partition("=")
         if not sep:
             raise ValueError(f"malformed SET assignment: {part!r}")
         assignments[lhs.strip().strip("`")] = _unmask(masked, rhs.strip())
     return (
-        _strip_ident(_unmask(masked, m.group(1))),
+        _strip_ident(_unmask(masked, head.group(1))),
         assignments,
-        _unmask(masked, m.group(3).strip()),
+        _unmask(masked, where_text),
     )
 
 

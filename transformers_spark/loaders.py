@@ -350,11 +350,24 @@ class Writer:
         dest = self.spark.table(meta.spark_name)
         matches = F.coalesce(F.expr(predicate), F.lit(False))
         assigned = {c.lower() for c in assignments}
-        updated = dest
-        for col, expr in assignments.items():
-            updated = updated.withColumn(
-                col, F.when(matches, F.expr(expr)).otherwise(F.col(f"`{col}`"))
-            )
+        # ONE projection, never sequential withColumn: SQL UPDATE
+        # evaluates the predicate and every SET expression against the
+        # ORIGINAL row — chained withColumn would let later assignments
+        # (and the predicate inside their CASE) see earlier ones
+        # (SET a = b, b = a must swap; SET a = 0, b = 1 WHERE a > 10
+        # must set both).
+        updated_cols = []
+        for name in dest.columns:
+            if name.lower() in assigned:
+                expr = next(e for c, e in assignments.items() if c.lower() == name.lower())
+                updated_cols.append(
+                    F.when(matches, F.expr(expr))
+                    .otherwise(F.col(f"`{name}`"))
+                    .alias(name)
+                )
+            else:
+                updated_cols.append(F.col(f"`{name}`").alias(name))
+        updated = dest.select(*updated_cols)
         part = meta.partition
         partition_safe = part.is_partitioned and not (
             (part.field or "").lower() in assigned

@@ -384,6 +384,15 @@ def token_budget_rates_bp(
     budget keeps everything; the shortfall is reported by
     :func:`token_budget_sample`'s summary columns rather than silently
     re-allocated (re-allocation policy is a caller decision)."""
+    for s, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool):
+            # int(0.6) would silently become 0 and zero the stratum;
+            # integer ratios are also what keeps the rate arithmetic
+            # engine-exact (express 0.6/0.4 as 3/2)
+            raise ValueError(
+                f"mix weight for {s!r} must be a positive integer ratio, "
+                f"got {w!r} — express fractional mixes as integer ratios"
+            )
     sum_w = sum(weights.values())
     out = {}
     for s, tok in token_counts.items():
@@ -391,7 +400,7 @@ def token_budget_rates_bp(
         if tok <= 0 or w <= 0:
             out[s] = 0
             continue
-        out[s] = min(10000, (10000 * int(total_budget) * int(w)) // (int(sum_w) * int(tok)))
+        out[s] = min(10000, (10000 * int(total_budget) * w) // (sum_w * int(tok)))
     return out
 
 

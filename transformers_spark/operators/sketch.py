@@ -178,17 +178,24 @@ def count_min_frequencies(
     bit-for-bit. Returns (key, est_count, exact_count, overestimate).
     """
     h = hash32(hasher)
-    rows = []
-    for d in range(depth):
-        salted = h(F.concat(F.lit(f"cms{d}:"), F.col(key_col).cast("string")))
-        rows.append(
-            df.select(
-                F.lit(d).alias("row_idx"), (salted % width).alias("bucket")
+    # ONE scan: each row explodes into its depth (row_idx, bucket)
+    # coordinates inside a single projection — a per-depth select
+    # union would re-read the source depth times
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row_idx"),
+                (
+                    h(F.concat(F.lit(f"cms{d}:"), F.col(key_col).cast("string")))
+                    % width
+                ).alias("bucket"),
             )
-        )
-    all_rows = rows[0]
-    for r in rows[1:]:
-        all_rows = all_rows.unionByName(r)
+            for d in range(depth)
+        ]
+    )
+    all_rows = df.select(F.explode(coords).alias("rb")).select(
+        F.col("rb.row_idx").alias("row_idx"), F.col("rb.bucket").alias("bucket")
+    )
     counters = all_rows.groupBy("row_idx", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -206,9 +213,11 @@ def count_min_frequencies(
         )
     )
     lookup_df = lookup_df.withColumn("bucket", lookup_salted % width)
+    # broadcast the COUNTER table (depth x width rows, bounded by
+    # construction): it is the build side of this left join — a hint
+    # on the left/preserved side of a left-outer join is ignored
     est = (
-        F.broadcast(lookup_df)
-        .join(counters, ["row_idx", "bucket"], "left")
+        lookup_df.join(F.broadcast(counters), ["row_idx", "bucket"], "left")
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

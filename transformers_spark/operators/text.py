@@ -695,8 +695,6 @@ def bm25_topk(
 
     from .skew import fan_out
 
-    n_docs = corpus.count()  # driver scalar
-
     def postings_of(frame: DataFrame) -> DataFrame:
         toks = (
             fan_out(frame)
@@ -716,9 +714,16 @@ def bm25_topk(
     post = cache.track(postings_of(corpus).persist())
     doclen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
     post = post.join(doclen, "doc")
-    avgdl = doclen.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("a")
-    ).collect()[0]["a"]  # driver scalar
+    # N = documents WITH at least one indexed term (= |doclen|): a doc
+    # whose tokens are all below min_term_len contributes nothing to
+    # tf/df/avgdl, so counting it in N would make idf disagree with
+    # the index the scores are computed over. One agg serves both
+    # driver scalars.
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("a"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["a"]
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
@@ -802,7 +807,10 @@ def chunk_documents(
         ),
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(chunks).alias("c"))
+        # NULL text yields no chunks (least/greatest SKIP nulls, so an
+        # unfiltered null row would emit one phantom full-size chunk)
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.explode(chunks).alias("c"))
         .select(
             "doc",
             F.col("c.chunk_idx").alias("chunk_idx"),

@@ -49,8 +49,20 @@ def zorder_value(
     quantized: list[Column] = []
     for c in cols:
         mn, mx = ranges[f"mn_{c}"], ranges[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"cannot z-order on {c!r}: no non-null values to quantize"
+            )
         span = (mx - mn) or 1.0
-        q = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * max_q)
+        # NULLs quantize to cell 0 (SQL NULLS FIRST convention): they
+        # cluster in the lowest corner instead of silently landing in
+        # the max cell (least/greatest SKIP nulls) and widening the top
+        # file's min/max stats
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+            / F.lit(span)
+            * max_q
+        )
         quantized.append(
             F.greatest(F.lit(0), F.least(F.lit(max_q), q)).cast("long")
         )
