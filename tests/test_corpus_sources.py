@@ -97,3 +97,34 @@ def test_read_csv_documents_with_header(spark, tmp_path):
         fh.write('c1,"comma, inside",en,web\n')
     rows = read_csv_documents(spark, p).collect()
     assert len(rows) == 1 and rows[0]["text"] == "comma, inside"
+
+
+def test_export_data_roundtrip(spark, tmp_path):
+    """Extract-job analogue: csv/json/parquet exports round-trip, the
+    single-file form yields exactly one data file, gzip compresses."""
+    import glob
+    import os
+
+    from transformers_spark.exports import export_data
+
+    df = spark.createDataFrame(
+        [(1, 'quote " and, comma'), (2, "plain")], ["id", "text"]
+    )
+    base = str(tmp_path)
+    export_data(df, os.path.join(base, "csv"), "csv", single_file=True)
+    export_data(df, os.path.join(base, "json"), "json", compression="gzip")
+    export_data(df, os.path.join(base, "pq"), "parquet")
+    csv_files = glob.glob(os.path.join(base, "csv", "part-*"))
+    assert len(csv_files) == 1  # single-URI form
+    back = (
+        spark.read.option("header", "true").option("escape", '"')
+        .csv(os.path.join(base, "csv"))
+    )
+    assert {r["text"] for r in back.collect()} == {'quote " and, comma', "plain"}
+    assert glob.glob(os.path.join(base, "json", "part-*.gz"))  # compressed
+    assert spark.read.parquet(os.path.join(base, "pq")).count() == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_data(df, base, "avro")

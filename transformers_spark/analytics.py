@@ -1713,6 +1713,43 @@ LIMIT 50
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan with a 3-predicate range
+    filter and one aggregate — the canonical predicate-pushdown probe
+    (all three predicates must reach the parquet row groups; the
+    whole query is one partial+final agg with no shuffle of data
+    rows)."""
+    register_tables(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").cast("decimal(7,4)").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,4)")
+            * F.col("l_discount").cast("decimal(7,4)")
+        )
+        .cast("double")
+        .alias("revenue_change"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) AS revenue_change,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(7,4)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1753,4 +1790,5 @@ def analytics_specs() -> list:
         QS("part_supplier_variety", "TPC-H Q16-shape distinct-supplier counts with NOT IN", q_part_supplier_variety, ORACLE_PART_SUPPLIER_VARIETY),
         QS("dominant_part_suppliers", "TPC-H Q20-shape dominant-share-of-part-quantity", q_dominant_part_suppliers, ORACLE_DOMINANT_PART_SUPPLIERS),
         QS("cheapest_supplier_per_part", "TPC-H Q2-shape min-per-group via min-struct (no re-scan)", q_cheapest_supplier_per_part, ORACLE_CHEAPEST_SUPPLIER_PER_PART),
+        QS("forecast_revenue_change", "TPC-H Q6-shape range-filter aggregate (pushdown probe)", q_forecast_revenue_change, ORACLE_FORECAST_REVENUE_CHANGE),
     ]
