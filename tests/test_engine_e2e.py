@@ -644,3 +644,20 @@ def test_update_evaluates_against_original_row(spark, engine):
     engine.run_script(f"UPDATE `{dest}` SET a = b, b = a WHERE a < 10")
     rows = {tuple(r) for r in engine.catalog.read(dest).collect()}
     assert rows == {(2, 1), (30, 40)}  # swapped, not a=b=2
+
+
+def test_export_data_statement(spark, engine, tmp_path):
+    """BQ EXPORT DATA OPTIONS(...) AS SELECT runs through the script
+    runner: wildcard uri -> sharded files, csv header round-trips."""
+    import glob
+    import os
+
+    dest = str(tmp_path / "out")
+    engine.run_script(
+        f"EXPORT DATA OPTIONS(uri='{dest}/part-*', format='CSV', header=true) "
+        f"AS SELECT event_type, COUNT(1) AS n FROM `{SRC_FQN}` GROUP BY event_type"
+    )
+    files = glob.glob(os.path.join(dest, "part-*"))
+    assert files
+    back = spark.read.option("header", "true").csv(dest)
+    assert back.count() > 0 and set(back.columns) == {"event_type", "n"}

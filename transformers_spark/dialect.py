@@ -595,6 +595,7 @@ _STMT_KIND_RES = [
     ("update", re.compile(r"^\s*UPDATE\b", re.IGNORECASE)),
     ("insert", re.compile(r"^\s*INSERT\b", re.IGNORECASE)),
     ("drop_table", re.compile(r"^\s*DROP\s+TABLE\b", re.IGNORECASE)),
+    ("export_data", re.compile(r"^\s*EXPORT\s+DATA\b", re.IGNORECASE)),
     ("create", re.compile(r"^\s*CREATE\b", re.IGNORECASE)),
     ("select", re.compile(r"^\s*(WITH|SELECT)\b", re.IGNORECASE)),
 ]

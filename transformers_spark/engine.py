@@ -463,6 +463,10 @@ class Engine:
                 execute_update(
                     self.spark, self.catalog, self.writer, fqn, assignments, predicate
                 )
+            elif kind == "export_data":
+                from .exports import execute_export_data
+
+                execute_export_data(self.spark, stmt)
             elif kind == "drop_table":
                 m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+)$", stmt, re.IGNORECASE)
                 name = m.group(1).strip().strip(";").strip()

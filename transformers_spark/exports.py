@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["export_data", "EXPORT_FORMATS"]
+__all__ = ["export_data", "parse_export_data", "execute_export_data", "EXPORT_FORMATS"]
 
 EXPORT_FORMATS = ("csv", "json", "parquet")
 
@@ -54,3 +54,69 @@ def export_data(
         writer.json(path)
     else:
         writer.parquet(path)
+
+
+_EXPORT_RE_SRC = (
+    r"^\s*EXPORT\s+DATA\s+OPTIONS\s*\((?P<opts>.*?)\)\s+AS\s+(?P<query>.*)$"
+)
+
+
+def parse_export_data(sql: str) -> tuple[dict, str]:
+    """``EXPORT DATA OPTIONS(uri='...', format='CSV', ...) AS SELECT
+    ...`` → (options, query). Mirrors BigQuery's statement: uri and
+    format are required; header/compression/overwrite optional.
+    BigQuery demands a wildcard in the uri; here a trailing ``*``
+    (or none) selects the sharded layout and its absence plus
+    ``single_file`` isn't expressible in BQ — the uri's basename
+    directory is used either way."""
+    import re
+
+    m = re.match(_EXPORT_RE_SRC, sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError("not an EXPORT DATA statement")
+    opts: dict = {}
+    for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", m.group("opts")):
+        k, sep, v = part.partition("=")
+        if not sep:
+            raise ValueError(f"malformed EXPORT DATA option: {part!r}")
+        key = k.strip().lower()
+        val = v.strip().strip("'\"")
+        opts[key] = val
+    if "uri" not in opts or "format" not in opts:
+        raise ValueError("EXPORT DATA requires uri and format options")
+    return opts, m.group("query").strip()
+
+
+def execute_export_data(spark, sql: str) -> str:
+    """Run an EXPORT DATA statement through :func:`export_data`;
+    returns the destination directory."""
+    opts, query = parse_export_data(sql)
+    uri = opts["uri"]
+    # BQ-style wildcard uri ('gs://.../part-*') → the directory is the
+    # destination and sharding is the default; a non-wildcard uri maps
+    # to the single-file form
+    import os
+
+    single = "*" not in uri
+    # 'dir/part-*' → the DIRECTORY is the destination (the wildcard
+    # names the shard files, which Spark controls)
+    dest = os.path.dirname(uri.split("*")[0]) if "*" in uri else uri
+    fmt_map = {
+        "csv": "csv",
+        "json": "json",
+        "newline_delimited_json": "json",
+        "parquet": "parquet",
+    }
+    fmt = fmt_map.get(opts["format"].lower())
+    if fmt is None:
+        raise ValueError(f"unsupported EXPORT DATA format {opts['format']!r}")
+    export_data(
+        spark.sql(query),
+        dest,
+        fmt,
+        single_file=single,
+        compression=(opts.get("compression") or "").lower() or None,
+        header=opts.get("header", "true").lower() in ("true", "1"),
+        overwrite=opts.get("overwrite", "true").lower() in ("true", "1"),
+    )
+    return dest
