@@ -1750,6 +1750,83 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per event type, days whose count
+    deviates from the trailing-7-day mean by more than 2 trailing
+    standard deviations. The daily rollup is one aggregate; the
+    trailing moments come from integer power sums inside a 7-row frame
+    (counts are exact integers, so mean/std are bit-stable in any
+    engine — no decimal gymnastics needed); the z-filter is a map-only
+    projection over the small daily table. Days with fewer than 3
+    prior observations or zero variance are never flagged."""
+    register_tables(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    frame = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)  # trailing week, EXCLUDING the current day
+    )
+    with_sums = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.count(F.lit(1)).over(frame).alias("w_n"),
+        F.sum("n").over(frame).alias("w_sx"),
+        F.sum(F.col("n") * F.col("n")).over(frame).alias("w_sxx"),
+    )
+    wn = F.col("w_n").cast("double")
+    sx, sxx = F.col("w_sx").cast("double"), F.col("w_sxx").cast("double")
+    mean = sx / wn
+    var = (sxx - sx * sx / wn) / (wn - F.lit(1.0))
+    scored = with_sums.filter(F.col("w_n") >= 3).select(
+        "event_type",
+        "d",
+        "n",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(
+            (F.col("n") - mean) / F.sqrt(var), 6
+        ).alias("z"),
+        (var > 0).alias("has_var"),
+    )
+    return (
+        scored.filter(F.col("has_var") & (F.abs(F.col("z")) > 2.0))
+        .select("event_type", "d", "n", "trailing_mean", "z")
+    )
+
+
+ORACLE_EVENT_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type, d, n,
+         COUNT(*)    OVER w AS w_n,
+         SUM(n)      OVER w AS w_sx,
+         SUM(n * n)  OVER w AS w_sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, d, n,
+         ROUND(CAST(w_sx AS DOUBLE) / w_n, 6) AS trailing_mean,
+         (CAST(w_sxx AS DOUBLE) - CAST(w_sx AS DOUBLE) * CAST(w_sx AS DOUBLE) / w_n)
+           / (w_n - 1.0) AS var,
+         CAST(w_sx AS DOUBLE) / w_n AS mean_raw
+  FROM sums WHERE w_n >= 3
+)
+SELECT event_type, d, n, trailing_mean,
+       ROUND((n - mean_raw) / SQRT(var), 6) AS z
+FROM scored
+WHERE var > 0 AND ABS((n - mean_raw) / SQRT(var)) > 2.0
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1791,4 +1868,5 @@ def analytics_specs() -> list:
         QS("dominant_part_suppliers", "TPC-H Q20-shape dominant-share-of-part-quantity", q_dominant_part_suppliers, ORACLE_DOMINANT_PART_SUPPLIERS),
         QS("cheapest_supplier_per_part", "TPC-H Q2-shape min-per-group via min-struct (no re-scan)", q_cheapest_supplier_per_part, ORACLE_CHEAPEST_SUPPLIER_PER_PART),
         QS("forecast_revenue_change", "TPC-H Q6-shape range-filter aggregate (pushdown probe)", q_forecast_revenue_change, ORACLE_FORECAST_REVENUE_CHANGE),
+        QS("event_anomaly_days", "Trailing-window z-score anomaly days per event type", q_event_anomaly_days, ORACLE_EVENT_ANOMALY_DAYS),
     ]
