@@ -1827,6 +1827,73 @@ WHERE var > 0 AND ABS((n - mean_raw) / SQRT(var)) > 2.0
 """
 
 
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the query run BEFORE choosing a join
+    strategy at scale: the distribution of per-key group sizes for
+    lineitem's two big join keys (orderkey, partkey), bucketed by
+    power of two, plus each bucket's share of total rows. Two
+    aggregates per key (key-count, then size-histogram — the second
+    over the already-aggregated key table) and a window share over
+    the tiny histogram. A heavy tail here is what argues for salting
+    or AQE skew splits; this testdata's uniform keys show none."""
+    register_tables(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem")
+
+    def histogram(key: str, label: str) -> DataFrame:
+        per_key = li.groupBy(key).agg(F.count(F.lit(1)).alias("k_rows"))
+        bucketed = per_key.select(
+            F.lit(label).alias("join_key"),
+            # power-of-two bucket via exact integer BIT LENGTH —
+            # floor(log2(n)) through floating log2 can be off by one
+            # at exact powers across libm implementations
+            (F.length(F.bin(F.col("k_rows"))) - 1).alias("log2_bucket"),
+            "k_rows",
+        )
+        return bucketed.groupBy("join_key", "log2_bucket").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("k_rows").cast("bigint").alias("n_rows"),
+        )
+    hist = histogram("l_orderkey", "orderkey").unionByName(
+        histogram("l_partkey", "partkey")
+    )
+    share_w = W.partitionBy("join_key")
+    return hist.select(
+        "join_key",
+        "log2_bucket",
+        "n_keys",
+        "n_rows",
+        F.round(F.col("n_rows") / F.sum("n_rows").over(share_w), 6).alias(
+            "row_share"
+        ),
+    )
+
+
+ORACLE_JOIN_KEY_SKEW_REPORT = """
+WITH ok AS (
+  SELECT 'orderkey' AS join_key,
+         CAST(LENGTH(BIN(COUNT(*))) - 1 AS INT) AS log2_bucket,
+         COUNT(*) AS k_rows
+  FROM lineitem GROUP BY l_orderkey
+),
+pk AS (
+  SELECT 'partkey' AS join_key,
+         CAST(LENGTH(BIN(COUNT(*))) - 1 AS INT) AS log2_bucket,
+         COUNT(*) AS k_rows
+  FROM lineitem GROUP BY l_partkey
+),
+hist AS (
+  SELECT join_key, log2_bucket, COUNT(*) AS n_keys,
+         CAST(SUM(k_rows) AS BIGINT) AS n_rows
+  FROM (SELECT * FROM ok UNION ALL SELECT * FROM pk)
+  GROUP BY 1, 2
+)
+SELECT join_key, log2_bucket, n_keys, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE)
+             / SUM(n_rows) OVER (PARTITION BY join_key), 6) AS row_share
+FROM hist
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1869,4 +1936,5 @@ def analytics_specs() -> list:
         QS("cheapest_supplier_per_part", "TPC-H Q2-shape min-per-group via min-struct (no re-scan)", q_cheapest_supplier_per_part, ORACLE_CHEAPEST_SUPPLIER_PER_PART),
         QS("forecast_revenue_change", "TPC-H Q6-shape range-filter aggregate (pushdown probe)", q_forecast_revenue_change, ORACLE_FORECAST_REVENUE_CHANGE),
         QS("event_anomaly_days", "Trailing-window z-score anomaly days per event type", q_event_anomaly_days, ORACLE_EVENT_ANOMALY_DAYS),
+        QS("join_key_skew_report", "Per-key group-size histogram (pre-join skew diagnosis)", q_join_key_skew_report, ORACLE_JOIN_KEY_SKEW_REPORT),
     ]
