@@ -1894,6 +1894,115 @@ FROM hist
 """
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    (prev_type → next_type counts and row-normalized probabilities)
+    over each user's time-ordered stream. One lag window on the
+    user_id shuffle, one small aggregate, a window share over the
+    25-cell matrix — the Markov-chain build behind next-action
+    prediction and funnel-drop diagnostics."""
+    register_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cells = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_w = W.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_w), 6).alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM cells
+"""
+
+
+def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized value statistics per event type: clip at the exact
+    [p05, p95] discrete percentiles, then re-aggregate — the standard
+    outlier-robust feature prep. percentile_disc picks ACTUAL data
+    values (engine-portable, unlike interpolated percentile_cont whose
+    arithmetic can drift); the clip + re-aggregate is one more pass
+    over the same single shuffle key."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select("event_type", "value")
+    pcts = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value"))).alias("v"),
+        (F.col("value") < F.col("p05")).cast("int").alias("clip_lo"),
+        (F.col("value") > F.col("p95")).cast("int").alias("clip_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.max("p05"), 6).alias("p05"),
+        F.round(F.max("p95"), 6).alias("p95"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(12,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+        F.sum("clip_lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
+    )
+
+
+ORACLE_VALUE_WINSORIZED_STATS = """
+WITH pcts AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS p05,
+         quantile_disc(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, p.p05, p.p95,
+         GREATEST(p.p05, LEAST(p.p95, e.value)) AS v,
+         CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END AS clip_hi
+  FROM events e JOIN pcts p USING (event_type)
+)
+SELECT event_type,
+       ROUND(MAX(p05), 6) AS p05,
+       ROUND(MAX(p95), 6) AS p95,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6)
+         AS winsorized_mean,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high
+FROM clipped
+GROUP BY event_type
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -1937,4 +2046,6 @@ def analytics_specs() -> list:
         QS("forecast_revenue_change", "TPC-H Q6-shape range-filter aggregate (pushdown probe)", q_forecast_revenue_change, ORACLE_FORECAST_REVENUE_CHANGE),
         QS("event_anomaly_days", "Trailing-window z-score anomaly days per event type", q_event_anomaly_days, ORACLE_EVENT_ANOMALY_DAYS),
         QS("join_key_skew_report", "Per-key group-size histogram (pre-join skew diagnosis)", q_join_key_skew_report, ORACLE_JOIN_KEY_SKEW_REPORT),
+        QS("event_transition_matrix", "Markov transition matrix over per-user event streams", q_event_transition_matrix, ORACLE_EVENT_TRANSITION_MATRIX),
+        QS("value_winsorized_stats", "Winsorized stats: clip at exact p05/p95, re-aggregate", q_value_winsorized_stats, ORACLE_VALUE_WINSORIZED_STATS),
     ]
