@@ -2003,6 +2003,59 @@ GROUP BY event_type
 """
 
 
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (decimal-summed spend), each quartiled with NTILE over fully
+    deterministic orderings (custkey tie-breaks), rolled up to
+    segment-level counts. One orders aggregate, three window passes
+    over the small per-customer table, one rollup."""
+    register_tables(spark, sf_dir, ("orders",))
+    orders = spark.table("orders")
+    max_date = orders.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(max_date.isoformat()).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("monetary"),
+    )
+    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(r_w).alias("r_quartile"),
+        F.ntile(4).over(f_w).alias("f_quartile"),
+        F.ntile(4).over(m_w).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+ORACLE_CUSTOMER_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+           - MAX(CAST(o_orderdate AS DATE)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile
+  FROM per_cust
+)
+SELECT r_quartile, f_quartile, m_quartile, COUNT(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -2048,4 +2101,5 @@ def analytics_specs() -> list:
         QS("join_key_skew_report", "Per-key group-size histogram (pre-join skew diagnosis)", q_join_key_skew_report, ORACLE_JOIN_KEY_SKEW_REPORT),
         QS("event_transition_matrix", "Markov transition matrix over per-user event streams", q_event_transition_matrix, ORACLE_EVENT_TRANSITION_MATRIX),
         QS("value_winsorized_stats", "Winsorized stats: clip at exact p05/p95, re-aggregate", q_value_winsorized_stats, ORACLE_VALUE_WINSORIZED_STATS),
+        QS("customer_rfm_segments", "RFM quartile segmentation with deterministic NTILE ties", q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS),
     ]

@@ -1879,6 +1879,48 @@ FROM starts, unnest(generate_series(0, n_starts - 1)) AS g(i)
 """
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the dedup result: histogram of duplicate-cluster
+    sizes (size 1 = unique docs) with each bucket's share of the
+    corpus — the before/after report a dedup pass ships with. Reuses
+    the full pipeline verdicts; the histogram is two tiny aggregates
+    over the per-doc verdict table."""
+    from .dedup import dedup_pipeline
+    from pyspark.sql import Window as W
+
+    register_tables(spark, sf_dir, ("documents",))
+    verdicts = dedup_pipeline(spark.table("documents"))
+    sizes = verdicts.groupBy("keep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    total_w = W.partitionBy()
+    return hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        F.round(
+            (F.col("cluster_size") * F.col("n_clusters"))
+            / F.sum(F.col("cluster_size") * F.col("n_clusters")).over(total_w),
+            6,
+        ).alias("doc_share"),
+    )
+
+
+def _oracle_dedup_cluster_sizes() -> str:
+    verdicts_sql = _oracle_dedup_pipeline().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE verdicts AS ({verdicts_sql}),
+sizes AS (SELECT keep_id, COUNT(*) AS cluster_size FROM verdicts GROUP BY 1),
+hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
+)
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       ROUND(CAST(cluster_size * n_clusters AS DOUBLE)
+             / SUM(cluster_size * n_clusters) OVER (), 6) AS doc_share
+FROM hist
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM table: top-3 smoothed next tokens per head
     (operators/text.py:bigram_lm)."""
@@ -2032,6 +2074,7 @@ def pipeline_specs() -> list:
         QS("curation_temperature_sample", "Temperature-flattened (alpha=0.5) language-mix sampling", q_temperature_sample, ORACLE_TEMPERATURE_SAMPLE),
         QS("dedup_incremental", "New-batch near-dup check against the standing LSH index", q_dedup_incremental, _oracle_dedup_incremental()),
         QS("similarity_pq_adc", "PQ compress + ADC shortlist + exact re-rank, recall-gated", q_similarity_pq_adc, ORACLE_PQ_ADC),
+        QS("dedup_cluster_sizes", "Histogram of duplicate-cluster sizes (dedup composition)", q_dedup_cluster_sizes, _oracle_dedup_cluster_sizes()),
         QS("text_bigram_lm", "Bigram LM table: smoothed top-3 next tokens per head", q_bigram_lm, ORACLE_BIGRAM_LM),
         QS("text_bm25_retrieval", "BM25 top-5 retrieval via inverted-index join (log-free idf)", q_bm25_retrieval, ORACLE_BM25_RETRIEVAL),
         QS("column_profile", "Per-column null/distinct/min/max profile in one pass", q_column_profile, ORACLE_COLUMN_PROFILE),
