@@ -2056,6 +2056,72 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+def q_discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-sensitivity probe: corr(discount, quantity) per part type
+    from EXACT decimal power sums (the event_value_moments discipline —
+    built-in corr's double accumulation is partitioning-order-dependent
+    and can never hash-match an oracle). Broadcast part join + one
+    map-side-combined aggregate; degenerate groups are NULL on both
+    sides by the same explicit guards."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    li = spark.table("lineitem").join(
+        F.broadcast(spark.table("part")), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_type",
+        F.col("l_discount").cast("decimal(12,4)").alias("x"),
+        F.col("l_quantity").cast("decimal(12,4)").alias("y"),
+    )
+    sums = li.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return sums.select(
+        "p_type",
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(
+            F.when(
+                (vx > 0) & (vy > 0),
+                (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+            ),
+            6,
+        ).alias("corr_discount_qty"),
+    )
+
+
+ORACLE_DISCOUNT_QUANTITY_CORRELATION = """
+WITH s AS (
+  SELECT p_type,
+         COUNT(*) AS n,
+         SUM(CAST(l_discount AS DECIMAL(12,4))) AS sx,
+         SUM(CAST(l_discount AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS syy,
+         SUM(CAST(l_discount AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS sxy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type,
+       CAST(n AS BIGINT) AS n_items,
+       CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+       END AS corr_discount_qty
+FROM s
+"""
+
+
 def analytics_specs() -> list:
     from .queries import QuerySpec as QS
 
@@ -2102,4 +2168,5 @@ def analytics_specs() -> list:
         QS("event_transition_matrix", "Markov transition matrix over per-user event streams", q_event_transition_matrix, ORACLE_EVENT_TRANSITION_MATRIX),
         QS("value_winsorized_stats", "Winsorized stats: clip at exact p05/p95, re-aggregate", q_value_winsorized_stats, ORACLE_VALUE_WINSORIZED_STATS),
         QS("customer_rfm_segments", "RFM quartile segmentation with deterministic NTILE ties", q_customer_rfm_segments, ORACLE_CUSTOMER_RFM_SEGMENTS),
+        QS("discount_quantity_correlation", "Exact corr(discount, quantity) per part type", q_discount_quantity_correlation, ORACLE_DISCOUNT_QUANTITY_CORRELATION),
     ]
