@@ -128,3 +128,41 @@ def test_export_data_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         export_data(df, base, "avro")
+
+
+def test_export_data_statement_bq_defaults_and_quotes(spark, tmp_path):
+    """EXPORT DATA defaults follow BigQuery (header/overwrite false);
+    double-quoted option values with commas parse; degenerate
+    destinations are rejected."""
+    import os
+
+    import pytest
+
+    from transformers_spark.exports import execute_export_data, parse_export_data
+
+    opts, query = parse_export_data(
+        'EXPORT DATA OPTIONS(uri="/tmp/a,b/part-*", format=\'CSV\') AS SELECT 1'
+    )
+    assert opts["uri"] == "/tmp/a,b/part-*" and query == "SELECT 1"
+
+    dest = str(tmp_path / "out")
+    execute_export_data(
+        spark,
+        f"EXPORT DATA OPTIONS(uri='{dest}/part-*', format='CSV') AS SELECT 1 AS x",
+    )
+    # header defaults FALSE: the lone line is data, not a header
+    import glob
+
+    (f,) = [p for p in glob.glob(os.path.join(dest, "part-*")) if not p.endswith(".crc")]
+    assert open(f).read().strip() == "1"
+    # overwrite defaults FALSE: a second export to the same uri refuses
+    with pytest.raises(Exception):
+        execute_export_data(
+            spark,
+            f"EXPORT DATA OPTIONS(uri='{dest}/part-*', format='CSV') AS SELECT 2 AS x",
+        )
+    # degenerate destination
+    with pytest.raises(ValueError):
+        execute_export_data(
+            spark, "EXPORT DATA OPTIONS(uri='/out-*', format='CSV') AS SELECT 1"
+        )

@@ -2012,14 +2012,26 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the small per-customer table, one rollup."""
     register_tables(spark, sf_dir, ("orders",))
     orders = spark.table("orders")
-    max_date = orders.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.datediff(
-            F.lit(max_date.isoformat()).cast("date"),
-            F.max(F.col("o_orderdate").cast("date")),
-        ).alias("recency_days"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("monetary"),
+    # LAZY corpus max via a broadcast 1-row cross join — an eager
+    # collect here would run a full scan just to BUILD the plan (and
+    # crash on an empty table); this stays a plan until an action runs
+    max_date = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__max_date")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__max_date"), F.col("__last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
     )
     r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
     f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))

@@ -64,23 +64,28 @@ _EXPORT_RE_SRC = (
 def parse_export_data(sql: str) -> tuple[dict, str]:
     """``EXPORT DATA OPTIONS(uri='...', format='CSV', ...) AS SELECT
     ...`` → (options, query). Mirrors BigQuery's statement: uri and
-    format are required; header/compression/overwrite optional.
-    BigQuery demands a wildcard in the uri; here a trailing ``*``
-    (or none) selects the sharded layout and its absence plus
-    ``single_file`` isn't expressible in BQ — the uri's basename
-    directory is used either way."""
+    format are required; header/compression/overwrite optional and
+    DEFAULT FALSE (BigQuery's documented statement defaults). String
+    option values may use single or double quotes (masked before the
+    comma split, so quoted commas survive)."""
     import re
+
+    from .dialect import _mask, _unmask
 
     m = re.match(_EXPORT_RE_SRC, sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
     if m is None:
         raise ValueError("not an EXPORT DATA statement")
+    masked = _mask(m.group("opts"))
     opts: dict = {}
-    for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", m.group("opts")):
+    for part in masked.text.split(","):
         k, sep, v = part.partition("=")
         if not sep:
             raise ValueError(f"malformed EXPORT DATA option: {part!r}")
         key = k.strip().lower()
-        val = v.strip().strip("'\"")
+        val = _unmask(masked, v.strip())
+        # strip MATCHING surrounding quotes only
+        if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+            val = val[1:-1]
         opts[key] = val
     if "uri" not in opts or "format" not in opts:
         raise ValueError("EXPORT DATA requires uri and format options")
@@ -89,7 +94,11 @@ def parse_export_data(sql: str) -> tuple[dict, str]:
 
 def execute_export_data(spark, sql: str) -> str:
     """Run an EXPORT DATA statement through :func:`export_data`;
-    returns the destination directory."""
+    returns the destination directory. Overwrite semantics are
+    DIRECTORY-level (Spark's file-sink model): with overwrite=true the
+    whole destination directory is replaced — coarser than BigQuery's
+    per-object replacement, hence overwrite defaults to false and a
+    degenerate destination (root / empty) is rejected outright."""
     opts, query = parse_export_data(sql)
     uri = opts["uri"]
     # BQ-style wildcard uri ('gs://.../part-*') → the directory is the
@@ -101,6 +110,11 @@ def execute_export_data(spark, sql: str) -> str:
     # 'dir/part-*' → the DIRECTORY is the destination (the wildcard
     # names the shard files, which Spark controls)
     dest = os.path.dirname(uri.split("*")[0]) if "*" in uri else uri
+    if not dest.rstrip("/" + os.sep):
+        raise ValueError(
+            f"EXPORT DATA uri {uri!r} resolves to an empty or root "
+            "destination directory — refuse rather than overwrite it"
+        )
     fmt_map = {
         "csv": "csv",
         "json": "json",
@@ -116,7 +130,8 @@ def execute_export_data(spark, sql: str) -> str:
         fmt,
         single_file=single,
         compression=(opts.get("compression") or "").lower() or None,
-        header=opts.get("header", "true").lower() in ("true", "1"),
-        overwrite=opts.get("overwrite", "true").lower() in ("true", "1"),
+        # BigQuery EXPORT DATA defaults BOTH to false
+        header=opts.get("header", "false").lower() in ("true", "1"),
+        overwrite=opts.get("overwrite", "false").lower() in ("true", "1"),
     )
     return dest
