@@ -353,3 +353,36 @@ def test_zorder_handles_nulls_and_rejects_empty(spark):
     empty = spark.createDataFrame([], "x long, y long")
     with pytest.raises(ValueError):
         zorder_value(empty, ["x", "y"], bits=4)
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The lag window and pair aggregate must not multiply event
+    movement: one user_id exchange feeds the window; the matrix share
+    window runs over the tiny aggregated table."""
+    from transformers_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["event_transition_matrix"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 3  # window + agg + share window
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_stats_broadcasts_percentiles(spark):
+    """The per-type [p05,p95] table is 5 rows — it must broadcast into
+    the clip join, never shuffle the events side for it."""
+    from transformers_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["value_winsorized_stats"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
