@@ -153,3 +153,44 @@ def test_parse_update_subquery_in_set():
     )
     assert assignments == {"a": "(SELECT MAX(x) FROM u WHERE u.k = t.k)"}
     assert pred == "t.id = 1"
+
+
+def test_parse_export_data_quoted_close_paren_as():
+    """String literals are masked before the OPTIONS(...)/AS split, so
+    a quoted value containing ') AS ' can't terminate the group early
+    (reference scripting treats the literal as opaque)."""
+    from transformers_spark.exports import parse_export_data
+
+    opts, query = parse_export_data(
+        "EXPORT DATA OPTIONS(uri='/tmp/a) AS b/part-*', format='CSV') "
+        "AS SELECT 1 AS x"
+    )
+    assert opts["uri"] == "/tmp/a) AS b/part-*"
+    assert opts["format"] == "CSV"
+    assert query == "SELECT 1 AS x"
+
+
+def test_export_data_unknown_option_raises():
+    """Options BigQuery honors but the engine doesn't implement must
+    error, never silently drop (field_delimiter would change output)."""
+    import pytest
+
+    from transformers_spark.exports import execute_export_data
+
+    with pytest.raises(ValueError, match="unsupported EXPORT DATA option"):
+        execute_export_data(
+            None,
+            "EXPORT DATA OPTIONS(uri='/tmp/x/part-*', format='CSV', "
+            "field_delimiter='|') AS SELECT 1",
+        )
+
+
+def test_export_data_wildcard_must_be_final_segment():
+    import pytest
+
+    from transformers_spark.exports import execute_export_data
+
+    with pytest.raises(ValueError, match="final path segment"):
+        execute_export_data(
+            None, "EXPORT DATA OPTIONS(uri='/data/a*/x', format='CSV') AS SELECT 1"
+        )

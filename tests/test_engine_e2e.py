@@ -661,3 +661,64 @@ def test_export_data_statement(spark, engine, tmp_path):
     assert files
     back = spark.read.option("header", "true").csv(dest)
     assert back.count() > 0 and set(back.columns) == {"event_type", "n"}
+
+
+def test_script_variables_not_substituted_in_literals(spark):
+    """BQ scripting never substitutes variables inside string
+    literals: after SET power=2, SELECT 'power plant' must keep the
+    literal intact (reference: samples/tasks/select/script/query.sql
+    scripting semantics)."""
+    eng = Engine(spark)
+    out = eng.run_script(
+        "DECLARE power INT64 DEFAULT 2;\n"
+        "SELECT power AS p, 'power plant' AS s, \"max power\" AS d;"
+    )
+    row = out[-1][0]
+    assert row["p"] == 2
+    assert row["s"] == "power plant"
+    assert row["d"] == "max power"
+
+
+def test_script_string_variable_value_is_opaque(spark):
+    """A substituted string VALUE must not itself be re-substituted by
+    a later variable whose name appears inside it."""
+    eng = Engine(spark)
+    out = eng.run_script(
+        "DECLARE a STRING DEFAULT 'power plant';\n"
+        "DECLARE power INT64 DEFAULT 2;\n"
+        "SELECT a AS s, power AS p;"
+    )
+    row = out[-1][0]
+    assert row["s"] == "power plant" and row["p"] == 2
+
+
+def test_update_unknown_set_column_raises(spark, engine):
+    """BigQuery errors on an unrecognized SET column — a typo must not
+    silently no-op the staged rewrite."""
+    dest = "g-project.playground.update_badcol_dest"
+    engine.catalog.create_table(dest, [("a", "bigint"), ("b", "bigint")])
+    spark.sql(f"INSERT INTO {engine.catalog.spark_name(dest)} VALUES (1, 2)")
+    with pytest.raises(ValueError, match="nosuch"):
+        engine.run_script(f"UPDATE `{dest}` SET nosuch = 1 WHERE a = 1")
+
+
+def test_update_partition_pseudo_column_rejected(spark, engine):
+    """Assigning the internal partition pseudo-column ('dt') is
+    rejected outright — it isn't a destination column, and letting it
+    through the partition-scoped path would silently drop rows whose
+    new dt leaves the affected-partition set."""
+    dest = "g-project.playground.update_dtcol_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_ts", "timestamp"), ("n", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="event_ts"),
+    )
+    spark.sql(
+        f"INSERT INTO {engine.catalog.spark_name(dest)} "
+        "VALUES (TIMESTAMP'2024-01-01 12:00:00', 5, DATE'2024-01-01')"
+    )
+    with pytest.raises(ValueError):
+        engine.run_script(f"UPDATE `{dest}` SET dt = DATE'2024-03-03' WHERE n = 5")
+    # table unchanged
+    rows = engine.catalog.read(dest).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 5

@@ -382,9 +382,27 @@ class Engine:
         isn't a header."""
         kind = classify_statement(stmt)
         if kind == "declare":
-            m = re.match(r"DECLARE\s+(\w+)", stmt, re.IGNORECASE)
+            # DECLARE name [type] [DEFAULT expr] — BQ initializes the
+            # variable with the DEFAULT expression (NULL without one)
+            m = re.match(
+                r"DECLARE\s+(\w+(?:\s*,\s*\w+)*)(?:\s+[\w<>,() ]+?)?"
+                r"(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
             if m:
-                variables[m.group(1)] = None
+                default = m.group(2)
+                if default is None:
+                    value = None
+                else:
+                    literal = _parse_literal(default)
+                    value = (
+                        literal
+                        if literal is not _NOT_LITERAL
+                        else self.spark.sql(f"SELECT {default}").collect()[0][0]
+                    )
+                for name in re.split(r"\s*,\s*", m.group(1)):
+                    variables[name] = value
             return True
         if kind == "set":
             self._run_set(stmt, variables)
@@ -581,8 +599,30 @@ def _format_literal(value: Any) -> str:
 
 
 def _substitute_variables(stmt: str, variables: dict[str, Any]) -> str:
+    """Replace free occurrences of script variables with literals.
+
+    String literals and comments are masked first — BQ scripting never
+    substitutes inside a quoted literal (``SET power=2; SELECT 'power
+    plant'`` keeps the literal intact). The replacement goes through a
+    callable so literal values containing backslashes or ``\\1`` are
+    inserted verbatim, not interpreted as regex escapes."""
+    if not variables:
+        return stmt
+    from .dialect import _mask, _unmask
+
+    masked = _mask(stmt)
+    text = masked.text
     for name, value in variables.items():
         if value is None:
             continue
-        stmt = re.sub(rf"(?<![\w`.]){re.escape(name)}(?![\w`])", _format_literal(value), stmt)
-    return stmt
+        lit = _format_literal(value)
+
+        def repl(_m, _lit=lit):
+            # inserted literals become masked slots too, so a later
+            # variable whose name appears inside this value's text is
+            # not substituted into it
+            masked.saved.append(_lit)
+            return f"\x00{len(masked.saved) - 1}\x00"
+
+        text = re.sub(rf"(?<![\w`.]){re.escape(name)}(?![\w`])", repl, text)
+    return _unmask(masked, text)

@@ -66,18 +66,19 @@ def parse_export_data(sql: str) -> tuple[dict, str]:
     ...`` → (options, query). Mirrors BigQuery's statement: uri and
     format are required; header/compression/overwrite optional and
     DEFAULT FALSE (BigQuery's documented statement defaults). String
-    option values may use single or double quotes (masked before the
-    comma split, so quoted commas survive)."""
+    literals are masked BEFORE the OPTIONS(...)/AS split, so a quoted
+    value containing ``) AS`` (or a comma) cannot terminate the options
+    group early."""
     import re
 
     from .dialect import _mask, _unmask
 
-    m = re.match(_EXPORT_RE_SRC, sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+    masked = _mask(sql.strip().rstrip(";"))
+    m = re.match(_EXPORT_RE_SRC, masked.text, re.IGNORECASE | re.DOTALL)
     if m is None:
         raise ValueError("not an EXPORT DATA statement")
-    masked = _mask(m.group("opts"))
     opts: dict = {}
-    for part in masked.text.split(","):
+    for part in m.group("opts").split(","):
         k, sep, v = part.partition("=")
         if not sep:
             raise ValueError(f"malformed EXPORT DATA option: {part!r}")
@@ -89,7 +90,7 @@ def parse_export_data(sql: str) -> tuple[dict, str]:
         opts[key] = val
     if "uri" not in opts or "format" not in opts:
         raise ValueError("EXPORT DATA requires uri and format options")
-    return opts, m.group("query").strip()
+    return opts, _unmask(masked, m.group("query")).strip()
 
 
 def execute_export_data(spark, sql: str) -> str:
@@ -100,12 +101,27 @@ def execute_export_data(spark, sql: str) -> str:
     per-object replacement, hence overwrite defaults to false and a
     degenerate destination (root / empty) is rejected outright."""
     opts, query = parse_export_data(sql)
+    # Options BigQuery honors but this engine does not implement must
+    # ERROR, not silently produce non-matching output.
+    supported = {"uri", "format", "header", "compression", "overwrite"}
+    unknown = sorted(set(opts) - supported)
+    if unknown:
+        raise ValueError(
+            f"unsupported EXPORT DATA option(s) {unknown}; supported: "
+            f"{sorted(supported)}"
+        )
     uri = opts["uri"]
     # BQ-style wildcard uri ('gs://.../part-*') → the directory is the
     # destination and sharding is the default; a non-wildcard uri maps
     # to the single-file form
     import os
 
+    if "*" in uri.rsplit("/", 1)[0]:
+        raise ValueError(
+            f"EXPORT DATA uri {uri!r}: the wildcard must appear in the "
+            "final path segment (it names the shard files, not a "
+            "directory)"
+        )
     single = "*" not in uri
     # 'dir/part-*' → the DIRECTORY is the destination (the wildcard
     # names the shard files, which Spark controls)

@@ -350,6 +350,27 @@ class Writer:
         dest = self.spark.table(meta.spark_name)
         matches = F.coalesce(F.expr(predicate), F.lit(False))
         assigned = {c.lower() for c in assignments}
+        # Every SET target must resolve to a user-visible destination
+        # column — BigQuery errors on an unrecognized column, so a
+        # typo'd / alias-qualified / struct-path name must not silently
+        # no-op. The internal partition pseudo-column is likewise not
+        # assignable (unless it IS a user column of the table).
+        known = {c.lower() for c in meta.column_names}
+        unmatched = sorted(c for c in assignments if c.lower() not in known)
+        if unmatched:
+            raise ValueError(
+                f"UPDATE {fqn}: SET column(s) {unmatched} not found in "
+                f"destination columns {meta.column_names}"
+            )
+        if (
+            meta.partition.is_partitioned
+            and PARTITION_COL in assigned
+            and (meta.partition.field or "").lower() != PARTITION_COL
+        ):
+            raise ValueError(
+                f"UPDATE {fqn}: cannot assign the partition "
+                f"pseudo-column {PARTITION_COL!r}"
+            )
         # ONE projection, never sequential withColumn: SQL UPDATE
         # evaluates the predicate and every SET expression against the
         # ORIGINAL row — chained withColumn would let later assignments

@@ -104,17 +104,27 @@ def _stream_flush_source_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         # max BEFORE the write (identical rows either way): parquet
         # column stats serve it without re-reading the written copy.
-        # Collected as a Python value, not unix_micros(ts) — the column
-        # is TIMESTAMP in engine sessions but TIMESTAMP_NTZ in plain
-        # ones, and pandas normalizes both to epoch micros. n_files=2
+        # The sentinel micros must be in the PARQUET storage frame:
+        # TIMESTAMP_NTZ stores wall-clock micros (collect returns the
+        # naive wall clock unchanged → pandas .value is exact), while
+        # TIMESTAMP stores UTC micros but collect converts to the
+        # DRIVER's local tz — so for that case the max is computed
+        # Spark-side via unix_micros, immune to driver tz. n_files=2
         # keeps micro-batch count (and the ~1s-per-batch stateful-drain
         # overhead) minimal while still proving cross-batch state
         # carry; contiguous ascending time ranges are preserved at any
         # file count.
-        import pandas as pd
+        from pyspark.sql.types import TimestampNTZType
 
-        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        max_ts_us = pd.Timestamp(max_ts).value // 1000
+        if isinstance(ev.schema["ts"].dataType, TimestampNTZType):
+            import pandas as pd
+
+            max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            max_ts_us = pd.Timestamp(max_ts).value // 1000
+        else:
+            max_ts_us = ev.agg(
+                F.max(F.unix_micros(F.col("ts"))).alias("m")
+            ).collect()[0]["m"]
         n_files = 2
         (
             ev.repartitionByRange(n_files, "ts")
