@@ -34,6 +34,24 @@ def _normalize(rows, columns):
     return sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
 
 
+_MULTIMODAL_KINDS = {
+    "multimodal_image_features": "image",
+    "multimodal_audio_features": "audio",
+    "multimodal_resize_plan": "resize",
+}
+
+
+def _oracle_for(name, sf_dir):
+    """The multimodal VALUES-literal oracles are generated from the
+    driver's correctness sf (sf0.01); regenerate them for the test's
+    own sf_dir so the local gate checks the same semantics at any sf."""
+    if name in _MULTIMODAL_KINDS:
+        from transformers_spark.operators.specs import _multimodal_oracle
+
+        return _multimodal_oracle(_MULTIMODAL_KINDS[name], table_path(sf_dir, "documents"))
+    return QUERIES[name].oracle
+
+
 @pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
@@ -42,7 +60,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = _duckdb_con(sf_dir)
-    res = con.execute(spec.oracle)
+    res = con.execute(_oracle_for(name, sf_dir))
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
 

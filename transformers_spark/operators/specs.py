@@ -3,9 +3,11 @@
 Each spec pairs the Spark operator (operators/*.py) with DuckDB SQL
 computing the SAME result — including the md5-derived hashes, LCG
 permutation constants, and literal LSH hyperplanes, which are shared
-by construction. Specs whose semantics aren't SQL-expressible in
-DuckDB (Arrow mapInPandas multimodal decode) carry ``oracle=None``
-and get the driver's rows-only check.
+by construction. The Arrow mapInPandas multimodal decodes aren't
+SQL-expressible, but their stub codecs are deterministic — their
+oracles are VALUES-literal tables of the expected features computed in
+Python at the driver's correctness scale (``_multimodal_oracle``), so
+every spec gets the full rows/schema/hash gate.
 """
 
 from __future__ import annotations
@@ -779,7 +781,7 @@ FROM documents
 """
 
 
-# --- multimodal (rows-only: Arrow mapInPandas isn't SQL) ---------------
+# --- multimodal (VALUES-literal oracles: stub codecs are deterministic) --
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +809,69 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return decode_audio_features(media, decoder=fake_audio_decoder)
+
+
+# The stub codecs are deterministic pure functions of the payload
+# bytes, so the expected features can be computed directly in Python
+# at the driver's correctness scale factor and emitted as a literal
+# oracle table — giving the multimodal queries the SAME
+# rows/schema/hash gate as every SQL-expressible spec.
+_MULTIMODAL_ORACLE_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _multimodal_oracle(kind: str, docs_path: str = _MULTIMODAL_ORACLE_DOCS) -> "str | None":
+    import hashlib
+    import os
+
+    if not os.path.exists(docs_path):
+        return None
+    import pyarrow.parquet as pq
+
+    from .multimodal import fake_resizer
+
+    tbl = pq.read_table(docs_path, columns=["doc_id", "text", "n_chars"])
+
+    def lit(v) -> str:
+        return "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+
+    rows = []
+    for rec in tbl.to_pylist():
+        media_id = str(rec["doc_id"])
+        text = rec["text"]
+        payload = None if text is None else text.encode("utf-8")
+        n_bytes = 0 if payload is None else len(payload)
+        if kind == "image":
+            w, h = fake_image_decoder(payload)
+            chash = "" if payload is None else hashlib.md5(payload).hexdigest()
+            rows.append((media_id, w, h, n_bytes, chash))
+        elif kind == "audio":
+            dur, rate, rms = (
+                fake_audio_decoder(payload) if payload is not None else (0, 0, 0)
+            )
+            rows.append((media_id, dur, rate, rms, n_bytes))
+        else:  # resize plan
+            resized = None if payload is None else fake_resizer(payload, 64, 64)
+            rb = None if resized is None else len(resized)
+            n_chars = rec["n_chars"]
+            if n_chars is None:
+                nf = None
+            else:
+                duration = n_chars % 300 + 1
+                nf = min(max(duration - 1, 0), 120) // 30 + 1
+            rows.append((media_id, rb, 64, 64, nf))
+    cols = {
+        "image": ("media_id", "width", "height", "n_bytes", "content_hash"),
+        "audio": ("media_id", "duration_ms", "sample_rate", "rms_level", "n_bytes"),
+        "resize": ("media_id", "resized_bytes", "width", "height", "n_sampled_frames"),
+    }[kind]
+    values = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    select = ", ".join(
+        c if c in ("media_id", "content_hash") else f"CAST({c} AS INT) AS {c}"
+        for c in cols
+    )
+    return (
+        f"SELECT {select} FROM (VALUES {values}) AS t({', '.join(cols)})"
+    )
 
 
 # --- temporal joins & sketches ----------------------------------------
@@ -2052,8 +2117,8 @@ def pipeline_specs() -> list:
         QS("similarity_ivf_kmeans", "IVF top-k with Lloyd's-trained codebook, recall-gated vs exact top-k", q_ivf_kmeans_topk, ORACLE_IVF_KMEANS),
         QS("text_fingerprint", "Winnowing rolling-hash document fingerprints", q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
         QS("text_tfidf_terms", "Log-free TF-IDF top-3 salient terms per document", q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
-        QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, None),
-        QS("multimodal_audio_features", "Arrow mapInPandas audio feature plumbing (stub codec)", q_multimodal_audio, None),
+        QS("multimodal_image_features", "Arrow mapInPandas binary decode plumbing (stub codec)", q_multimodal_features, _multimodal_oracle("image")),
+        QS("multimodal_audio_features", "Arrow mapInPandas audio feature plumbing (stub codec)", q_multimodal_audio, _multimodal_oracle("audio")),
         QS("text_token_counts", "Whitespace + BPE-ish regex token counting", q_token_counts, ORACLE_TOKEN_COUNTS),
         QS("text_repetition_ratios", "Gopher-style within-doc repetition filters (map-only)", q_repetition_ratios, ORACLE_REPETITION_RATIOS),
         QS("dataset_hash_split", "Deterministic hash-mod train/val/test split stats", q_hash_split_stats, ORACLE_HASH_SPLIT_STATS),
@@ -2066,7 +2131,7 @@ def pipeline_specs() -> list:
         QS("similarity_random_projection", "JL random-projection 64d->8d (map-only, literal matrix)", q_random_projection, _oracle_random_projection()),
         QS("text_unigram_frequency", "Corpus-frequency quality signal: mean token ppm + rare frac", q_unigram_frequency_scores, ORACLE_UNIGRAM_FREQUENCY),
         QS("text_vocab_stats", "Per-source corpus health: tokens/types/TTR/hapax fraction", q_vocab_stats, ORACLE_VOCAB_STATS),
-        QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, None),
+        QS("multimodal_resize_plan", "Image resize + frame-sample plan (binary-column pipeline)", q_multimodal_resize_plan, _multimodal_oracle("resize")),
         QS("streaming_sessionization", "applyInPandasWithState event-time sessionization (sentinel-flushed drain) vs batch oracle", q_streaming_sessionization, ORACLE_STREAMING_SESSIONIZATION),
         QS("text_span_dedup", "Repeated 8-word-span fraction per doc (substring-dedup rollup)", q_span_dedup, ORACLE_SPAN_DEDUP),
         QS("text_pii_redaction", "PII-shaped regex scrub counts + redacted-shape cardinality", q_pii_redaction, ORACLE_PII_REDACTION),
