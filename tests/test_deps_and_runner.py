@@ -181,3 +181,69 @@ def engine_src(spark):
             "event_id", "ts", "user_id", "event_type", "value"
         ).write.insertInto(eng.catalog.spark_name(src))
     return eng, src
+
+
+class _FlakySession:
+    """SparkSession proxy whose .sql fails N times with a given error
+    before delegating — the reference's transient-BQ-error simulation
+    (factory.go retries transient client errors 3x)."""
+
+    def __init__(self, spark, fails: int, message: str):
+        self._spark = spark
+        self._fails = fails
+        self._message = message
+        self.attempts = 0
+
+    def sql(self, q):
+        self.attempts += 1
+        if self._fails > 0:
+            self._fails -= 1
+            raise RuntimeError(self._message)
+        return self._spark.sql(q)
+
+    def __getattr__(self, name):
+        return getattr(self._spark, name)
+
+
+def test_catalog_retries_transient_ddl_errors(spark, monkeypatch):
+    from transformers_spark import catalog as cat_mod
+    from transformers_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "_RETRY_BASE_SLEEP_S", 0.0)
+    flaky = _FlakySession(spark, fails=2, message="Connection refused by metastore")
+    cat = Catalog(flaky)
+    meta = cat.create_table("g-project.playground.retry_dest", [("a", "bigint")])
+    assert meta.spark_name
+    # 2 failures + 1 success for CREATE DATABASE, then CREATE TABLE
+    assert flaky.attempts >= 4
+    cat.drop_table("g-project.playground.retry_dest")
+
+
+def test_catalog_does_not_retry_analysis_errors(spark, monkeypatch):
+    import pytest as _pytest
+
+    from transformers_spark import catalog as cat_mod
+    from transformers_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "_RETRY_BASE_SLEEP_S", 0.0)
+    flaky = _FlakySession(
+        spark, fails=99, message="[PARSE_SYNTAX_ERROR] bad statement"
+    )
+    cat = Catalog(flaky)
+    with _pytest.raises(RuntimeError):
+        cat.drop_table("g-project.playground.never_created")
+    assert flaky.attempts == 1  # failed fast, no retry
+
+
+def test_catalog_gives_up_after_max_attempts(spark, monkeypatch):
+    import pytest as _pytest
+
+    from transformers_spark import catalog as cat_mod
+    from transformers_spark.catalog import Catalog, MAX_CATALOG_ATTEMPTS
+
+    monkeypatch.setattr(cat_mod, "_RETRY_BASE_SLEEP_S", 0.0)
+    flaky = _FlakySession(spark, fails=99, message="request timed out")
+    cat = Catalog(flaky)
+    with _pytest.raises(RuntimeError):
+        cat.drop_table("g-project.playground.never_created")
+    assert flaky.attempts == MAX_CATALOG_ATTEMPTS

@@ -47,7 +47,7 @@ def test_minhash_identical_docs_identical_sigs(spark):
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
         ["doc_id", "text"],
     )
-    sigs = {r["doc"]: tuple(r[i] for i in range(1, 17)) for r in minhash_signatures(df).collect()}
+    sigs = {r["doc"]: tuple(r[i] for i in range(1, 17)) for r in minhash_signatures(df, num_perm=16).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
 
@@ -190,11 +190,11 @@ def test_fast_hasher_preserves_dedup_semantics(spark):
     )
     sigs = {
         r["doc"]: tuple(r[i] for i in range(1, 17))
-        for r in minhash_signatures(df, hasher="fast").collect()
+        for r in minhash_signatures(df, num_perm=16, hasher="fast").collect()
     }
     assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
     pairs = {(r["d1"], r["d2"]): r["matching_bands"]
-             for r in minhash_lsh_pairs(df, hasher="fast").collect()}
+             for r in minhash_lsh_pairs(df, num_perm=16, bands=4, hasher="fast").collect()}
     assert pairs.get((1, 2)) == 4  # identical docs agree on all bands
     sh = {r["doc"]: r["simhash"] for r in simhash_fingerprints(df, hasher="fast").collect()}
     assert sh[1] == sh[2]
@@ -725,7 +725,7 @@ def test_incremental_lsh_finds_known_duplicate(spark):
          (101, "nothing like anything in the index whatsoever zzz")],
         ["doc_id", "text"],
     )
-    out = {r["new_doc"]: r for r in incremental_lsh_matches(corpus, new).collect()}
+    out = {r["new_doc"]: r for r in incremental_lsh_matches(corpus, new, num_perm=16, bands=4).collect()}
     assert out[100]["corpus_doc"] == 1 and out[100]["matching_bands"] == 4
     assert 101 not in out  # no spurious match
 

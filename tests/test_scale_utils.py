@@ -386,3 +386,49 @@ def test_winsorized_stats_broadcasts_percentiles(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """with_global_ntile must be bit-identical to NTILE(k) OVER (ORDER
+    BY ...) for every k and N — including tie values (the unique
+    tie-break column makes the order total) and N % k != 0."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.ranking import with_global_ntile
+
+    rows = [(i, (i * 7919) % 13, float((i * 31) % 5)) for i in range(101)]
+    df = spark.createDataFrame(rows, ["id", "v", "m"])
+    for k in (2, 3, 4, 7, 150):  # 150 > N exercises the tiny-N branch
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r["id"]: r["q"]
+            for r in with_global_ntile(df, order, "q", k=k, num_partitions=5).collect()
+        }
+        want = {
+            r["id"]: r["q"]
+            for r in df.select(
+                "id", F.ntile(k).over(W.orderBy(*order)).alias("q")
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_customer_rfm_no_single_partition_window(spark):
+    """The RFM quartiles must not plan a SinglePartition global-sort
+    Window — the two-phase ranking keeps every exchange parallel
+    (VERDICT r2: three global NTILE sorts won't survive 100x)."""
+    from transformers_spark.analytics import q_customer_rfm_segments
+
+    import re
+
+    df = q_customer_rfm_segments(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # Every window spec must be partitioned: the FIRST argument of
+    # windowspecdefinition is a partition column (__pid), never an
+    # ORDER BY expression (which would print ASC/DESC). The plan's
+    # remaining SinglePartition exchanges feed only the 1-row global
+    # max-date aggregate, which is bounded by construction.
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "ASC" not in first_arg and "DESC" not in first_arg, first_arg

@@ -2006,10 +2006,15 @@ GROUP BY event_type
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer recency (days since last order,
     against the corpus max date), frequency (order count), monetary
-    (decimal-summed spend), each quartiled with NTILE over fully
-    deterministic orderings (custkey tie-breaks), rolled up to
-    segment-level counts. One orders aggregate, three window passes
-    over the small per-customer table, one rollup."""
+    (decimal-summed spend), each quartiled over fully deterministic
+    orderings (custkey tie-breaks), rolled up to segment-level counts.
+
+    The quartiles are exact NTILE(4) semantics but computed via
+    ``operators/ranking.with_global_ntile`` — range-partitioned local
+    ranks + prefix-summed offsets — because a bare ``NTILE OVER (ORDER
+    BY ...)`` funnels the whole per-customer table through ONE task's
+    sort; at 100× scale that table is hundreds of millions of rows and
+    this query would do it three times."""
     register_tables(spark, sf_dir, ("orders",))
     orders = spark.table("orders")
     # LAZY corpus max via a broadcast 1-row cross join — an eager
@@ -2033,15 +2038,15 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_w = W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        F.ntile(4).over(r_w).alias("r_quartile"),
-        F.ntile(4).over(f_w).alias("f_quartile"),
-        F.ntile(4).over(m_w).alias("m_quartile"),
-    )
+    from .operators.ranking import with_global_ntile
+
+    scored = per_cust
+    for out_col, order in (
+        ("r_quartile", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f_quartile", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_quartile", [F.desc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored = with_global_ntile(scored, order, out_col, k=4)
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

@@ -70,6 +70,25 @@ def _q(name: str) -> str:
     return ".".join(f"`{part}`" for part in name.split("."))
 
 
+# Transient-failure signatures for catalog/DDL calls: metastore and
+# object-store hiccups that a bounded retry heals. Analysis errors
+# (missing table, bad SQL) never match — they must fail immediately.
+_TRANSIENT_ERROR_RE = re.compile(
+    r"connection (?:refused|reset)|timed? ?out|timeoutexception"
+    r"|ioexception|temporarily unavailable|remoteexception"
+    r"|slowdown|rate exceeded|requesttimeout|statuscode=(?:429|500|503)",
+    re.IGNORECASE,
+)
+
+# Reference parity: factory.go:42-47 retries transient BigQuery client
+# errors up to 3 times (and main.go:439-463 wraps job submission the
+# same way). Spark task retries cover distributed execution; these
+# catalog calls run driver-side against the metastore / object store
+# and get the same bounded-retry discipline.
+MAX_CATALOG_ATTEMPTS = 3
+_RETRY_BASE_SLEEP_S = 0.2
+
+
 class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -79,6 +98,26 @@ class Catalog:
 
     def spark_name(self, fqn: str) -> str:
         return spark_table_name_from_fqn(fqn)
+
+    # -- resilience ------------------------------------------------------
+
+    def _run_ddl(self, sql: str):
+        """Run a catalog/DDL statement with bounded retry + exponential
+        backoff on transient failures (see ``_TRANSIENT_ERROR_RE``).
+        Non-transient errors propagate on the first attempt."""
+        import time
+
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                return self.spark.sql(sql)
+            except Exception as err:  # noqa: BLE001 — classified below
+                if attempt >= MAX_CATALOG_ATTEMPTS or not _TRANSIENT_ERROR_RE.search(
+                    str(err)
+                ):
+                    raise
+                time.sleep(min(_RETRY_BASE_SLEEP_S * 2 ** (attempt - 1), 2.0))
 
     # -- DDL ------------------------------------------------------------
 
@@ -91,7 +130,7 @@ class Catalog:
     ) -> TableMeta:
         name = self.spark_name(fqn)
         db = name.split(".")[0]
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        self._run_ddl(f"CREATE DATABASE IF NOT EXISTS `{db}`")
         cols_ddl = ", ".join(f"`{c}` {t}" for c, t in columns)
         partition_ddl = ""
         props = [f"'{PROP_KIND}' = '{partition.kind}'"]
@@ -106,7 +145,7 @@ class Catalog:
             f"{partition_ddl} TBLPROPERTIES ({', '.join(props)})"
         )
         try:
-            self.spark.sql(ddl)
+            self._run_ddl(ddl)
         except Exception as err:
             # In-memory catalog + persistent warehouse: a previous
             # session's managed-table directory can survive as an
@@ -118,13 +157,13 @@ class Catalog:
             if location is None:
                 raise
             shutil.rmtree(location.group(1), ignore_errors=True)
-            self.spark.sql(ddl)
+            self._run_ddl(ddl)
         meta = TableMeta(fqn=fqn, spark_name=name, columns=list(columns), partition=partition)
         self._meta[fqn] = meta
         return meta
 
     def drop_table(self, fqn: str) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {_q(self.spark_name(fqn))}")
+        self._run_ddl(f"DROP TABLE IF EXISTS {_q(self.spark_name(fqn))}")
         self._meta.pop(fqn, None)
 
     def create_view(self, fqn: str, sql_query: str, replace: bool = True) -> str:
@@ -138,13 +177,13 @@ class Catalog:
 
         name = self.spark_name(fqn)
         db = name.split(".")[0]
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        self._run_ddl(f"CREATE DATABASE IF NOT EXISTS `{db}`")
         verb = "CREATE OR REPLACE VIEW" if replace else "CREATE VIEW"
-        self.spark.sql(f"{verb} {_q(name)} AS {transpile(sql_query)}")
+        self._run_ddl(f"{verb} {_q(name)} AS {transpile(sql_query)}")
         return name
 
     def drop_view(self, fqn: str) -> None:
-        self.spark.sql(f"DROP VIEW IF EXISTS {_q(self.spark_name(fqn))}")
+        self._run_ddl(f"DROP VIEW IF EXISTS {_q(self.spark_name(fqn))}")
 
     def table_exists(self, fqn: str) -> bool:
         return self.spark.catalog.tableExists(self.spark_name(fqn))
@@ -155,7 +194,7 @@ class Catalog:
         if not new_columns:
             return
         cols_ddl = ", ".join(f"`{c}` {t}" for c, t in new_columns)
-        self.spark.sql(f"ALTER TABLE {_q(self.spark_name(fqn))} ADD COLUMNS ({cols_ddl})")
+        self._run_ddl(f"ALTER TABLE {_q(self.spark_name(fqn))} ADD COLUMNS ({cols_ddl})")
         meta = self.get_table(fqn)
         meta.columns.extend(new_columns)
 
@@ -188,7 +227,7 @@ class Catalog:
             raise ValueError(f"table not found: {fqn} (spark name {name})")
         props = {
             row["key"]: row["value"]
-            for row in self.spark.sql(f"SHOW TBLPROPERTIES {_q(name)}").collect()
+            for row in self._run_ddl(f"SHOW TBLPROPERTIES {_q(name)}").collect()
         }
         kind = props.get(PROP_KIND, PartitionKind.NONE)
         field = props.get(PROP_FIELD)

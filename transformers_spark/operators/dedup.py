@@ -30,6 +30,10 @@ from .skew import fan_out
 from .text import doc_fingerprint, tokens
 
 __all__ = [
+    "DEMO_NUM_PERM",
+    "DEMO_BANDS",
+    "PRODUCTION_NUM_PERM",
+    "PRODUCTION_BANDS",
     "exact_dedup_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -40,22 +44,41 @@ __all__ = [
     "simhash_fingerprints",
 ]
 
-# Catalog/demo defaults: small enough that the DuckDB oracle SQL (one
+# MinHash width parameters. With K = num_perm permutations split into
+# b bands of r = K/b rows, a pair at Jaccard similarity s becomes an
+# LSH candidate with p(s) = 1 - (1 - s^r)^b; the S-curve midpoint is
+# t ≈ (1/b)^(1/r). Collision probabilities:
+#
+#   s      demo 16/4 (r=4)    production 128/16 (r=8)
+#   0.5        0.23                  0.06
+#   0.6        0.41                  0.24
+#   0.7        0.66                  0.61
+#   0.8        0.88                  0.95
+#   0.9        0.99                  0.9996
+#
+# Both widths center at t ≈ 0.71, but the 128/16 curve is SHARP: it
+# passes 0.8+ near-dups with ≥0.95 recall while keeping 0.5-similarity
+# noise pairs under 6% — candidate volume stays near the true-dup
+# volume, which is what makes the bucket join affordable at 10^9 docs.
+# The shallow 16/4 curve admits 23% of 0.5-similarity pairs: fine for
+# asserting machinery on test corpora, not for production recall or
+# candidate-volume control.
+#
+# Demo/oracle widths: small enough that the DuckDB oracle SQL (one
 # expression per permutation) stays tractable and the sf0.01 gate runs
-# in seconds. The LSH S-curve threshold is t ≈ (1/bands)^(bands/num_perm):
-# 16/4 → t ≈ 0.71 with a shallow curve — fine for asserting machinery,
-# not for production recall.
-DEFAULT_NUM_PERM = 16
-DEFAULT_BANDS = 4
+# in seconds. The query catalog passes these explicitly.
+DEMO_NUM_PERM = 16
+DEMO_BANDS = 4
 
-# Production defaults for corpus-scale dedup (the 128/16 class used by
-# large web-dedup pipelines): t ≈ (1/16)^(1/8) ≈ 0.71 with a SHARP
-# S-curve — pairs at Jaccard 0.8 collide in ≥1 band with p ≈ 0.67,
-# at 0.9 with p ≈ 0.97, while 0.5-similarity pairs stay below p ≈ 0.06,
-# so candidate volume stays near the true-dup volume. Pass these (and
-# hasher="fast") for real runs; the oracle gate keeps the demo widths.
+# The CLASS DEFAULTS are the production widths (the 128/16 class used
+# by large web-dedup pipelines) — callers who just write
+# ``minhash_lsh_pairs(df)`` get corpus-scale recall; pair with
+# hasher="fast" (JVM xxhash64) when cross-engine reproducibility isn't
+# needed.
 PRODUCTION_NUM_PERM = 128
 PRODUCTION_BANDS = 16
+DEFAULT_NUM_PERM = PRODUCTION_NUM_PERM
+DEFAULT_BANDS = PRODUCTION_BANDS
 
 # 64-bit simhash is the corpus-scale standard: 32-bit fingerprints
 # saturate Hamming buckets past ~10^5 docs (random collisions at

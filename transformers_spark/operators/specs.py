@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import register_tables
 from .dedup import (
-    DEFAULT_BANDS,
-    DEFAULT_NUM_PERM,
+    DEMO_BANDS,
+    DEMO_NUM_PERM,
     dedup_pipeline,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -97,12 +97,14 @@ GROUP BY 1
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
-    return minhash_lsh_pairs(spark.table("documents"))
+    return minhash_lsh_pairs(
+        spark.table("documents"), num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
+    )
 
 
 def _oracle_minhash() -> str:
-    consts = lcg_constants(DEFAULT_NUM_PERM)
-    rows_per_band = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    consts = lcg_constants(DEMO_NUM_PERM)
+    rows_per_band = DEMO_NUM_PERM // DEMO_BANDS
     sig_exprs = ",\n    ".join(
         f"MIN({duck_perm_hash(duck_h32('gram'), a, b)}) AS sig_{i}"
         for i, (a, b) in enumerate(consts)
@@ -114,7 +116,7 @@ def _oracle_minhash() -> str:
                 f"sig_{band * rows_per_band + j}" for j in range(rows_per_band)
             ),
         )
-        for band in range(DEFAULT_BANDS)
+        for band in range(DEMO_BANDS)
     )
     return f"""
 WITH toks AS (
@@ -208,7 +210,9 @@ SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
 
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
-    return dedup_pipeline(spark.table("documents"))
+    return dedup_pipeline(
+        spark.table("documents"), num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
+    )
 
 
 def _oracle_dedup_pipeline() -> str:
@@ -633,7 +637,9 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    pairs = minhash_lsh_pairs(docs).filter(F.col("matching_bands") >= 2)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
+    ).filter(F.col("matching_bands") >= 2)
     dups = (
         connected_components(pairs)
         .filter(F.col("vertex") != F.col("component"))
@@ -1701,7 +1707,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     threshold = (max_id * 4) // 5
     new = docs.filter(F.col("doc_id") >= threshold)
-    buckets = cache.track(minhash_band_buckets(docs).persist())
+    buckets = cache.track(
+        minhash_band_buckets(
+            docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
+        ).persist()
+    )
     matches = incremental_matches_from_buckets(
         buckets.filter(F.col("doc") < threshold),
         buckets.filter(F.col("doc") >= threshold),
@@ -1730,8 +1740,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_incremental() -> str:
-    consts = lcg_constants(DEFAULT_NUM_PERM)
-    rows_per_band = DEFAULT_NUM_PERM // DEFAULT_BANDS
+    consts = lcg_constants(DEMO_NUM_PERM)
+    rows_per_band = DEMO_NUM_PERM // DEMO_BANDS
     sig_exprs = ",\n    ".join(
         f"MIN({duck_perm_hash(duck_h32('gram'), a, b)}) AS sig_{i}"
         for i, (a, b) in enumerate(consts)
@@ -1743,7 +1753,7 @@ def _oracle_dedup_incremental() -> str:
                 f"sig_{band * rows_per_band + j}" for j in range(rows_per_band)
             ),
         )
-        for band in range(DEFAULT_BANDS)
+        for band in range(DEMO_BANDS)
     )
     return f"""
 WITH thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
@@ -1954,7 +1964,9 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     register_tables(spark, sf_dir, ("documents",))
-    verdicts = dedup_pipeline(spark.table("documents"))
+    verdicts = dedup_pipeline(
+        spark.table("documents"), num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
+    )
     sizes = verdicts.groupBy("keep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
     total_w = W.partitionBy()
