@@ -432,3 +432,45 @@ def test_customer_rfm_no_single_partition_window(spark):
     # max-date aggregate, which is bounded by construction.
     for first_arg in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "ASC" not in first_arg and "DESC" not in first_arg, first_arg
+
+
+def test_pq_adc_no_cartesian_and_broadcast_queries(spark):
+    """PQ-ADC scoring scans the compact code table once against a
+    BROADCAST query set — the only nested-loop joins allowed are
+    BuildRight broadcasts of that bounded query side (ADC is by design
+    a full scan of the ~64x-smaller codes); an unbroadcast
+    CartesianProduct, or a nested loop building the corpus side, is
+    the scale bug (PLANS.md §similarity_pq_adc)."""
+    import re
+
+    from transformers_spark.operators.specs import q_similarity_pq_adc
+
+    df = q_similarity_pq_adc(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for line in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "BuildRight" in line, line
+    assert "BroadcastHashJoin" in plan  # shortlist re-rank joins
+
+
+def test_connected_components_distributed_path_checkpointed(spark):
+    """Above the driver threshold the propagation loop must run on a
+    CHECKPOINTED edge list: the final plan reads Scan ExistingRDD, not
+    the original pair-generation lineage — each round re-running the
+    candidate-pair plan is the scale cliff (PLANS.md §dedup_pipeline).
+    Result must equal the driver union-find on the same graph."""
+    from transformers_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (8, 6)], ["d1", "d2"]
+    )
+    dist = connected_components(edges, driver_threshold=0, max_iterations=10)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "LocalTableScan" not in plan  # original lineage cut
+    got = {r["vertex"]: r["component"] for r in dist.collect()}
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, driver_threshold=10**6).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 5, 7: 7}

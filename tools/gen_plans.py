@@ -71,6 +71,21 @@ PICKS = {
         "BM25 retrieval — inverted-index term join (never query x corpus); "
         "postings persist once for the avgdl/df/match consumers."
     ),
+    "similarity_pq_adc": (
+        "PQ-ADC ANN — codebooks are driver-trained literals (no train-output "
+        "join), ADC scores a BROADCAST query set against the ~64x-smaller "
+        "code table, and the exact re-rank joins only the |q|*k shortlist "
+        "back to full-width vectors; no cartesian stage anywhere."
+    ),
+    "dedup_pipeline": (
+        "Near-dup pipeline graph phase — the candidate-pair plan is "
+        "materialized ONCE by localCheckpoint (the final plan reads "
+        "`Scan ExistingRDD`: lineage deliberately cut so propagation rounds "
+        "never re-run the MinHash pair generation); components come from "
+        "bounded driver union-find under the 2M-edge threshold, alternating "
+        "checkpointed min-label propagation above it; the verdict step "
+        "broadcasts the component table back onto the corpus."
+    ),
 }
 
 _KEEP_PREFIXES = (
