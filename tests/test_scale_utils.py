@@ -474,3 +474,31 @@ def test_connected_components_distributed_path_checkpointed(spark):
         for r in connected_components(edges, driver_threshold=10**6).collect()
     }
     assert got == want == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 5, 7: 7}
+
+
+def test_ntiles_wide_matches_window_ntile(spark):
+    """ntiles_wide must equal NTILE(k) window results on every
+    dimension simultaneously — including tie values and DESC encoded
+    by negation."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.ranking import ntiles_wide
+
+    rows = [(i, (i * 13) % 7, float((i * 29) % 11)) for i in range(83)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = {
+        r["id"]: (r["qa"], r["qb"])
+        for r in ntiles_wide(
+            df, "id", [("qa", F.col("a")), ("qb", -F.col("b"))], k=4
+        ).collect()
+    }
+    want = {
+        r["id"]: (r["qa"], r["qb"])
+        for r in df.select(
+            "id",
+            F.ntile(4).over(W.orderBy(F.asc("a"), F.asc("id"))).alias("qa"),
+            F.ntile(4).over(W.orderBy(F.desc("b"), F.asc("id"))).alias("qb"),
+        ).collect()
+    }
+    assert got == want

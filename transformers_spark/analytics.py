@@ -2038,15 +2038,22 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    from .operators.ranking import with_global_ntile
+    from .operators.ranking import ntiles_wide
 
-    scored = per_cust
-    for out_col, order in (
-        ("r_quartile", [F.asc("recency_days"), F.asc("o_custkey")]),
-        ("f_quartile", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m_quartile", [F.desc("monetary"), F.asc("o_custkey")]),
-    ):
-        scored = with_global_ntile(scored, order, out_col, k=4)
+    # One fused two-phase pass ranks all three dimensions (DESC encoded
+    # by negation; recency/frequency/monetary are all exactly
+    # double-representable here — ints and decimal(14,4) sums well
+    # under 2^53).
+    scored = ntiles_wide(
+        per_cust,
+        "o_custkey",
+        [
+            ("r_quartile", F.col("recency_days")),
+            ("f_quartile", -F.col("frequency")),
+            ("m_quartile", -F.col("monetary")),
+        ],
+        k=4,
+    )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 
-__all__ = ["global_row_number", "with_global_ntile"]
+__all__ = ["global_row_number", "with_global_ntile", "ntiles_wide"]
 
 
 def global_row_number(
@@ -47,13 +47,15 @@ def global_row_number(
     boundaries are not guaranteed stable across recomputes.
     """
     spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    # No explicit partition count unless asked: REPARTITION_BY_NUM pins
+    # the exchange and defeats AQE, which otherwise coalesces a small
+    # input to a handful of partitions (each partition costs a local
+    # sort task + one offset row) and splits/sizes a 100 TB one.
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    ).withColumn("__pid", F.spark_partition_id())
     local = W.partitionBy("__pid").orderBy(*order_by)
     with_rn = cache.track(
         ranged.withColumn("__lrn", F.row_number().over(local)).persist()
@@ -111,3 +113,74 @@ def with_global_ntile(
         df, order_by, out_col=rn, num_partitions=num_partitions
     )
     return ranked.withColumn(out_col, _ntile_expr(rn, total, k)).drop(rn)
+
+
+def ntiles_wide(
+    df: DataFrame,
+    id_col: str,
+    dims: list[tuple[str, Column]],
+    k: int = 4,
+) -> DataFrame:
+    """Exact ``NTILE(k)`` over SEVERAL orderings of the same frame in
+    ONE two-phase pass — (id, ntile_1, ..., ntile_d) wide result.
+
+    ``dims`` is ``[(out_col, ascending_sort_key)]``; encode DESC by
+    negating the key. Keys are cast to double for the cross-dimension
+    union, so they must be exactly double-representable (ints < 2^53,
+    decimals with ≤ 15 significant digits) and non-null; ties break by
+    ``id_col`` ascending, which also makes the order total.
+
+    Why not d calls to :func:`with_global_ntile`: each call is a
+    shuffle + persist + one offset-collect JOB. Tagging each dimension
+    as its own leg of a union and range-partitioning on (dim, key, id)
+    ranks ALL dimensions with one shuffle and one collect (of
+    |partitions| x d count rows), then pivots back map-side — at small
+    scale the saved job round-trips dominate, at large scale it is d
+    passes over the data either way but with 1/d of the barriers.
+    """
+    spark = df.sparkSession
+    legs = [
+        df.select(
+            F.lit(i).alias("__dim"),
+            key.cast("double").alias("__key"),
+            F.col(id_col),
+        )
+        for i, (_out, key) in enumerate(dims)
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    order = [F.asc("__dim"), F.asc("__key"), F.asc(id_col)]
+    ranged = u.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = W.partitionBy("__pid", "__dim").orderBy(F.asc("__key"), F.asc(id_col))
+    with_rn = cache.track(
+        ranged.withColumn("__lrn", F.row_number().over(local)).persist()
+    )
+    counts = with_rn.groupBy("__pid", "__dim").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    acc: dict[int, int] = {i: 0 for i in range(len(dims))}
+    offset_rows = []
+    for r in sorted(counts, key=lambda r: (r["__dim"], r["__pid"])):
+        offset_rows.append((int(r["__pid"]), int(r["__dim"]), acc[r["__dim"]]))
+        acc[r["__dim"]] += r["c"]
+    totals = set(acc.values())
+    # every dimension ranks the same rows — totals must agree
+    total = totals.pop() if len(totals) == 1 else max(acc.values())
+    off_df = spark.createDataFrame(
+        offset_rows or [(0, 0, 0)], "`__pid` INT, `__dim` INT, `__off` BIGINT"
+    )
+    rn = "__gnt_rn"
+    scored = (
+        with_rn.join(F.broadcast(off_df), ["__pid", "__dim"])
+        .withColumn(rn, (F.col("__lrn") + F.col("__off")).cast("bigint"))
+        .withColumn("__q", _ntile_expr(rn, total, k))
+    )
+    return scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__dim") == i, F.col("__q"))).alias(out)
+            for i, (out, _key) in enumerate(dims)
+        ]
+    )
