@@ -878,3 +878,46 @@ def test_token_budget_rejects_fractional_weights():
 
     with pytest.raises(ValueError):
         token_budget_rates_bp({"a": 100}, {"a": 0.6}, 50)
+
+
+def test_bigram_lm_scores_typical_vs_rare(spark):
+    """Docs made of corpus-common bigrams must out-score docs of
+    one-off bigrams, and mean_prob_ppm must be the exact integer-ratio
+    mean of the smoothed PPM values."""
+    from transformers_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "the cat sat"),
+            (4, "zq wv xk"),
+            (5, "a"),  # < 2 tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in bigram_lm_scores(df).collect()}
+    assert 5 not in out
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["mean_prob_ppm"] == out[2]["mean_prob_ppm"]
+    assert out[1]["mean_prob_ppm"] > out[4]["mean_prob_ppm"]
+    assert out[4]["rare_frac"] == 0.0  # tiny vocab: nothing under 100ppm
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    from transformers_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "ab cd"),     # 5 chars, 2 ws tokens, 2 bpe tokens
+            (2, "en", "a,b"),       # 3 chars, 1 ws token, 3 bpe tokens (a , b)
+            (3, "fr", "xyz"),       # 3 chars, 1 ws, 1 bpe
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["total_chars"], en["total_ws_tokens"], en["total_bpe_tokens"]) == (2, 8, 3, 5)
+    assert en["chars_per_bpe_token"] == 8.0 / 5.0
+    assert en["bpe_per_ws_token"] == 5.0 / 3.0
+    assert out["fr"]["chars_per_bpe_token"] == 3.0

@@ -2032,6 +2032,73 @@ SELECT w1, w2, rank, prob, c12, c1 FROM (
 """
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality under the corpus's own bigram model —
+    CCNet-style perplexity-proxy bucketing, log-free so the PPM sums
+    are exact integer ratios (operators/text.py:bigram_lm_scores)."""
+    from .text import bigram_lm_scores
+
+    register_tables(spark, sf_dir, ("documents",))
+    return bigram_lm_scores(spark.table("documents"), k_smooth=0.5, rare_ppm=100)
+
+
+ORACLE_TEXT_LM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT doc, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+),
+counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+v AS (SELECT COUNT(*) AS vocab FROM heads),
+lm AS (
+  SELECT c.w1, c.w2,
+         CAST(ROUND(1000000 * (c.c12 + 0.5) / (h.c1 + 0.5 * v.vocab)) AS BIGINT) AS ppm
+  FROM counts c JOIN heads h USING (w1), v
+)
+SELECT p.doc,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS mean_prob_ppm,
+       CAST(SUM(CASE WHEN ppm < 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_frac
+FROM pairs p JOIN lm USING (w1, w2)
+GROUP BY p.doc
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility stats — the budgeting signal
+    for multilingual token-budget planning
+    (operators/text.py:tokenizer_fertility)."""
+    from .text import tokenizer_fertility
+
+    register_tables(spark, sf_dir, ("documents",))
+    return tokenizer_fertility(spark.table("documents"), group_col="lang")
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(n_bpe), 0) AS chars_per_bpe_token,
+       CAST(SUM(n_bpe) AS DOUBLE) / NULLIF(SUM(n_ws), 0) AS bpe_per_ws_token
+FROM per_doc
+GROUP BY lang
+"""
+
+
 def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 corpus docs for each of the first 5 documents as
     queries (operators/text.py:bm25_topk, log-free rational idf)."""
@@ -2160,4 +2227,6 @@ def pipeline_specs() -> list:
         QS("text_chunking", "Overlapping token-window chunks (RAG/embedding prep)", q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
         QS("curation_token_budget", "Token-budget mixture sampling with integer-exact rates", q_token_budget_sample, _oracle_token_budget()),
         QS("embedding_outliers", "Distance-to-centroid z-score outlier flags (embedding QA)", q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
+        QS("text_lm_quality", "Per-doc bigram-LM quality scores (log-free PPM perplexity proxy)", q_bigram_lm_scores, ORACLE_TEXT_LM_QUALITY),
+        QS("text_tokenizer_fertility", "Per-language chars/BPE-token fertility + token inflation", q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     ]

@@ -33,6 +33,8 @@ __all__ = [
     "span_dedup_stats",
     "pii_redaction",
     "bigram_lm",
+    "bigram_lm_scores",
+    "tokenizer_fertility",
     "bm25_topk",
     "chunk_documents",
     "BPE_TOKEN_RE",
@@ -657,6 +659,136 @@ def bigram_lm(
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= top_k)
         .select("w1", "w2", "rank", "prob", "c12", "c1")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+    rare_ppm: int = 100,
+) -> DataFrame:
+    """Per-document quality scores under the corpus's own add-k bigram
+    LM — the cheap full-corpus stand-in for neural perplexity filters
+    (CCNet-style bucketing): documents whose bigrams are
+    corpus-typical score high, boilerplate/garbled text scores low.
+
+    Log-free by the same engine-portability rule as BM25's rational
+    idf: each bigram's smoothed conditional probability is rounded to
+    integer PPM (parts per million) and summed EXACTLY (bigint), so
+    ``mean_prob_ppm`` and ``rare_frac`` are exact integer ratios —
+    bit-identical in any engine, where a log-prob double sum would be
+    partitioning-order-dependent and could never hash-match an oracle.
+
+    Plan shape: one tokenize pass produces (doc, w1, w2) occurrences
+    — persisted, because BOTH the LM aggregate and the scoring join
+    consume it; the LM is a (w1,w2)-grouped count (one shuffle) with
+    head totals from a window over those counts; scoring is a hash
+    join of occurrences against the (much smaller) LM table, then one
+    per-doc aggregate. Docs with < 2 tokens have no bigrams and are
+    excluded (they have no LM evidence either way).
+
+    Output: (doc, n_bigrams, mean_prob_ppm, rare_frac) where
+    ``rare_frac`` is the fraction of the doc's bigrams with smoothed
+    probability below ``rare_ppm`` parts per million.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs_arr = F.when(
+        n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    occurrences = cache.track(
+        df.select(F.col(id_col).alias("doc"), F.explode(pairs_arr).alias("p"))
+        .select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    counts = occurrences.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = counts.select("w1").distinct().count()  # driver scalar
+    lm = (
+        counts.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
+        .withColumn(
+            "ppm",
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("c12") + F.lit(float(k_smooth)))
+                / (F.col("c1") + F.lit(float(k_smooth) * vocab))
+            ).cast("bigint"),
+        )
+        .select("w1", "w2", "ppm")
+    )
+    return (
+        occurrences.join(lm, ["w1", "w2"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("ppm").cast("double") / F.count(F.lit(1))).alias(
+                "mean_prob_ppm"
+            ),
+            (
+                F.sum((F.col("ppm") < rare_ppm).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_frac"),
+        )
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group tokenizer fertility: characters per BPE-ish token and
+    BPE-to-whitespace token inflation — the budgeting signal a
+    multilingual pipeline needs before spending a real tokenizer pass
+    (languages with high fertility consume more of a token budget per
+    character; whitespace counts alone undercount CJK-like scripts).
+
+    Map-only per-doc counting (the token_counts expressions) feeding
+    one partial-aggregated groupBy; all sums are exact bigints, the
+    ratios exact integer-ratio doubles.
+    """
+    txt = F.col(text_col)
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.length(txt).cast("bigint").alias("n_chars"),
+        F.size(tokens(txt)).cast("bigint").alias("n_ws"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_chars",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            (
+                F.col("total_chars").cast("double")
+                / F.nullif(F.col("total_bpe_tokens"), F.lit(0))
+            ).alias("chars_per_bpe_token"),
+            (
+                F.col("total_bpe_tokens").cast("double")
+                / F.nullif(F.col("total_ws_tokens"), F.lit(0))
+            ).alias("bpe_per_ws_token"),
+        )
     )
 
 
