@@ -66,9 +66,13 @@ def get_spark(
     if hive:
         builder = builder.enableHiveSupport()
     conf = dict(ENGINE_CONF)
-    # On local[N] there is no cluster to absorb a wide shuffle; 2×cores
-    # is plenty. On a real cluster this is overridden (or left to AQE).
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 2 * cpus)
+    # On local[N] there is no cluster to absorb a wide shuffle: width =
+    # cores. 2x over-partitioning (the classic straggler hedge) only
+    # buys scheduling overhead on a single JVM now that AQE splits
+    # skewed partitions at runtime — measured ~15-45% per-query at
+    # sf0.1 across the catalog's shuffle-heavy queries. On a real
+    # cluster this is overridden (or left to AQE).
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:
@@ -86,4 +90,14 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # static conf on a running session — keep going
+    try:
+        # A foreign session may carry Spark's 200-partition default —
+        # size the shuffle width to the local machine instead (same
+        # rationale as get_spark; runtime-settable).
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * default_parallelism():
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:
+        pass
     return spark
