@@ -261,3 +261,33 @@ def test_stream_into_table_guards(spark, events_dir, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="micro-batches"):
         q3.awaitTermination()
+
+
+def test_streaming_static_enrichment_matches_batch_join(spark, tmp_path):
+    """Stateless stream-static broadcast join: drained output equals
+    the batch left join, including stream rows with no dimension hit."""
+    from transformers_spark.streaming.windows import (
+        run_available_now,
+        streaming_static_enrichment,
+    )
+    from datetime import datetime as dt
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 5), 10, "view", 1.0),
+            (2, dt(2024, 1, 1, 6), 11, "purchase", 2.0),
+            (3, dt(2024, 1, 1, 7), 99, "view", 3.0),  # no dim row
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    ).coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "BUILDING"), (11, "MACHINERY")], ["c_custkey", "c_mktsegment"]
+    )
+    out = run_available_now(
+        streaming_static_enrichment(spark, src, dim),
+        "enrich_unit",
+        output_mode="append",
+    )
+    got = {r["event_id"]: r["c_mktsegment"] for r in out.collect()}
+    assert got == {1: "BUILDING", 2: "MACHINERY", 3: None}

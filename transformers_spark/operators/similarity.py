@@ -193,8 +193,10 @@ def kmeans_centroids(
     vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=20260813)
-    rows = vecs.orderBy("vid").limit(max_train_vectors).collect()
-    x = np.array([r["vec"] for r in rows], dtype=np.float64)
+    # Arrow toPandas (see pq_codebooks): columnar transfer of the
+    # bounded sample, same rows as the row-based collect.
+    pdf = vecs.orderBy("vid").limit(max_train_vectors).toPandas()
+    x = np.array(list(pdf["vec"]), dtype=np.float64)
     centers = x[:n_centroids].copy()
     for _ in range(iters):
         # Nearest center by squared L2 (standard Lloyd objective);
@@ -518,13 +520,16 @@ def pq_codebooks(
     """
     import numpy as np
 
-    rows = (
+    # Arrow toPandas, not row-based collect: the training sample is
+    # max_train_vectors full-width vectors — columnar transfer is
+    # several times faster and the bound is identical.
+    pdf = (
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .orderBy("vid")
         .limit(max_train_vectors)
-        .collect()
+        .toPandas()
     )
-    x = np.array([r["vec"] for r in rows], dtype=np.float64)
+    x = np.array(list(pdf["vec"]), dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

@@ -318,6 +318,33 @@ GROUP BY user_id
 """
 
 
+def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment
+    (streaming/windows.py:streaming_static_enrichment): every streamed
+    event picks up its user's market segment from the static customer
+    dimension; stateless append drain equals the batch left join."""
+    from ..sources.testdata import load_table
+    from .windows import run_available_now, streaming_static_enrichment
+
+    source = _stream_source_dir(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see hourly note
+    try:
+        sdf = streaming_static_enrichment(spark, source, customer)
+        name = "stream_enrich_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_available_now(sdf, name, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+ORACLE_STREAMING_ENRICHMENT = """
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, c.c_mktsegment
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def streaming_specs() -> list:
     from ..queries import QuerySpec as QS
 
@@ -345,5 +372,11 @@ def streaming_specs() -> list:
             "Update-mode stateful running per-user totals vs batch GROUP BY",
             q_streaming_running_totals,
             ORACLE_STREAMING_RUNNING_TOTALS,
+        ),
+        QS(
+            "streaming_static_enrichment",
+            "Stateless stream-static broadcast dimension join vs batch left join",
+            q_streaming_static_enrichment,
+            ORACLE_STREAMING_ENRICHMENT,
         ),
     ]

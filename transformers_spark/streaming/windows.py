@@ -35,6 +35,7 @@ __all__ = [
     "streaming_event_counts",
     "streaming_distinct",
     "streaming_view_purchase_join",
+    "streaming_static_enrichment",
     "streaming_running_totals",
     "sessionize",
     "run_available_now",
@@ -262,6 +263,37 @@ def _session_fn(
                 "n_events": [r[3] for r in rows],
             }
         )
+
+
+def streaming_static_enrichment(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    on_stream: str = "user_id",
+    on_dim: str = "c_custkey",
+    dim_cols: tuple = ("c_mktsegment",),
+) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical lookup-join
+    shape of a production pipeline (events stream x customer/account
+    dimension table).
+
+    STATELESS and append-mode: Spark re-plans the static side each
+    micro-batch (picking up dimension updates between batches) and
+    broadcasts it into a map-side hash join, so the stream is never
+    shuffled and no state store exists. That is the plan that holds at
+    100 TB-of-stream: per-batch cost is a scan of the batch plus a
+    broadcast probe; dimension size is the only memory bound. The
+    explicit ``F.broadcast`` pins the strategy even when the dimension
+    is freshly re-read and has no stats.
+    """
+    events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    dim_side = F.broadcast(
+        dim.select(F.col(on_dim).alias("__dim_key"), *[F.col(c) for c in dim_cols])
+    )
+    return (
+        events.join(dim_side, events[on_stream] == F.col("__dim_key"), "left")
+        .drop("__dim_key")
+    )
 
 
 def sessionize(
