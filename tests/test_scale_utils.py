@@ -502,3 +502,83 @@ def test_ntiles_wide_matches_window_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ntile_expr_edge_totals(spark):
+    """_ntile_expr boundary cases: n=1, n=k-1, n=k, n=k+1, prime n —
+    every (total, k) pairing must equal the window NTILE on a plain
+    range frame."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.ranking import _ntile_expr
+
+    for k in (1, 2, 4, 5, 8):
+        for n in (1, k - 1, k, k + 1, 2 * k + 3, 97):
+            if n < 1:
+                continue
+            df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+            got = [
+                r["q"]
+                for r in df.select("rn", _ntile_expr("rn", n, k).alias("q"))
+                .orderBy("rn")
+                .collect()
+            ]
+            want = [
+                r["q"]
+                for r in df.select(
+                    F.ntile(k).over(W.orderBy("rn")).alias("q")
+                ).collect()
+            ]
+            assert got == want, f"n={n} k={k}"
+
+
+def test_grouped_ntile_matches_window_ntile(spark):
+    """grouped_ntile must equal NTILE(k) OVER (PARTITION BY grp ORDER
+    BY ...) exactly — uneven group sizes, ties, tiny groups (n < k)
+    included — with no driver collect and no per-group single sort."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.ranking import grouped_ntile
+
+    rows = [(i, "g" + str(i % 3 if i < 90 else 3), (i * 17) % 23) for i in range(93)]
+    # group g3 has exactly 3 members -> n < k branch
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        (r["grp"], r["id"]): r["q"]
+        for r in grouped_ntile(df, ["grp"], order, "q", k=4).collect()
+    }
+    want = {
+        (r["grp"], r["id"]): r["q"]
+        for r in df.select(
+            "grp", "id",
+            F.ntile(4).over(W.partitionBy("grp").orderBy(*order)).alias("q"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_segment_window_queries_have_partitioned_windows_only(spark):
+    """customer_balance_quartiles / balance_rank_distribution: no
+    window may sort a whole segment in one task — every windowspec's
+    leading arg must be a partition id or a tiny-frame group key, and
+    the heavy ranking must go through rangepartitioning (the
+    grouped_row_number two-phase shape)."""
+    import re
+
+    from transformers_spark.analytics import (
+        q_balance_rank_distribution,
+        q_customer_balance_quartiles,
+    )
+
+    for fn in (q_customer_balance_quartiles, q_balance_rank_distribution):
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan, fn.__name__
+        for first_arg in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                fn.__name__,
+                first_arg,
+            )

@@ -731,28 +731,35 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 
 
 def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE window + re-aggregation: quartile customers by account
-    balance within each market segment, then summarize each quartile.
-    The total order (balance, then key) makes ntile deterministic; the
-    window shuffle partitions by segment — 5 partitions only, so at
-    scale this wants the segment cardinality to stay small (it does)."""
+    """Per-segment balance quartiles + re-aggregation. The total order
+    (balance, then key) makes the quartile deterministic.
+
+    Exact ``NTILE(4) OVER (PARTITION BY segment ...)`` semantics, but
+    via ``operators/ranking.grouped_ntile``: a plain segment-partitioned
+    window funnels each of the 5 segments through ONE task's sort — at
+    100x that's five ~200M-row single-task sorts. grouped_ntile
+    range-partitions on (segment, balance, key), ranks locally, and
+    prefix-sums the tiny per-(partition, segment) counts distributively
+    — no single-task sort, no driver collect."""
+    from .operators.ranking import grouped_ntile
+
     register_tables(spark, sf_dir, ("customer",))
-    return spark.sql(
-        """
-        WITH ranked AS (
-          SELECT c_mktsegment, c_acctbal,
-                 NTILE(4) OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal, c_custkey) AS quartile
-          FROM customer
-        )
-        SELECT c_mktsegment, quartile,
-               COUNT(*) AS n_customers,
-               CAST(MIN(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS min_bal,
-               CAST(MAX(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS max_bal,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_bal
-        FROM ranked
-        GROUP BY c_mktsegment, quartile
-        """
+    cust = spark.table("customer").select(
+        "c_mktsegment", "c_acctbal", "c_custkey"
+    )
+    ranked = grouped_ntile(
+        cust,
+        ["c_mktsegment"],
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        "quartile",
+        k=4,
+    )
+    bal = F.col("c_acctbal").cast("decimal(12,4)")
+    return ranked.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min(bal).cast("double").alias("min_bal"),
+        F.max(bal).cast("double").alias("max_bal"),
+        F.sum(bal).cast("double").alias("total_bal"),
     )
 
 
@@ -1263,28 +1270,51 @@ GROUP BY 1, 2
 
 def q_balance_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT_RANK + CUME_DIST + full-frame LAST_VALUE per market
-    segment, filtered to the top decile: the OVER-clause distribution
-    functions not covered by NTILE/ROW_NUMBER elsewhere. One window
-    shuffle on segment; the filter happens after ranking (it must —
-    rank is relative to the whole segment)."""
+    segment, filtered to the top decile — the OVER-clause distribution
+    functions not covered by NTILE/ROW_NUMBER elsewhere.
+
+    The ordering (balance, custkey) is UNIQUE within a segment, so
+    RANK == ROW_NUMBER and every distribution function is arithmetic
+    over the grouped row number: ``percent_rank = (rn-1)/(N-1)``,
+    ``cume_dist = rn/N``, and the ascending full-frame LAST_VALUE is
+    the segment max. Computed via
+    ``operators/ranking.grouped_row_number`` — the segment-partitioned
+    window would funnel each of the 5 segments through one task's sort
+    at 100x (same fix as customer_balance_quartiles). N == 1 segments
+    define percent_rank = 0 (both engines)."""
+    from .operators.ranking import grouped_row_number
+
     register_tables(spark, sf_dir, ("customer",))
-    seg = W.partitionBy("c_mktsegment").orderBy(
-        F.asc("c_acctbal"), F.asc("c_custkey")
+    cust = spark.table("customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    full_frame = seg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = spark.table("customer").select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").cast("decimal(12,4)").cast("double").alias("balance"),
-        F.round(F.percent_rank().over(seg), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(seg), 6).alias("cume"),
-        F.last("c_acctbal")
-        .over(full_frame)
-        .cast("decimal(12,4)")
-        .cast("double")
-        .alias("segment_max"),
+    ranked = grouped_row_number(
+        cust,
+        ["c_mktsegment"],
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        rn_col="__rn",
+        total_col="__n",
     )
-    return ranked.filter(F.col("pct_rank") >= 0.9)
+    seg_max = cust.groupBy("c_mktsegment").agg(
+        F.max(F.col("c_acctbal").cast("decimal(12,4)")).alias("__max_bal")
+    )
+    out = (
+        ranked.join(F.broadcast(seg_max), "c_mktsegment")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").cast("decimal(12,4)").cast("double").alias("balance"),
+            F.round(
+                F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+                    (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1)
+                ),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("__rn").cast("double") / F.col("__n"), 6).alias("cume"),
+            F.col("__max_bal").cast("double").alias("segment_max"),
+        )
+    )
+    return out.filter(F.col("pct_rank") >= 0.9)
 
 
 ORACLE_BALANCE_RANK_DISTRIBUTION = """

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from .. import cache
 
-__all__ = ["global_row_number", "with_global_ntile", "ntiles_wide"]
+__all__ = [
+    "global_row_number",
+    "with_global_ntile",
+    "ntiles_wide",
+    "grouped_ntile",
+    "grouped_row_number",
+]
 
 
 def global_row_number(
@@ -183,4 +189,91 @@ def ntiles_wide(
             F.max(F.when(F.col("__dim") == i, F.col("__q"))).alias(out)
             for i, (out, _key) in enumerate(dims)
         ]
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    out_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (PARTITION BY group ORDER BY ...)`` for
+    LOW-cardinality groups with LARGE membership — the case where the
+    plain window is a scale cliff (each group funnels through ONE
+    task's sort; 5 market segments at 10^9 customers = five
+    200M-row single-task sorts).
+
+    Two-phase like :func:`global_row_number`, but the offsets stay
+    DISTRIBUTED: range-partition on (group, order), rank locally per
+    (partition, group), then prefix-sum the tiny per-(partition, group)
+    count frame with a window over partition ids and join it back — no
+    driver collect at any group cardinality, and per-group totals ride
+    along as a column for the NTILE arithmetic.
+
+    For HIGH-cardinality groups with small membership, use the plain
+    window — each group already fits one task and this machinery buys
+    nothing.
+    """
+    # NTILE(k) with a per-group COLUMN total — same SQL-standard rule
+    # as _ntile_expr, in bigint `div` arithmetic (never float division,
+    # whose round-then-truncate can be off by one near exact integer
+    # quotients). When base = 0, thr == total so the first arm always
+    # applies and the ELSE's div-by-zero is never evaluated (CASE is
+    # lazy in both Spark and the SQL standard).
+    ntile_sql = (
+        "CAST(CASE WHEN __rn <= __thr THEN (__rn + __base) div (__base + 1) "
+        "ELSE __rem + (__rn - __thr + __base - 1) div __base END AS INT)"
+    )
+    return (
+        grouped_row_number(df, group_cols, order_by, rn_col="__rn", total_col="__total")
+        .withColumn("__base", F.expr(f"__total div {k}"))
+        .withColumn("__rem", F.expr(f"__total % {k}"))
+        .withColumn("__thr", F.expr("__rem * (__base + 1)"))
+        .withColumn(out_col, F.expr(ntile_sql))
+        .drop("__total", "__rn", "__base", "__rem", "__thr")
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    rn_col: str = "__rn",
+    total_col: str = "__total",
+) -> DataFrame:
+    """Exact 1-based ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    ...)`` plus the group's row count as a column, without funneling
+    any group through a single task (see :func:`grouped_ntile` for
+    when this matters). ``order_by`` must be a total order within each
+    group. The distribution functions all derive from it: with a
+    unique order, RANK == ROW_NUMBER, ``percent_rank = (rn-1)/(N-1)``,
+    ``cume_dist = rn/N``."""
+    gcols = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(*gcols, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = W.partitionBy("__pid", *group_cols).orderBy(*order_by)
+    with_rn = cache.track(
+        ranged.withColumn("__lrn", F.row_number().over(local)).persist()
+    )
+    counts = with_rn.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    prior = (
+        W.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__c").over(prior), F.lit(0)).alias("__off"),
+        F.sum("__c").over(W.partitionBy(*group_cols)).alias(total_col),
+    )
+    return (
+        with_rn.join(offs, ["__pid", *group_cols])
+        .withColumn(rn_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
     )
