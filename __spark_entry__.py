@@ -56,10 +56,10 @@ def _cohort_order(names: list[str]) -> list[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
-            if green:
-                status[key] = "green"
-            else:
-                status.setdefault(key, "not_green")
+            # LATEST round wins (files iterate in round order): a query
+            # that was green once but regressed later must come back to
+            # the front of the sample, not hide at rank 2
+            status[key] = "green" if green else "not_green"
     rank = {"not_green": 0, "green": 2}
     pos = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (rank.get(status.get(n, ""), 1), pos[n]))

@@ -722,3 +722,12 @@ def test_update_partition_pseudo_column_rejected(spark, engine):
     # table unchanged
     rows = engine.catalog.read(dest).collect()
     assert len(rows) == 1 and rows[0]["n"] == 5
+
+
+def test_declare_without_type_keeps_default(spark):
+    """BQ allows DECLARE without a type (inferred from DEFAULT) — the
+    default must still bind (code-review r3: the optional type group
+    must not swallow 'DEFAULT <expr>')."""
+    eng = Engine(spark)
+    out = eng.run_script("DECLARE n DEFAULT 5;\nSELECT n + 1 AS v;")
+    assert out[-1][0]["v"] == 6

@@ -1295,8 +1295,12 @@ def q_balance_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="__rn",
         total_col="__n",
     )
-    seg_max = cust.groupBy("c_mktsegment").agg(
-        F.max(F.col("c_acctbal").cast("decimal(12,4)")).alias("__max_bal")
+    # the row ranked last in each segment holds the segment max (the
+    # ordering is balance ASC) — no second scan of customer needed,
+    # this reads the already-persisted ranked frame
+    seg_max = ranked.filter(F.col("__rn") == F.col("__n")).select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,4)").alias("__max_bal"),
     )
     out = (
         ranked.join(F.broadcast(seg_max), "c_mktsegment")

@@ -384,8 +384,10 @@ class Engine:
         if kind == "declare":
             # DECLARE name [type] [DEFAULT expr] — BQ initializes the
             # variable with the DEFAULT expression (NULL without one)
+            # the optional type group must not swallow "DEFAULT <expr>"
+            # when the type is omitted (BQ infers it from the default)
             m = re.match(
-                r"DECLARE\s+(\w+(?:\s*,\s*\w+)*)(?:\s+[\w<>,() ]+?)?"
+                r"DECLARE\s+(\w+(?:\s*,\s*\w+)*)(?:\s+(?!DEFAULT\b)[\w<>,() ]+?)?"
                 r"(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$",
                 stmt,
                 re.IGNORECASE | re.DOTALL,

@@ -353,23 +353,18 @@ class Writer:
         # Every SET target must resolve to a user-visible destination
         # column — BigQuery errors on an unrecognized column, so a
         # typo'd / alias-qualified / struct-path name must not silently
-        # no-op. The internal partition pseudo-column is likewise not
-        # assignable (unless it IS a user column of the table).
+        # no-op. This also rejects the internal partition pseudo-column
+        # ('dt'): on a partitioned table it is never in column_names (a
+        # user column named 'dt' would already have collided with the
+        # physical partition column at create_table), and letting it
+        # through the partition-scoped path would silently drop rows
+        # whose new dt leaves the affected-partition set.
         known = {c.lower() for c in meta.column_names}
         unmatched = sorted(c for c in assignments if c.lower() not in known)
         if unmatched:
             raise ValueError(
                 f"UPDATE {fqn}: SET column(s) {unmatched} not found in "
                 f"destination columns {meta.column_names}"
-            )
-        if (
-            meta.partition.is_partitioned
-            and PARTITION_COL in assigned
-            and (meta.partition.field or "").lower() != PARTITION_COL
-        ):
-            raise ValueError(
-                f"UPDATE {fqn}: cannot assign the partition "
-                f"pseudo-column {PARTITION_COL!r}"
             )
         # ONE projection, never sequential withColumn: SQL UPDATE
         # evaluates the predicate and every SET expression against the

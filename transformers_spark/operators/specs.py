@@ -12,6 +12,8 @@ every spec gets the full rows/schema/hash gate.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -825,23 +827,33 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIMODAL_ORACLE_DOCS = "/root/testdata/sf0.01/documents.parquet"
 
 
+@lru_cache(maxsize=4)
+def _read_multimodal_docs(docs_path: str):
+    """One parquet read shared by the three per-kind oracle builders
+    (memoized — catalog import calls them back to back)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        docs_path, columns=["doc_id", "text", "n_chars"]
+    ).to_pylist()
+
+
 def _multimodal_oracle(kind: str, docs_path: str = _MULTIMODAL_ORACLE_DOCS) -> "str | None":
     import hashlib
     import os
 
     if not os.path.exists(docs_path):
         return None
-    import pyarrow.parquet as pq
 
     from .multimodal import fake_resizer
 
-    tbl = pq.read_table(docs_path, columns=["doc_id", "text", "n_chars"])
+    records = _read_multimodal_docs(docs_path)
 
     def lit(v) -> str:
         return "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
 
     rows = []
-    for rec in tbl.to_pylist():
+    for rec in records:
         media_id = str(rec["doc_id"])
         text = rec["text"]
         payload = None if text is None else text.encode("utf-8")

@@ -600,6 +600,29 @@ def pii_redaction(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, w1, w2) — one row per adjacent lowercase-token pair
+    occurrence, via a map-only zip of the token array with its shifted
+    self (no posexplode+self-join). Docs with < 2 tokens contribute
+    nothing. Shared by :func:`bigram_lm` (which aggregates away the
+    doc) and :func:`bigram_lm_scores` (which scores per doc) so the
+    tokenization and pair semantics can never diverge."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs_arr = F.when(
+        n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    return df.select(F.col(id_col).alias("doc"), F.explode(pairs_arr).alias("p")).select(
+        "doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -624,21 +647,11 @@ def bigram_lm(
     """
     from pyspark.sql import Window as W
 
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    pairs_arr = F.when(n < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
-    )
     # persist: pair counts feed both the vocab scalar action and the
     # final probability plan — uncached, the corpus re-tokenizes for
     # each. Released by the harness after materialization (cache.py).
     pairs = cache.track(
-        df.select(F.explode(pairs_arr).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        _doc_bigrams(df, text_col, id_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .persist()
@@ -695,22 +708,7 @@ def bigram_lm_scores(
     """
     from pyspark.sql import Window as W
 
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
-    pairs_arr = F.when(
-        n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
-    )
-    occurrences = cache.track(
-        df.select(F.col(id_col).alias("doc"), F.explode(pairs_arr).alias("p"))
-        .select("doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .persist()
-    )
+    occurrences = cache.track(_doc_bigrams(df, text_col, id_col).persist())
     counts = occurrences.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     vocab = counts.select("w1").distinct().count()  # driver scalar
     lm = (

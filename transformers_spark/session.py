@@ -91,10 +91,16 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # static conf on a running session — keep going
     try:
-        # A foreign session may carry Spark's 200-partition default —
-        # size the shuffle width to the local machine instead (same
-        # rationale as get_spark; runtime-settable).
-        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * default_parallelism():
+        # A foreign LOCAL session may carry Spark's 200-partition
+        # default — size the shuffle width to the machine instead (same
+        # rationale as get_spark; runtime-settable). Never touch a
+        # cluster session: the driver's cpu count says nothing about
+        # executor parallelism there, and a deliberate wide setting
+        # must stand.
+        if spark.sparkContext.master.startswith("local") and (
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+            > 4 * default_parallelism()
+        ):
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(default_parallelism())
             )
