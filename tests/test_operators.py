@@ -921,3 +921,31 @@ def test_tokenizer_fertility_exact_counts(spark):
     assert en["chars_per_bpe_token"] == 8.0 / 5.0
     assert en["bpe_per_ws_token"] == 5.0 / 3.0
     assert out["fr"]["chars_per_bpe_token"] == 3.0
+
+
+def test_embedding_cluster_profile_counts_and_selfassign(spark):
+    """Seed vectors assign to themselves with distance 0; cluster
+    sizes sum to the corpus; nearest assignment ties break to the
+    lowest centroid id."""
+    from transformers_spark.operators.similarity import (
+        embedding_cluster_profile,
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, 0.0]),     # near seed 0
+            (3, [10.0, 10.1]),   # near seed 1
+            (4, [5.0, 5.0]),     # equidistant -> lowest cid (0)
+        ],
+        ["vec_id", "embedding"],
+    )
+    seeds = kmeans_centroids(df, n_centroids=2, iters=0)
+    out = {r["centroid_id"]: r for r in embedding_cluster_profile(df, seeds).collect()}
+    assert out[0]["n_vectors"] == 3  # 0, 2, 4(tie)
+    assert out[1]["n_vectors"] == 2
+    assert out[1]["max_sq_dist"] > 0
+    total = sum(r["n_vectors"] for r in out.values())
+    assert total == 5

@@ -38,6 +38,7 @@ __all__ = [
     "pq_adc_topk",
     "l2_topk",
     "embedding_outliers",
+    "embedding_cluster_profile",
 ]
 
 
@@ -767,3 +768,77 @@ def embedding_outliers(
         .alias("is_outlier"),
     )
     return flagged
+
+
+def embedding_cluster_profile(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus composition by embedding cluster: assign every vector to
+    its nearest centroid (rounded squared-L2 asc, centroid id asc on
+    ties) and profile each cluster — size, mean and max squared
+    distance. This is the report a curation pass reads before setting
+    per-cluster sampling rates (semantic dedup / domain balancing by
+    cluster density, the SemDeDup/DataComp-style pruning signal).
+
+    Assignment is MAP-ONLY: the codebook rides as packed literals (the
+    ``_probe_cells`` discipline) — no |corpus| x k row expansion, no
+    shuffle before the single per-cluster aggregate. Distances use the
+    rounded-then-decimal-summed discipline of
+    :func:`embedding_outliers` so any engine reproduces them
+    bit-for-bit.
+    """
+    codebook = _collect_codebook(centroids)
+    cent_arr = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+            for _, cvec in codebook
+        )
+        + ")"
+    )
+    ids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in codebook) + ")")
+    vec = F.col(vec_col)
+
+    def sq_to(cent: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    cent,
+                    lambda a, b: F.round(
+                        (a.cast("double") - b) * (a.cast("double") - b), 6
+                    ).cast("decimal(18,6)"),
+                ),
+                F.lit(0).cast("decimal(28,6)"),
+                lambda acc, v: (acc + v).cast("decimal(28,6)"),
+            ).cast("double"),
+            6,
+        )
+
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(codebook))),
+            lambda i: F.struct(
+                sq_to(F.element_at(cent_arr, i)).alias("d"),
+                F.element_at(ids, i).alias("cid"),
+            ),
+        )
+    )
+    best = F.element_at(ranked, 1)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec"),
+        best["cid"].alias("centroid_id"),
+        best["d"].alias("sq_dist"),
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("sq_dist").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sq_dist"),
+        F.max("sq_dist").alias("max_sq_dist"),
+    )

@@ -2044,6 +2044,56 @@ SELECT w1, w2, rank, prob, c12, c1 FROM (
 """
 
 
+def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by embedding cluster
+    (operators/similarity.py:embedding_cluster_profile). The demo
+    codebook is kmeans_centroids with iters=0 — i.e. the 8 lowest-id
+    vectors as seeds — so the oracle can replicate the assignment in
+    plain SQL; production passes a converged codebook through the SAME
+    assignment/profile path."""
+    from .similarity import embedding_cluster_profile, kmeans_centroids
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings")
+    seeds = kmeans_centroids(emb, n_centroids=8, iters=0)
+    return embedding_cluster_profile(emb, seeds)
+
+
+ORACLE_EMBEDDING_CLUSTER_PROFILE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+sx AS (
+  SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS c
+  FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT e.vec_id, s.cid,
+         ROUND(CAST(SUM(CAST(ROUND((CAST(e.v AS DOUBLE) - CAST(s.c AS DOUBLE))
+                                   * (CAST(e.v AS DOUBLE) - CAST(s.c AS DOUBLE)), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS sq
+  FROM ex e JOIN sx s USING (dim)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cid, sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cid ASC) AS rn
+  FROM pairs
+)
+SELECT cid AS centroid_id,
+       COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_sq_dist,
+       MAX(sq) AS max_sq_dist
+FROM assigned
+WHERE rn = 1
+GROUP BY cid
+"""
+
+
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LM quality under the corpus's own bigram model —
     CCNet-style perplexity-proxy bucketing, log-free so the PPM sums
@@ -2240,5 +2290,6 @@ def pipeline_specs() -> list:
         QS("curation_token_budget", "Token-budget mixture sampling with integer-exact rates", q_token_budget_sample, _oracle_token_budget()),
         QS("embedding_outliers", "Distance-to-centroid z-score outlier flags (embedding QA)", q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
         QS("text_lm_quality", "Per-doc bigram-LM quality scores (log-free PPM perplexity proxy)", q_bigram_lm_scores, ORACLE_TEXT_LM_QUALITY),
+        QS("embedding_cluster_profile", "Per-cluster corpus composition (nearest-centroid assignment)", q_embedding_cluster_profile, ORACLE_EMBEDDING_CLUSTER_PROFILE),
         QS("text_tokenizer_fertility", "Per-language chars/BPE-token fertility + token inflation", q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     ]
