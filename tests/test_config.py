@@ -120,3 +120,21 @@ def test_query_priority_parse_and_validate(monkeypatch):
     # default is INTERACTIVE (reference config.py:123)
     monkeypatch.delenv("QUERY_PRIORITY")
     assert task_config_from_env().query_priority == "INTERACTIVE"
+
+
+def test_apply_engine_conf_clamps_foreign_local_width(spark):
+    """A foreign local session carrying Spark's 200-partition default
+    gets resized to the machine; an explicit moderate setting stands."""
+    from transformers_spark.session import apply_engine_conf, default_parallelism
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    wide = str(8 * default_parallelism())  # always above the 4x threshold
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", wide)
+        apply_engine_conf(spark)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default_parallelism()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        apply_engine_conf(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
