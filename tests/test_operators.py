@@ -949,3 +949,25 @@ def test_embedding_cluster_profile_counts_and_selfassign(spark):
     assert out[1]["max_sq_dist"] > 0
     total = sum(r["n_vectors"] for r in out.values())
     assert total == 5
+
+
+def test_dsir_weights_target_likeness(spark):
+    """Docs made of target-corpus tokens must score positive; docs of
+    non-target-only tokens negative; mixed in between. Scores are
+    exact integer ratios (deterministic across partitionings)."""
+    from transformers_spark.operators.curation import dsir_weights
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha alpha beta"),
+            (2, "en", "alpha beta beta"),
+            (3, "de", "zeta zeta eta"),
+            (4, "de", "alpha zeta"),  # mixed
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["doc"]: r["dsir_score"] for r in dsir_weights(df, F.col("lang") == "en").collect()}
+    assert out[1] > 0 and out[2] > 0      # pure target tokens
+    assert out[3] < 0                      # tokens absent from target
+    assert out[3] < out[4] < out[1]        # mixed in between

@@ -49,6 +49,7 @@ __all__ = [
     "token_budget_rates_bp",
     "token_budget_sample",
     "pack_sequences",
+    "dsir_weights",
 ]
 
 
@@ -443,3 +444,83 @@ def token_budget_sample(
     for value, bp in rates.items():
         rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance scores against a target distribution
+    (Data Selection via Importance Resampling, Xie et al. 2023):
+    hashed-token bucket frequencies define a target LM and a raw LM;
+    each document scores by how much its tokens look like the target.
+
+    Log-free by the house rule (BM25's rational idf,
+    bigram_lm_scores): instead of the paper's sum of log-probability
+    ratios, the score is the MEAN over the document's token
+    occurrences of ``target_ppm(bucket) - raw_ppm(bucket)`` — integer
+    ppm frequencies, summed exactly, so the score is an exact integer
+    ratio any engine reproduces. Positive = more target-like; rank or
+    threshold on it for resampling exactly as with log-ratio weights
+    (both are monotone "target-likeness" functionals of the same
+    bucket frequencies).
+
+    Plan: one tokenize pass to (doc, bucket) occurrences — persisted,
+    it feeds the two frequency aggregates AND the scoring join; the
+    frequency tables are ``n_buckets`` rows (broadcast); scoring is a
+    map-side join + one per-doc aggregate. ``target_pred`` is any
+    boolean column over ``df``'s rows (e.g. ``F.col('lang') == 'en'``).
+    """
+    from .hashing import h32
+
+    occ = cache.track(
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            target_pred.alias("__is_target"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .select(
+            "doc",
+            "__is_target",
+            (h32(F.col("tok")) % n_buckets).alias("bucket"),
+        )
+        .persist()
+    )
+    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        occ.filter(F.col("__is_target"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    # the frequency frames are <= n_buckets rows: the totals window and
+    # the scoring joins are all tiny/broadcast
+    raw_ppm = raw.select(
+        "bucket",
+        F.expr("1000000 * rc div sum(rc) over ()").alias("r_ppm"),
+    )
+    tgt_ppm = tgt.select(
+        "bucket",
+        F.expr("1000000 * tc div sum(tc) over ()").alias("t_ppm"),
+    )
+    freqs = F.broadcast(
+        raw_ppm.join(tgt_ppm, "bucket", "left").select(
+            "bucket",
+            "r_ppm",
+            F.coalesce(F.col("t_ppm"), F.lit(0)).alias("t_ppm"),
+        )
+    )
+    return (
+        occ.join(freqs, "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.col("t_ppm") - F.col("r_ppm")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dsir_score"),
+        )
+    )

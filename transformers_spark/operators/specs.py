@@ -2044,6 +2044,40 @@ SELECT w1, w2, rank, prob, c12, c1 FROM (
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-likeness importance scores, target = English
+    documents (operators/curation.py:dsir_weights)."""
+    from .curation import dsir_weights
+
+    register_tables(spark, sf_dir, ("documents",))
+    return dsir_weights(spark.table("documents"), F.col("lang") == "en")
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH occ AS (
+  SELECT doc_id AS doc, is_t, {duck_h32('tok')} % 1024 AS bucket
+  FROM (
+    SELECT doc_id, (lang = 'en') AS is_t,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  )
+),
+raw AS (SELECT bucket, COUNT(*) AS rc FROM occ GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS tc FROM occ WHERE is_t GROUP BY 1),
+rp AS (SELECT bucket, (1000000 * rc) // SUM(rc) OVER () AS r_ppm FROM raw),
+tp AS (SELECT bucket, (1000000 * tc) // SUM(tc) OVER () AS t_ppm FROM tgt),
+f AS (
+  SELECT r.bucket, r.r_ppm, COALESCE(t.t_ppm, 0) AS t_ppm
+  FROM rp r LEFT JOIN tp t ON r.bucket = t.bucket
+)
+SELECT o.doc,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(t_ppm - r_ppm) AS DOUBLE) / COUNT(*) AS dsir_score
+FROM occ o JOIN f USING (bucket)
+GROUP BY o.doc
+"""
+
+
 def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition by embedding cluster
     (operators/similarity.py:embedding_cluster_profile). The demo
@@ -2291,5 +2325,6 @@ def pipeline_specs() -> list:
         QS("embedding_outliers", "Distance-to-centroid z-score outlier flags (embedding QA)", q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
         QS("text_lm_quality", "Per-doc bigram-LM quality scores (log-free PPM perplexity proxy)", q_bigram_lm_scores, ORACLE_TEXT_LM_QUALITY),
         QS("embedding_cluster_profile", "Per-cluster corpus composition (nearest-centroid assignment)", q_embedding_cluster_profile, ORACLE_EMBEDDING_CLUSTER_PROFILE),
+        QS("curation_dsir_weights", "DSIR-style hashed-bucket target-likeness importance scores", q_dsir_weights, ORACLE_DSIR_WEIGHTS),
         QS("text_tokenizer_fertility", "Per-language chars/BPE-token fertility + token inflation", q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     ]
