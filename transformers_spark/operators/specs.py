@@ -2044,6 +2044,105 @@ SELECT w1, w2, rank, prob, c12, c1 FROM (
 """
 
 
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-don't-guess eval for the LSH dedup stage: every MinHash
+    candidate pair joined against its EXACT 3-gram Jaccard, rolled up
+    per matching-band count — the precision table that justifies (or
+    indicts) the banding parameters before a corpus-wide run. A pair
+    with no shared gram scores Jaccard 0 via the left join."""
+    from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    cand = minhash_lsh_pairs(docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS)
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    joined = cand.join(exact, ["d1", "d2"], "left").select(
+        "matching_bands", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("j")
+    )
+    return joined.groupBy("matching_bands").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("j") >= 0.2).cast("bigint")).alias("n_true"),
+        F.round(
+            F.sum((F.col("j") >= 0.2).cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision"),
+    )
+
+
+def _oracle_lsh_precision() -> str:
+    cand = _oracle_minhash().strip().rstrip(";")
+    exact = ORACLE_NGRAM_JACCARD.strip().rstrip(";").replace(">= 0.2", ">= 0.0")
+    return f"""
+SELECT matching_bands,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       ROUND(CAST(SUM(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS precision
+FROM (
+  SELECT c.matching_bands, COALESCE(e.jaccard, 0.0) AS j
+  FROM ({cand}) c
+  LEFT JOIN ({exact}) e ON c.d1 = e.d1 AND c.d2 = e.d2
+)
+GROUP BY matching_bands
+"""
+
+
+def q_quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep for the quality filter: survivors and their
+    mean length at each cutoff 0.0..0.9 — the tuning table read before
+    committing a corpus-wide quality floor. One map-only expand (10
+    rows per doc) into one aggregate; exact decimal char sums."""
+    from .text import quality_expr
+
+    register_tables(spark, sf_dir, ("documents",))
+    scored = spark.table("documents").select(
+        quality_expr(F.col("text")).alias("q"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t / 10.0) for t in range(10)])
+    ).alias("threshold")
+    swept = scored.select("q", "n_chars", thresholds)
+    kept = (F.col("q") >= F.col("threshold")).cast("bigint")
+    return swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias("frac_kept"),
+        F.round(
+            F.sum(F.when(kept == 1, F.col("n_chars")).otherwise(F.lit(0))).cast("double")
+            / F.nullif(F.sum(kept), F.lit(0)),
+            6,
+        ).alias("mean_chars_kept"),
+    )
+
+
+def _oracle_quality_filter_sweep() -> str:
+    quality_sql = _oracle_quality().strip().rstrip(";")
+    thresholds = ", ".join(repr(t / 10.0) for t in range(10))
+    return f"""
+WITH qscore AS ({quality_sql}),
+scored AS (
+  SELECT qs.quality AS q, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM qscore qs JOIN documents d USING (doc_id)
+),
+swept AS (
+  SELECT q, n_chars, t.threshold
+  FROM scored, (SELECT CAST(unnest([{thresholds}]) AS DOUBLE) AS threshold) t
+)
+SELECT threshold,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_kept,
+       ROUND(CAST(SUM(CASE WHEN q >= threshold THEN n_chars ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END), 0), 6)
+         AS mean_chars_kept
+FROM swept
+GROUP BY threshold
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style target-likeness importance scores, target = English
     documents (operators/curation.py:dsir_weights)."""
@@ -2326,5 +2425,7 @@ def pipeline_specs() -> list:
         QS("text_lm_quality", "Per-doc bigram-LM quality scores (log-free PPM perplexity proxy)", q_bigram_lm_scores, ORACLE_TEXT_LM_QUALITY),
         QS("embedding_cluster_profile", "Per-cluster corpus composition (nearest-centroid assignment)", q_embedding_cluster_profile, ORACLE_EMBEDDING_CLUSTER_PROFILE),
         QS("curation_dsir_weights", "DSIR-style hashed-bucket target-likeness importance scores", q_dsir_weights, ORACLE_DSIR_WEIGHTS),
+        QS("dedup_lsh_precision", "LSH candidate precision vs exact Jaccard per matching-band level", q_lsh_precision, _oracle_lsh_precision()),
+        QS("text_quality_filter_sweep", "Quality-threshold sweep: survivors + mean length per cutoff", q_quality_filter_sweep, _oracle_quality_filter_sweep()),
         QS("text_tokenizer_fertility", "Per-language chars/BPE-token fertility + token inflation", q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     ]
