@@ -133,8 +133,9 @@ def test_apply_engine_conf_clamps_foreign_local_width(spark):
         spark.conf.set("spark.sql.shuffle.partitions", wide)
         apply_engine_conf(spark)
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default_parallelism()
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        moderate = str(2 * default_parallelism())  # always below the 4x threshold
+        spark.conf.set("spark.sql.shuffle.partitions", moderate)
         apply_engine_conf(spark)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == moderate
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)

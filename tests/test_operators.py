@@ -971,3 +971,24 @@ def test_dsir_weights_target_likeness(spark):
     assert out[1] > 0 and out[2] > 0      # pure target tokens
     assert out[3] < 0                      # tokens absent from target
     assert out[3] < out[4] < out[1]        # mixed in between
+
+
+def test_bigram_lm_works_without_id_column(spark):
+    """bigram_lm never needed an id column (it aggregates per pair) —
+    the shared pair-extraction refactor must not change that contract."""
+    from transformers_spark.operators.text import bigram_lm
+
+    df = spark.createDataFrame([("a b a b",), ("a b c",)], ["text"])
+    out = {(r["w1"], r["w2"]): r["c12"] for r in bigram_lm(df, top_k=10).collect()}
+    assert out[("a", "b")] == 3
+
+
+def test_embedding_cluster_profile_empty_codebook_raises(spark):
+    import pytest as _pytest
+
+    from transformers_spark.operators.similarity import embedding_cluster_profile
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    empty = spark.createDataFrame([], "centroid_id INT, centvec ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="empty codebook"):
+        embedding_cluster_profile(df, empty)

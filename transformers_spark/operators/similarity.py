@@ -83,13 +83,16 @@ def _double_array_lit(values: list[float]) -> Column:
     return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values) + ")")
 
 
-def _probe_cells(vec: Column, codebook: list[tuple[int, list[float]]], n_probe: int) -> Column:
-    """Array of the ``n_probe`` nearest cell ids for ``vec`` by rounded
-    cosine (desc, centroid_id asc) — the map-only replacement for the
-    crossJoin+window assignment: no row expansion, no shuffle. The
-    codebook rides as ONE packed array-of-arrays literal and the
-    candidate loop is a single ``transform`` over centroid indices, so
-    the expression tree (and its codegen) stays k-independent."""
+def _codebook_literals(
+    codebook: list[tuple[int, list[float]]],
+) -> tuple[Column, Column]:
+    """(centroid-vectors, centroid-ids) as packed literal columns — the
+    shared codebook encoding of :func:`_probe_cells` and
+    :func:`embedding_cluster_profile`. Rejects an empty codebook up
+    front: ``sequence(1, 0)`` downstream would otherwise produce the
+    DESCENDING array [1, 0] and index 0 into the empty literals."""
+    if not codebook:
+        raise ValueError("empty codebook: no centroids to assign against")
     cent_arr = F.expr(
         "array("
         + ",".join(
@@ -99,6 +102,44 @@ def _probe_cells(vec: Column, codebook: list[tuple[int, list[float]]], n_probe: 
         + ")"
     )
     ids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in codebook) + ")")
+    return cent_arr, ids
+
+
+def _rounded_sq_dist(vec: Column, cent: Column) -> Column:
+    """Rounded-then-decimal-summed squared L2 — the determinism
+    discipline shared by :func:`embedding_outliers` and
+    :func:`embedding_cluster_profile`: each term rounds to 6 places
+    and sums as exact decimals, so the total is partitioning- and
+    engine-independent. Returns a rounded DOUBLE."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec,
+                cent,
+                lambda a, b: F.round(
+                    (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                    6,
+                ).cast("decimal(18,6)"),
+            ),
+            F.lit(0).cast("decimal(28,6)"),
+            # re-cast per step: decimal addition widens precision by one
+            # and the fold requires a stable accumulator type; (28,6) has
+            # 9 integer digits of headroom over any realistic distance
+            lambda acc, v: (acc + v).cast("decimal(28,6)"),
+        ).cast("double"),
+        6,
+    )
+
+
+def _probe_cells(vec: Column, codebook: list[tuple[int, list[float]]], n_probe: int) -> Column:
+    """Array of the ``n_probe`` nearest cell ids for ``vec`` by rounded
+    cosine (desc, centroid_id asc) — the map-only replacement for the
+    crossJoin+window assignment: no row expansion, no shuffle. The
+    codebook rides as ONE packed array-of-arrays literal and the
+    candidate loop is a single ``transform`` over centroid indices, so
+    the expression tree (and its codegen) stays k-independent."""
+    cent_arr, ids = _codebook_literals(codebook)
     norms = _double_array_lit([_norm_lit(cvec) for _, cvec in codebook])
     ranked = F.array_sort(
         F.transform(
@@ -722,24 +763,10 @@ def embedding_outliers(
             "label", F.transform("cs", lambda s: s["mean_v"]).alias("centvec")
         )
     )
-    sq = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centvec"),
-            lambda a, b: F.round(
-                (a.cast("double") - b) * (a.cast("double") - b), 6
-            ).cast("decimal(18,6)"),
-        ),
-        F.lit(0).cast("decimal(28,6)"),
-        # re-cast per step: decimal addition widens precision by one
-        # and the fold requires a stable accumulator type; (28,6) has
-        # 9 integer digits of headroom over any realistic distance
-        lambda acc, v: (acc + v).cast("decimal(28,6)"),
-    )
     dists = df.join(F.broadcast(cent_arrays), label_col).select(
         F.col(id_col).alias("vec"),
         F.col(label_col).alias("label"),
-        F.round(sq.cast("double"), 6).alias("sq_dist"),
+        _rounded_sq_dist(F.col(vec_col), F.col("centvec")).alias("sq_dist"),
     )
     d = F.col("sq_dist").cast("decimal(18,6)")
     moments = dists.groupBy("label").agg(
@@ -791,38 +818,13 @@ def embedding_cluster_profile(
     bit-for-bit.
     """
     codebook = _collect_codebook(centroids)
-    cent_arr = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
-            for _, cvec in codebook
-        )
-        + ")"
-    )
-    ids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in codebook) + ")")
+    cent_arr, ids = _codebook_literals(codebook)
     vec = F.col(vec_col)
-
-    def sq_to(cent: Column) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    cent,
-                    lambda a, b: F.round(
-                        (a.cast("double") - b) * (a.cast("double") - b), 6
-                    ).cast("decimal(18,6)"),
-                ),
-                F.lit(0).cast("decimal(28,6)"),
-                lambda acc, v: (acc + v).cast("decimal(28,6)"),
-            ).cast("double"),
-            6,
-        )
-
     ranked = F.array_sort(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(codebook))),
             lambda i: F.struct(
-                sq_to(F.element_at(cent_arr, i)).alias("d"),
+                _rounded_sq_dist(vec, F.element_at(cent_arr, i)).alias("d"),
                 F.element_at(ids, i).alias("cid"),
             ),
         )

@@ -600,12 +600,13 @@ def pii_redaction(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     """(doc, w1, w2) — one row per adjacent lowercase-token pair
     occurrence, via a map-only zip of the token array with its shifted
     self (no posexplode+self-join). Docs with < 2 tokens contribute
     nothing. Shared by :func:`bigram_lm` (which aggregates away the
-    doc) and :func:`bigram_lm_scores` (which scores per doc) so the
+    doc — pass ``id_col=None`` for frames without an id column) and
+    :func:`bigram_lm_scores` (which scores per doc) so the
     tokenization and pair semantics can never diverge."""
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
@@ -618,7 +619,8 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
     )
-    return df.select(F.col(id_col).alias("doc"), F.explode(pairs_arr).alias("p")).select(
+    doc = F.col(id_col) if id_col is not None else F.lit(0)
+    return df.select(doc.alias("doc"), F.explode(pairs_arr).alias("p")).select(
         "doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
 
@@ -651,7 +653,9 @@ def bigram_lm(
     # final probability plan — uncached, the corpus re-tokenizes for
     # each. Released by the harness after materialization (cache.py).
     pairs = cache.track(
-        _doc_bigrams(df, text_col, id_col)
+        # id only for provenance of the shared pair extraction — the
+        # aggregate drops it, so frames without the id column still work
+        _doc_bigrams(df, text_col, id_col if id_col in df.columns else None)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .persist()
