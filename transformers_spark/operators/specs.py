@@ -2088,6 +2088,83 @@ GROUP BY matching_bands
 """
 
 
+def q_crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency eval: MEASURES whether text near-dup
+    pairs (exact 3-gram Jaccard >= 0.2) are more embedding-similar
+    than an id-adjacent baseline — the sanity check run before
+    trusting embedding-only near-dup at scale (a real embedding model
+    shows dup-pair cosine >> baseline; the synthetic testdata's random
+    embeddings correctly show no separation). Deterministic baseline:
+    (2k, 2k+1) id pairs — no random sampling, ids are
+    content-uncorrelated."""
+    from .dedup import ngram_jaccard_pairs
+    from .similarity import _dot, _norm
+
+    register_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    dups = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+        .select(F.lit("textdup").alias("pair_kind"), "d1", "d2")
+    )
+    base = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.lit("baseline").alias("pair_kind"),
+        F.col("vec_id").alias("d1"),
+        (F.col("vec_id") + 1).alias("d2"),
+    )
+    pairs = dups.unionByName(base)
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("vb"))
+    scored = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "pair_kind",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return scored.groupBy("pair_kind").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cosine"),
+    )
+
+
+def _oracle_crossmodal_agreement() -> str:
+    dup_sql = ORACLE_NGRAM_JACCARD.strip().rstrip(";")
+    return f"""
+WITH dups AS ({dup_sql}),
+pairs AS (
+  SELECT 'textdup' AS pair_kind, d1, d2 FROM dups
+  UNION ALL
+  SELECT 'baseline', vec_id, vec_id + 1 FROM embeddings WHERE vec_id % 2 = 0
+),
+scored AS (
+  SELECT p.pair_kind,
+         ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM pairs p
+  JOIN embeddings a ON p.d1 = a.vec_id
+  JOIN embeddings b ON p.d2 = b.vec_id
+)
+SELECT pair_kind,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_cosine
+FROM scored
+GROUP BY pair_kind
+"""
+
+
 def q_quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold sweep for the quality filter: survivors and their
     mean length at each cutoff 0.0..0.9 — the tuning table read before
@@ -2427,5 +2504,6 @@ def pipeline_specs() -> list:
         QS("curation_dsir_weights", "DSIR-style hashed-bucket target-likeness importance scores", q_dsir_weights, ORACLE_DSIR_WEIGHTS),
         QS("dedup_lsh_precision", "LSH candidate precision vs exact Jaccard per matching-band level", q_lsh_precision, _oracle_lsh_precision()),
         QS("text_quality_filter_sweep", "Quality-threshold sweep: survivors + mean length per cutoff", q_quality_filter_sweep, _oracle_quality_filter_sweep()),
+        QS("crossmodal_dedup_agreement", "Text near-dup pairs vs embedding cosine (cross-modal eval)", q_crossmodal_dedup_agreement, _oracle_crossmodal_agreement()),
         QS("text_tokenizer_fertility", "Per-language chars/BPE-token fertility + token inflation", q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     ]
