@@ -2049,7 +2049,14 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair joined against its EXACT 3-gram Jaccard, rolled up
     per matching-band count — the precision table that justifies (or
     indicts) the banding parameters before a corpus-wide run. A pair
-    with no shared gram scores Jaccard 0 via the left join."""
+    with no shared gram scores Jaccard 0 via the left join.
+
+    Scale note: the exact side (threshold=0.0) emits every
+    gram-sharing pair, which is bounded here only by ``max_doc_freq``
+    — at corpus scale run this eval on a hash-sampled slice (e.g.
+    ``dataset_hash_split``'s val bucket), exactly how banding
+    parameters are tuned in practice; the LSH side under test is the
+    cheap part."""
     from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     register_tables(spark, sf_dir, ("documents",))
