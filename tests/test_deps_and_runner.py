@@ -247,3 +247,29 @@ def test_catalog_gives_up_after_max_attempts(spark, monkeypatch):
     with _pytest.raises(RuntimeError):
         cat.drop_table("g-project.playground.never_created")
     assert flaky.attempts == MAX_CATALOG_ATTEMPTS
+
+
+def test_cohort_order_rotation(tmp_path, monkeypatch):
+    """_cohort_order: latest-round status wins; not-green first, then
+    never-checked (stable catalog order), then green."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "a": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "b": {"rows_match": True, "schema_match": True, "hash_match": True},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {"b": {"rows_match": False, "schema_match": True, "hash_match": False}}
+        )
+    )
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(tmp_path))
+    order = entry_mod._cohort_order(["a", "b", "c", "d"])
+    # b regressed in r2 -> front; c,d never checked -> middle; a green -> last
+    assert order == ["b", "c", "d", "a"]

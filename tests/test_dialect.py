@@ -276,3 +276,51 @@ def test_generate_array_empty_on_wrong_direction(spark):
     assert list(r["e"]) == [] and list(r["ed"]) == []
     assert list(r["up"]) == [1, 2, 3] and list(r["down"]) == [3, 2, 1]
     assert list(r["e2"]) == [] and list(r["single"]) == [2]
+
+
+def test_transpile_idempotent_on_sample_corpus():
+    """transpile(transpile(q)) == transpile(q) for every reference
+    sample query — the shim's passes must be stable under re-entry
+    (a second run over already-Spark SQL must not rewrite further)."""
+    import glob
+
+    from transformers_spark.dialect import transpile
+
+    files = sorted(
+        glob.glob(
+            "/root/reference/task/bq2bq/executor/samples/tasks/**/query.sql",
+            recursive=True,
+        )
+    )
+    assert len(files) >= 15
+    for path in files:
+        sql = open(path).read()
+        once = transpile(sql)
+        assert transpile(once) == once, path
+
+
+def test_mask_unmask_roundtrip_property():
+    """_mask/_unmask round-trips any SQL text exactly, including
+    literals with embedded quotes, comments, and marker-like bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from transformers_spark.dialect import _mask, _unmask
+
+    sqlish = st.text(
+        alphabet=st.sampled_from(list("abc'\"-/*#\n ();=") + ["\\"]),
+        max_size=60,
+    )
+
+    @given(sqlish)
+    @settings(max_examples=300, deadline=None)
+    def check(text):
+        masked = _mask(text)
+        assert _unmask(masked, masked.text) == text
+        # masked text contains no quote chars outside placeholders
+        import re
+
+        stripped = re.sub(r"\x00\d+\x00", "", masked.text)
+        assert "'" not in stripped or text.count("'") % 2 == 1
+
+    check()
