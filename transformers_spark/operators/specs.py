@@ -1023,6 +1023,38 @@ JOIN (
 """
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type via Spark's
+    built-in ``approx_count_distinct`` (rsd=0.05), gated against the
+    exact count at 3x the configured relative error — the
+    error-bound-gate pattern of the recall-gated ANN specs (HLL sketch
+    values aren't SQL-portable, but the accuracy CONTRACT is). At 100x
+    this is the estimator that replaces COUNT(DISTINCT)'s full shuffle
+    with a constant-size mergeable sketch; KMV/theta/count-min cover
+    the rest of the sketch family."""
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events")
+    est = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll_users"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    bound = F.ceil(F.col("exact_users") * 0.15) + F.lit(1)
+    return est.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("hll_users") - F.col("exact_users")) <= bound).alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_USERS = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filters: duplicate
     word-trigram fraction and top-word fraction — map-only, no
@@ -2457,6 +2489,7 @@ def pipeline_specs() -> list:
         QS("asof_latest_click", "Backward-inclusive as-of join: purchase -> latest prior click", q_asof_latest_click, ORACLE_ASOF_LATEST_CLICK),
         QS("range_next_day_purchases", "Bucketed interval join: purchases within 24h of a view", q_range_next_day_purchases, ORACLE_RANGE_NEXT_DAY),
         QS("sketch_kmv_users", "KMV distinct-count sketch vs exact, per event type", q_kmv_distinct_users, _oracle_kmv()),
+        QS("sketch_hll_users", "HyperLogLog++ distinct users, error-bound-gated vs exact", q_hll_distinct_users, ORACLE_HLL_USERS),
         QS("sketch_theta_setops", "Theta-sketch union/intersect/diff estimates between user sets", q_theta_setops_users, _oracle_theta_setops()),
         QS("dedup_exact", "Exact dedup groups via normalized-content fingerprint", q_dedup_exact, ORACLE_DEDUP_EXACT),
         QS("dedup_minhash_lsh", "MinHash+LSH near-dup candidate pairs (banded buckets)", q_minhash_lsh, _oracle_minhash()),
