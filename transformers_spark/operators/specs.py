@@ -2204,6 +2204,61 @@ GROUP BY pair_kind
 """
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall companion to dedup_lsh_precision: of the TRUE near-dup
+    pairs (exact 3-gram Jaccard >= 0.2), what fraction does the LSH
+    stage capture at each min-matching-bands cutoff — the table that
+    sets ``min_matching_bands`` for the full pipeline. True pairs the
+    LSH never candidates score 0 bands via the left join."""
+    from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    true_pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("d1", "d2")
+    cand = minhash_lsh_pairs(docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS)
+    mb = (
+        true_pairs.join(cand, ["d1", "d2"], "left")
+        .select(F.coalesce(F.col("matching_bands"), F.lit(0)).alias("mb"))
+    )
+    cutoffs = F.explode(
+        F.array(*[F.lit(m) for m in range(1, DEMO_BANDS + 1)])
+    ).alias("min_bands")
+    swept = mb.select("mb", cutoffs)
+    captured = (F.col("mb") >= F.col("min_bands")).cast("bigint")
+    return swept.groupBy("min_bands").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum(captured).alias("n_captured"),
+        F.round(
+            F.sum(captured).cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+def _oracle_lsh_recall() -> str:
+    cand = _oracle_minhash().strip().rstrip(";")
+    exact = ORACLE_NGRAM_JACCARD.strip().rstrip(";")
+    cutoffs = ", ".join(str(m) for m in range(1, DEMO_BANDS + 1))
+    return f"""
+WITH truep AS (SELECT d1, d2 FROM ({exact})),
+cand AS ({cand}),
+mb AS (
+  SELECT COALESCE(c.matching_bands, 0) AS mb
+  FROM truep t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+),
+swept AS (
+  SELECT mb, m.min_bands FROM mb, (SELECT unnest([{cutoffs}]) AS min_bands) m
+)
+SELECT min_bands,
+       COUNT(*) AS n_true_pairs,
+       CAST(SUM(CASE WHEN mb >= min_bands THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_captured,
+       ROUND(CAST(SUM(CASE WHEN mb >= min_bands THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS recall
+FROM swept
+GROUP BY min_bands
+"""
+
+
 def q_quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold sweep for the quality filter: survivors and their
     mean length at each cutoff 0.0..0.9 — the tuning table read before
@@ -2543,6 +2598,7 @@ def pipeline_specs() -> list:
         QS("embedding_cluster_profile", "Per-cluster corpus composition (nearest-centroid assignment)", q_embedding_cluster_profile, ORACLE_EMBEDDING_CLUSTER_PROFILE),
         QS("curation_dsir_weights", "DSIR-style hashed-bucket target-likeness importance scores", q_dsir_weights, ORACLE_DSIR_WEIGHTS),
         QS("dedup_lsh_precision", "LSH candidate precision vs exact Jaccard per matching-band level", q_lsh_precision, _oracle_lsh_precision()),
+        QS("dedup_lsh_recall", "LSH recall of true Jaccard pairs per min-matching-bands cutoff", q_lsh_recall, _oracle_lsh_recall()),
         QS("text_quality_filter_sweep", "Quality-threshold sweep: survivors + mean length per cutoff", q_quality_filter_sweep, _oracle_quality_filter_sweep()),
         QS("crossmodal_dedup_agreement", "Text near-dup pairs vs embedding cosine (cross-modal eval)", q_crossmodal_dedup_agreement, _oracle_crossmodal_agreement()),
         QS("text_tokenizer_fertility", "Per-language chars/BPE-token fertility + token inflation", q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
