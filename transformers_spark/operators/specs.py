@@ -1293,6 +1293,42 @@ FROM cum
 """
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard planning: lay documents end-to-end in id order and
+    cut fixed-byte training shards (64 KB here) — the WebDataset-style
+    shard assignment a serving/export step consumes, reusing the same
+    two-phase parallel prefix sum as sequence packing (the shard id is
+    just the byte prefix-sum div the shard budget; no single-partition
+    window)."""
+    from .curation import pack_sequences
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_bytes")
+    )
+    out = pack_sequences(docs, seq_len=65536, count_col="n_bytes")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.col("seq_id").alias("shard_id"),
+        F.col("seq_offset").alias("shard_offset"),
+    )
+
+
+ORACLE_SHARD_PLAN = """
+WITH cum AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+         SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_chars AS start
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       CAST(start // 65536 AS BIGINT) AS shard_id,
+       CAST(start % 65536 AS BIGINT) AS shard_offset
+FROM cum
+"""
+
+
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE tokenizer-training round: corpus-wide adjacent-token
     pair counts, top-20 (operators/text.py)."""
@@ -2572,6 +2608,7 @@ def pipeline_specs() -> list:
         QS("curation_source_caps", "Per-source doc caps via skew-safe two-phase top-k", q_source_caps, ORACLE_SOURCE_CAPS),
         QS("curation_stratified_sample", "Deterministic basis-point stratified sampling per language", q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
         QS("curation_pack_sequences", "Document packing via two-phase parallel prefix sum", q_pack_sequences, ORACLE_PACK_SEQUENCES),
+        QS("curation_shard_plan", "Fixed-byte output-shard assignment (prefix-sum, WebDataset-style)", q_shard_plan, ORACLE_SHARD_PLAN),
         QS("text_bpe_merge_candidates", "BPE merge-candidate round: top adjacent-pair counts", q_bpe_merge_candidates, ORACLE_BPE_MERGE_CANDIDATES),
         QS("skew_salted_enrichment", "Skew-salted join equals the plain join (oracle-proved)", q_salted_user_enrichment, ORACLE_SALTED_USER_ENRICHMENT),
         QS("similarity_random_projection", "JL random-projection 64d->8d (map-only, literal matrix)", q_random_projection, _oracle_random_projection()),
