@@ -86,6 +86,24 @@ PICKS = {
         "checkpointed min-label propagation above it; the verdict step "
         "broadcasts the component table back onto the corpus."
     ),
+    "customer_rfm_segments": (
+        "Fused three-dimension quartiles (operators/ranking.ntiles_wide) — "
+        "ONE union-encoded range shuffle + per-partition local sorts rank "
+        "all three RFM orderings; every window is partitioned by "
+        "(partition id, dimension), never a SinglePartition NTILE sort."
+    ),
+    "customer_balance_quartiles": (
+        "Grouped two-phase NTILE (operators/ranking.grouped_ntile) — "
+        "range-partitioned on (segment, balance, key) with DISTRIBUTED "
+        "prefix-summed offsets; no segment ever funnels through one task's "
+        "sort and no driver collect exists at any group cardinality."
+    ),
+    "curation_dsir_weights": (
+        "DSIR importance scores — one tokenize pass persists the (doc, "
+        "bucket) occurrences consumed by BOTH frequency aggregates and the "
+        "scoring join; the bucket-frequency tables are bounded by the "
+        "bucket count and broadcast into a map-side join."
+    ),
 }
 
 _KEEP_PREFIXES = (
