@@ -1,0 +1,20 @@
+"""The examples must actually run — they are the user-facing proof the
+operator surface composes into a real pipeline."""
+
+
+def test_curation_pipeline_example(tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "curation_pipeline.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert 0 < stats["curated_docs"] <= stats["input_docs"]
