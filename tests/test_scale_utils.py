@@ -582,3 +582,45 @@ def test_segment_window_queries_have_partitioned_windows_only(spark):
                 fn.__name__,
                 first_arg,
             )
+
+
+def test_persisted_lsh_index_probe_shape_and_result(spark):
+    """The standing-index probe must broadcast the NEW side into a
+    map-side hash join over the index scan (the corpus index never
+    shuffles); the only shuffle Exchange is the candidate-pair count.
+    Result equals the in-memory incremental matcher."""
+    from transformers_spark.operators.dedup import (
+        incremental_lsh_matches,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+    from transformers_spark.sources.bucketed import exchange_count
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "nothing like anything in the index whatsoever zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS lshdb")
+    write_lsh_index(corpus, "lshdb.standing_index", num_perm=16, bands=4)
+    probed = probe_lsh_index(
+        spark, "lshdb.standing_index", new, num_perm=16, bands=4
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert exchange_count(probed) <= 1  # only the post-join pair count
+    got = {(r["new_doc"], r["corpus_doc"]): r["matching_bands"] for r in probed.collect()}
+    want = {
+        (r["new_doc"], r["corpus_doc"]): r["matching_bands"]
+        for r in incremental_lsh_matches(corpus, new, num_perm=16, bands=4).collect()
+    }
+    assert got == want and got == {(100, 1): 4}

@@ -40,6 +40,8 @@ __all__ = [
     "incremental_lsh_matches",
     "minhash_band_buckets",
     "incremental_matches_from_buckets",
+    "write_lsh_index",
+    "probe_lsh_index",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
 ]
@@ -490,3 +492,59 @@ def incremental_matches_from_buckets(
         .agg(F.count(F.lit(1)).alias("matching_bands"))
     )
     return matched.filter(F.col("matching_bands") >= min_bands)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    hasher: str = "portable",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's band-bucket table as the STANDING LSH
+    index — the deployment shape :func:`incremental_lsh_matches`
+    documents: build once over the 100 TB corpus, then every new-batch
+    probe reads it in place. Stored sorted within files by
+    (band, bucket) so min/max row-group stats prune probe scans."""
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, num_perm, bands, shingle_n, hasher
+    )
+    (
+        buckets.sortWithinPartitions("band", "bucket")
+        .write.format("parquet")
+        .mode(mode)
+        .saveAsTable(table)
+    )
+
+
+def probe_lsh_index(
+    spark,
+    table: str,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    hasher: str = "portable",
+    min_bands: int = 1,
+) -> DataFrame:
+    """(new_doc, corpus_doc, matching_bands) for a new batch against a
+    persisted :func:`write_lsh_index` table. The index side NEVER
+    moves: the new batch's (small) bucket table broadcasts into a
+    map-side hash join over the index scan — the only shuffle in the
+    plan is the candidate-pair count, which is bounded by matches, not
+    by the corpus. Width parameters must match the ones the index was
+    written with."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    new_buckets = minhash_band_buckets(
+        new, text_col, id_col, num_perm, bands, shingle_n, hasher
+    )
+    return incremental_matches_from_buckets(
+        spark.table(table), new_buckets, min_bands
+    )
