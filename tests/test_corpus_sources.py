@@ -166,3 +166,32 @@ def test_export_data_statement_bq_defaults_and_quotes(spark, tmp_path):
         execute_export_data(
             spark, "EXPORT DATA OPTIONS(uri='/out-*', format='CSV') AS SELECT 1"
         )
+
+
+def test_export_orc_roundtrip(spark, tmp_path):
+    from transformers_spark.exports import export_data
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    dest = str(tmp_path / "orc_out")
+    export_data(df, dest, fmt="orc")
+    back = spark.read.orc(dest)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_export_avro_clear_error_without_module(spark, tmp_path):
+    """Avro is a BigQuery extract format shipped as Spark's external
+    module; without the jar the error must say exactly that (not a
+    raw ClassNotFound)."""
+    import pytest as _pytest
+
+    from transformers_spark.exports import export_data
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    try:
+        export_data(df, str(tmp_path / "avro_out"), fmt="avro")
+    except ValueError as err:
+        assert "spark-avro" in str(err)
+    else:
+        # module present on this classpath: round-trip must work
+        back = spark.read.format("avro").load(str(tmp_path / "avro_out"))
+        assert back.count() == 1

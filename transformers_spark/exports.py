@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 
 __all__ = ["export_data", "parse_export_data", "execute_export_data", "EXPORT_FORMATS"]
 
-EXPORT_FORMATS = ("csv", "json", "parquet")
+EXPORT_FORMATS = ("csv", "json", "parquet", "orc", "avro")
 
 
 def export_data(
@@ -52,6 +52,20 @@ def export_data(
         writer.option("header", str(header).lower()).option("escape", '"').csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "avro":
+        # BigQuery extract format; Spark ships it as the external
+        # spark-avro module — surface a clear error when absent
+        try:
+            writer.format("avro").save(path)
+        except Exception as err:
+            if "Failed to find data source: avro" in str(err):
+                raise ValueError(
+                    "avro export requires the spark-avro package "
+                    "(org.apache.spark:spark-avro) on the session classpath"
+                ) from err
+            raise
     else:
         writer.parquet(path)
 
@@ -136,6 +150,8 @@ def execute_export_data(spark, sql: str) -> str:
         "json": "json",
         "newline_delimited_json": "json",
         "parquet": "parquet",
+        "avro": "avro",  # BQ extract format (needs spark-avro module)
+        "orc": "orc",  # engine extension beyond BQ's format list
     }
     fmt = fmt_map.get(opts["format"].lower())
     if fmt is None:
