@@ -18,3 +18,22 @@ def test_curation_pipeline_example(tmp_path):
     spec.loader.exec_module(mod)
     stats = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
     assert 0 < stats["curated_docs"] <= stats["input_docs"]
+
+
+def test_incremental_dedup_example():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "incremental_dedup",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "incremental_dedup.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main("/root/testdata/sf0.001")
+    assert stats["kept_after_dedup"] == stats["new_docs"] - stats["near_dups_vs_index"]
+    assert stats["new_docs"] > 0
