@@ -103,6 +103,12 @@ def main(sf_dir: str, out_dir: str) -> dict:
     )
     export_data(final, out_dir, fmt="parquet", overwrite=True)
     n_out = spark.read.parquet(out_dir).count()
+    # release the intermediates the operators persisted (packing
+    # cumsum frames, DSIR occurrence table) — the export materialized
+    # everything, so nothing needs to stay pinned
+    from transformers_spark import cache
+
+    cache.release()
     stats = {"input_docs": n_input, "curated_docs": n_out}
     print(stats)
     return stats

@@ -182,8 +182,6 @@ def test_export_avro_clear_error_without_module(spark, tmp_path):
     """Avro is a BigQuery extract format shipped as Spark's external
     module; without the jar the error must say exactly that (not a
     raw ClassNotFound)."""
-    import pytest as _pytest
-
     from transformers_spark.exports import export_data
 
     df = spark.createDataFrame([(1,)], ["id"])

@@ -624,3 +624,21 @@ def test_persisted_lsh_index_probe_shape_and_result(spark):
         for r in incremental_lsh_matches(corpus, new, num_perm=16, bands=4).collect()
     }
     assert got == want and got == {(100, 1): 4}
+
+
+def test_lsh_index_rejects_width_mismatch(spark):
+    """A probe with widths different from the recorded index
+    properties must raise — silently joining incompatible bucket
+    hashes would let duplicates through undetected."""
+    import pytest as _pytest
+
+    from transformers_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS lshdb")
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    write_lsh_index(docs, "lshdb.width_check", num_perm=16, bands=4)
+    # same widths: fine (also proves overwrite idempotence in-session)
+    write_lsh_index(docs, "lshdb.width_check", num_perm=16, bands=4)
+    probe_lsh_index(spark, "lshdb.width_check", docs, num_perm=16, bands=4).collect()
+    with _pytest.raises(ValueError, match="different width"):
+        probe_lsh_index(spark, "lshdb.width_check", docs, num_perm=128, bands=16)

@@ -38,11 +38,25 @@ def export_data(
 ) -> None:
     """Write ``df`` to ``path`` in an interchange format. See module
     docstring for the BigQuery extract-job mapping; ``compression``
-    accepts 'gzip'/'none' for csv+json and 'snappy'/'gzip'/'zstd'/
-    'none' for parquet."""
+    accepts 'gzip'/'none' for csv+json, 'snappy'/'gzip'/'zstd'/'none'
+    for parquet, 'zlib'/'snappy'/'zstd'/'none' for orc, and
+    'snappy'/'deflate'/'none' for avro — validated up front so an
+    invalid codec errors clearly, not deep inside the writer."""
     if fmt not in EXPORT_FORMATS:
         raise ValueError(
             f"unsupported export format {fmt!r}: use one of {EXPORT_FORMATS}"
+        )
+    valid_codecs = {
+        "csv": {"gzip", "none"},
+        "json": {"gzip", "none"},
+        "parquet": {"snappy", "gzip", "zstd", "none"},
+        "orc": {"zlib", "snappy", "zstd", "none"},
+        "avro": {"snappy", "deflate", "none"},
+    }
+    if compression and compression.lower() not in valid_codecs[fmt]:
+        raise ValueError(
+            f"compression {compression!r} is not valid for {fmt}: use one "
+            f"of {sorted(valid_codecs[fmt])}"
         )
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode("overwrite" if overwrite else "error")

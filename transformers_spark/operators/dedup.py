@@ -508,16 +508,37 @@ def write_lsh_index(
     """Persist the corpus's band-bucket table as the STANDING LSH
     index — the deployment shape :func:`incremental_lsh_matches`
     documents: build once over the 100 TB corpus, then every new-batch
-    probe reads it in place. Stored sorted within files by
-    (band, bucket) so min/max row-group stats prune probe scans."""
+    probe reads it in place (the probe is a broadcast join, so no sort
+    or clustering of the index buys anything). The width parameters
+    are recorded as table properties so :func:`probe_lsh_index` can
+    reject a mismatched probe instead of silently joining
+    incompatible bucket hashes."""
+    import re as _re
+    import shutil as _shutil
+
     buckets = minhash_band_buckets(
         df, text_col, id_col, num_perm, bands, shingle_n, hasher
     )
-    (
-        buckets.sortWithinPartitions("band", "bucket")
-        .write.format("parquet")
-        .mode(mode)
-        .saveAsTable(table)
+    spark = df.sparkSession
+    try:
+        buckets.write.format("parquet").mode(mode).saveAsTable(table)
+    except Exception as err:
+        # In-memory catalog + persistent warehouse: a previous
+        # session's table directory survives as an orphan the catalog
+        # no longer knows (same recovery as catalog.create_table).
+        if "LOCATION_ALREADY_EXISTS" not in str(err):
+            raise
+        loc = _re.search(r"'file:([^']+)'", str(err))
+        if loc is None:
+            raise
+        _shutil.rmtree(loc.group(1), ignore_errors=True)
+        buckets.write.format("parquet").mode(mode).saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'transformers.lsh.num_perm' = '{int(num_perm)}', "
+        f"'transformers.lsh.bands' = '{int(bands)}', "
+        f"'transformers.lsh.shingle_n' = '{int(shingle_n)}', "
+        f"'transformers.lsh.hasher' = '{hasher}')"
     )
 
 
@@ -539,9 +560,37 @@ def probe_lsh_index(
     map-side hash join over the index scan — the only shuffle in the
     plan is the candidate-pair count, which is bounded by matches, not
     by the corpus. Width parameters must match the ones the index was
-    written with."""
+    written with; when the index carries the recorded properties
+    (every :func:`write_lsh_index` table does) a mismatch raises
+    instead of silently joining incompatible bucket hashes."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    recorded = {
+        "num_perm": props.get("transformers.lsh.num_perm"),
+        "bands": props.get("transformers.lsh.bands"),
+        "shingle_n": props.get("transformers.lsh.shingle_n"),
+        "hasher": props.get("transformers.lsh.hasher"),
+    }
+    asked = {
+        "num_perm": str(int(num_perm)),
+        "bands": str(int(bands)),
+        "shingle_n": str(int(shingle_n)),
+        "hasher": hasher,
+    }
+    mismatched = {
+        k: (recorded[k], asked[k])
+        for k in asked
+        if recorded[k] is not None and recorded[k] != asked[k]
+    }
+    if mismatched:
+        raise ValueError(
+            f"LSH index {table} was written with different width "
+            f"parameters: {mismatched} (recorded, probed)"
+        )
     new_buckets = minhash_band_buckets(
         new, text_col, id_col, num_perm, bands, shingle_n, hasher
     )
