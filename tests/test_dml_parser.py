@@ -194,3 +194,55 @@ def test_export_data_wildcard_must_be_final_segment():
         execute_export_data(
             None, "EXPORT DATA OPTIONS(uri='/data/a*/x', format='CSV') AS SELECT 1"
         )
+
+
+def test_parse_merge_case_expression_in_set():
+    """A top-level CASE WHEN inside SET must not split the WHEN
+    clauses (CASE...END awareness in the clause tokenizer)."""
+    from transformers_spark.dml import parse_merge
+
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET score = CASE WHEN s.x > 1 THEN 2 ELSE 3 END "
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)"
+    )
+    assert len(stmt.clauses) == 2
+    assert stmt.clauses[0].assignments["score"].upper().startswith("CASE WHEN")
+
+
+def test_parse_merge_literals_masked():
+    """String literals containing commas / WHEN / parens must survive
+    clause splitting and argument splitting intact."""
+    from transformers_spark.dml import parse_merge
+
+    stmt = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET note = 'a, b WHEN (c' "
+        "WHEN NOT MATCHED THEN INSERT (id, note) VALUES (s.id, 'x, y')"
+    )
+    assert stmt.clauses[0].assignments["note"] == "'a, b WHEN (c'"
+    assert stmt.clauses[1].insert_vals == ["s.id", "'x, y'"]
+
+
+def test_parse_merge_insert_count_mismatch_raises():
+    import pytest
+
+    from transformers_spark.dml import parse_merge
+
+    with pytest.raises(ValueError, match="columns but"):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (a, b, c) VALUES (1, 2)"
+        )
+
+
+def test_parse_merge_malformed_set_raises():
+    import pytest
+
+    from transformers_spark.dml import parse_merge
+
+    with pytest.raises(ValueError, match="malformed SET"):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET a"
+        )

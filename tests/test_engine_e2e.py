@@ -731,3 +731,125 @@ def test_declare_without_type_keeps_default(spark):
     eng = Engine(spark)
     out = eng.run_script("DECLARE n DEFAULT 5;\nSELECT n + 1 AS v;")
     assert out[-1][0]["v"] == 6
+
+
+def test_replace_merge_filter_on_ingestion_time_table(spark, engine):
+    """REPLACE_MERGE with PARTITION_FILTER against an INGESTION_DAY
+    table — the load method the engine REQUIRES for such tables — must
+    actually run: kept rows stay, filtered rows are replaced, and the
+    inserted rows land in the execution-date partition (BigQuery
+    stamps loaded rows with the load-time _PARTITIONTIME)."""
+    from transformers_spark.loaders import PARTITION_COL
+
+    dest = "g-project.playground.ingest_rm_dest"
+    engine.catalog.create_table(
+        dest,
+        [("k", "bigint"), ("v", "string")],
+        PartitionSpec(kind=PartitionKind.INGESTION_DAY),
+    )
+    # seed two ingestion days
+    engine.writer.append(dest, spark.createDataFrame([(1, "old1")], ["k", "v"]),
+                         partition_date=date(2024, 1, 1))
+    engine.writer.append(dest, spark.createDataFrame([(2, "old2")], ["k", "v"]),
+                         partition_date=date(2024, 1, 2))
+    exec_day = date(2024, 2, 1)
+    engine.writer.delete_insert(
+        dest,
+        spark.createDataFrame([(3, "new")], ["k", "v"]),
+        filter_expression=f"{PARTITION_COL} = DATE'2024-01-01'",
+        partition_date=exec_day,
+    )
+    rows = {r["k"]: (r["v"], r[PARTITION_COL]) for r in engine.catalog.read(dest).collect()}
+    assert 1 not in rows                       # filtered day deleted
+    assert rows[2] == ("old2", date(2024, 1, 2))  # untouched day kept
+    assert rows[3] == ("new", exec_day)        # insert stamped with load day
+
+
+def test_merge_into_ingestion_time_table(spark, engine):
+    """MERGE into an ingestion-time table: updated rows KEEP their
+    original partition, inserted rows stamp the load day."""
+    from datetime import date as _date
+
+    from transformers_spark.loaders import PARTITION_COL
+
+    dest = "g-project.playground.ingest_merge_dest"
+    engine.catalog.create_table(
+        dest,
+        [("id", "bigint"), ("v", "string")],
+        PartitionSpec(kind=PartitionKind.INGESTION_DAY),
+    )
+    engine.writer.append(dest, spark.createDataFrame([(1, "a")], ["id", "v"]),
+                         partition_date=_date(2024, 1, 5))
+    spark.createDataFrame([(1, "A"), (2, "B")], ["id", "v"]).createOrReplaceTempView(
+        "ingest_merge_src"
+    )
+    engine.run_script(
+        f"MERGE INTO `{dest}` t USING ingest_merge_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    rows = {r["id"]: (r["v"], r[PARTITION_COL]) for r in engine.catalog.read(dest).collect()}
+    assert rows[1] == ("A", _date(2024, 1, 5))  # update kept its partition
+    assert rows[2][0] == "B"
+    from datetime import date as _d
+    import datetime
+    assert rows[2][1] == datetime.date.today()  # insert stamped load day
+
+
+def test_merge_case_insensitive_set_and_unknown_column(spark, engine):
+    """SET/INSERT column names resolve case-insensitively (BigQuery
+    identifier semantics); unknown columns raise instead of silently
+    passing the old value through."""
+    dest = "g-project.playground.merge_ci_dest"
+    engine.catalog.create_table(dest, [("id", "bigint"), ("status", "string")])
+    spark.sql(f"INSERT INTO {engine.catalog.spark_name(dest)} VALUES (1, 'old')")
+    spark.createDataFrame([(1, "upd")], ["id", "v"]).createOrReplaceTempView("ci_src")
+    engine.run_script(
+        f"MERGE INTO `{dest}` t USING ci_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET Status = s.v"
+    )
+    assert engine.catalog.read(dest).collect()[0]["status"] == "upd"
+    with pytest.raises(ValueError, match="not found in"):
+        engine.run_script(
+            f"MERGE INTO `{dest}` t USING ci_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET nosuch = s.v"
+        )
+
+
+def test_overwrite_partitions_empty_map_is_noop(spark, engine):
+    dest = "g-project.playground.empty_days_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_ts", "timestamp"), ("n", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="event_ts"),
+    )
+    engine.writer.overwrite_partitions(dest, {})  # must not raise
+    assert engine.catalog.read(dest).count() == 0
+
+
+def test_rows_written_consistent_for_staged_paths(spark, engine):
+    """rows_written must be populated for staged/partition-scoped
+    writes, not only the direct insertInto paths."""
+    dest = "g-project.playground.rows_written_dest"
+    engine.catalog.create_table(
+        dest,
+        [("event_ts", "timestamp"), ("n", "bigint")],
+        PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="event_ts"),
+    )
+    engine.writer.reset_rows_written()
+    engine.writer.overwrite_partition(
+        dest,
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1, 5), 1), (datetime(2024, 1, 1, 6), 2)],
+            "event_ts timestamp, n bigint",
+        ),
+        partition_date=date(2024, 1, 1),
+    )
+    assert engine.writer.rows_written == 2
+    engine.writer.reset_rows_written()
+    engine.writer.delete_insert(
+        dest,
+        spark.createDataFrame([(datetime(2024, 1, 2, 5), 3)], "event_ts timestamp, n bigint"),
+        filter_expression="n = 1",
+    )
+    assert engine.writer.rows_written is not None and engine.writer.rows_written >= 2

@@ -89,21 +89,51 @@ _WHEN_SPLIT_RE = re.compile(r"\bWHEN\b", re.IGNORECASE)
 
 
 def _top_level_when_positions(text: str) -> list[int]:
+    """Clause-boundary WHENs only: skip WHENs inside parens AND inside
+    CASE...END expressions (a top-level ``SET x = CASE WHEN ...`` must
+    not split the clause)."""
     positions = []
     depth = 0
-    for m in re.finditer(r"[()]|\bWHEN\b", text, re.IGNORECASE):
-        tok = m.group(0)
+    case_depth = 0
+    for m in re.finditer(r"[()]|\bWHEN\b|\bCASE\b|\bEND\b", text, re.IGNORECASE):
+        tok = m.group(0).upper()
         if tok == "(":
             depth += 1
         elif tok == ")":
             depth -= 1
-        elif depth == 0:
+        elif tok == "CASE":
+            case_depth += 1
+        elif tok == "END":
+            case_depth = max(0, case_depth - 1)
+        elif depth == 0 and case_depth == 0:
             positions.append(m.start())
     return positions
 
 
 def parse_merge(sql: str) -> MergeStatement:
-    """Parse an (already-transpiled) MERGE statement."""
+    """Parse an (already-transpiled) MERGE statement. String literals
+    and comments are masked before tokenization (the parse_update
+    discipline) so quoted text containing WHEN/THEN/parens/commas
+    cannot derail clause splitting; every extracted fragment is
+    unmasked on the way out."""
+    from .dialect import _mask, _unmask
+
+    masked = _mask(sql)
+    stmt = _parse_merge_masked(masked.text)
+
+    def unm(t):
+        return None if t is None else _unmask(masked, t)
+
+    stmt.source_sql = unm(stmt.source_sql)
+    stmt.on = unm(stmt.on)
+    for c in stmt.clauses:
+        c.pred = unm(c.pred)
+        c.assignments = {k: unm(v) for k, v in c.assignments.items()}
+        c.insert_vals = [unm(v) for v in c.insert_vals]
+    return stmt
+
+
+def _parse_merge_masked(sql: str) -> MergeStatement:
     head = _MERGE_HEAD_RE.match(sql)
     if head is None:
         raise ValueError("not a MERGE statement")
@@ -189,7 +219,11 @@ def _parse_when_clause(text: str) -> MergeClause:
             raise ValueError(f"unsupported WHEN MATCHED action: {action!r}")
         assignments = {}
         for part in _split_top_level_args(upd.group(1)):
-            lhs, _, rhs = part.partition("=")
+            lhs, sep, rhs = part.partition("=")
+            if not sep or not lhs.strip() or not rhs.strip():
+                raise ValueError(
+                    f"malformed SET assignment in MERGE: {part!r}"
+                )
             assignments[lhs.strip().strip("`")] = rhs.strip()
         return MergeClause(
             kind="matched_update", pred=matched.group("pred"), assignments=assignments
@@ -202,6 +236,11 @@ def _parse_when_clause(text: str) -> MergeClause:
             raise ValueError(f"unsupported WHEN NOT MATCHED action: {action!r}")
         cols = [c.strip().strip("`") for c in ins.group("cols").split(",")]
         vals = [v.strip() for v in _split_top_level_args(ins.group("vals"))]
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"MERGE INSERT lists {len(cols)} columns but "
+                f"{len(vals)} values (BigQuery rejects the mismatch)"
+            )
         return MergeClause(kind="not_matched_insert", pred=not_matched.group("pred"), insert_cols=cols, insert_vals=vals)
     raise ValueError(f"cannot parse WHEN clause: {text[:80]!r}")
 
@@ -264,9 +303,16 @@ def execute_merge(
     one extra shuffle of the matched set; the pass-through anti-join
     shuffles only row ids.
     """
+    from .catalog import PARTITION_COL, PartitionKind
+
     meta = catalog.get_table(fqn)
+    # Ingestion-time tables: kept/updated rows must RETAIN their
+    # original partition (BigQuery never moves _PARTITIONTIME on
+    # UPDATE) and inserted rows stamp the load day — so dt rides
+    # through the plan instead of being recomputed at the end.
+    ingestion = meta.partition.kind == PartitionKind.INGESTION_DAY
     target = (
-        catalog.read(fqn, include_partition_col=False)
+        catalog.read(fqn, include_partition_col=ingestion)
         .withColumn(_ROWID, F.monotonically_increasing_id())
         .alias(stmt.target_alias)
     )
@@ -277,6 +323,25 @@ def execute_merge(
     source = source.alias(stmt.source_alias)
     on = F.expr(stmt.on)
     cols = meta.column_names
+    # Column references in SET/INSERT lists are case-insensitive
+    # (BigQuery identifier semantics) and must resolve — a typo'd or
+    # alias-qualified name silently passing the old value through
+    # would corrupt the table without an error (same rule as
+    # loaders.update_where).
+    known = {c.lower() for c in cols}
+    for clause in stmt.clauses:
+        bad = sorted(
+            k
+            for k in list(clause.assignments) + clause.insert_cols
+            if k.lower() not in known
+        )
+        if bad:
+            raise ValueError(
+                f"MERGE into {meta.fqn}: column(s) {bad} not found in "
+                f"destination columns {cols}"
+            )
+        clause.assignments = {k.lower(): v for k, v in clause.assignments.items()}
+        clause.insert_cols = [k.lower() for k in clause.insert_cols]
 
     matched_clauses = [c for c in stmt.clauses if c.kind in ("matched_update", "matched_delete")]
     insert_clauses = [c for c in stmt.clauses if c.kind == "not_matched_insert"]
@@ -312,11 +377,18 @@ def execute_merge(
             if clause.kind != "matched_update":
                 continue  # deletes contribute no rows
             proj = [
-                F.expr(clause.assignments[c]).alias(c)
-                if c in clause.assignments
+                F.expr(clause.assignments[c.lower()]).alias(c)
+                if c.lower() in clause.assignments
                 else F.col(f"{stmt.target_alias}.`{c}`").alias(c)
                 for c in cols
             ]
+            if ingestion:
+                # updated rows keep their original partition
+                proj.append(
+                    F.col(f"{stmt.target_alias}.`{PARTITION_COL}`").alias(
+                        PARTITION_COL
+                    )
+                )
             pieces.append(affected.filter(F.col(_CLAUSE) == i).select(*proj))
 
     if by_source_clauses:
@@ -334,7 +406,10 @@ def execute_merge(
         for extra in changed_ids[1:]:
             changed = changed.unionByName(extra)
         kept = target.join(changed, _ROWID, "left_anti")
-    pieces.append(kept.select(*[F.col(f"`{c}`").alias(c) for c in cols]))
+    kept_cols = [F.col(f"`{c}`").alias(c) for c in cols]
+    if ingestion:
+        kept_cols.append(F.col(f"`{PARTITION_COL}`").alias(PARTITION_COL))
+    pieces.append(kept.select(*kept_cols))
 
     # Source rows with no target match → first applicable INSERT clause.
     if insert_clauses:
@@ -346,18 +421,32 @@ def execute_merge(
         for i, clause in enumerate(insert_clauses):
             val_by_col = dict(zip(clause.insert_cols, clause.insert_vals))
             proj = [
-                F.expr(val_by_col[c]).alias(c) if c in val_by_col else F.lit(None).alias(c)
+                F.expr(val_by_col[c.lower()]).alias(c)
+                if c.lower() in val_by_col
+                else F.lit(None).alias(c)
                 for c in cols
             ]
+            if ingestion:
+                # inserted rows stamp the load day (_PARTITIONTIME of
+                # the DML job, BigQuery semantics)
+                proj.append(F.current_date().alias(PARTITION_COL))
             pieces.append(unmatched_source.filter(F.col(_CLAUSE) == i).select(*proj))
 
     # Cast every piece to the destination schema before the union so
     # branch-specific expression types can't poison the union.
-    cast_pieces = [writer._align(p, meta, allow_field_addition=False) for p in pieces]
+    cast_pieces = [
+        writer._align(
+            p, meta, allow_field_addition=False, keep_partition_col=ingestion
+        )
+        for p in pieces
+    ]
     result = cast_pieces[0]
     for piece in cast_pieces[1:]:
         result = result.unionByName(piece)
-    result = writer._with_dt(result, meta, None)
+    if not ingestion:
+        # COLUMN_DAY recomputes dt from its field; non-partitioned is a
+        # no-op. Ingestion-time dt already rides on every piece.
+        result = writer._with_dt(result, meta, None)
     writer.overwrite_from_plan_reading_destination(fqn, result)
     return -1  # affected-row accounting not tracked in round 1
 

@@ -307,6 +307,9 @@ class Engine:
                     df,
                     filter_expression=filter_expr,
                     allow_field_addition=task_config.allow_field_addition,
+                    # ingestion-time tables stamp inserted rows with the
+                    # load day (BigQuery's _PARTITIONTIME semantics)
+                    partition_date=l_exec,
                 )
             else:
                 self.writer.overwrite_dynamic(

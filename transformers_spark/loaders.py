@@ -78,10 +78,18 @@ class Writer:
     # -- schema alignment ----------------------------------------------
 
     def _align(
-        self, df: DataFrame, meta: TableMeta, allow_field_addition: bool
+        self,
+        df: DataFrame,
+        meta: TableMeta,
+        allow_field_addition: bool,
+        keep_partition_col: bool = False,
     ) -> DataFrame:
         """Project df onto the destination's user columns (by name,
         casting types); optionally evolve the destination schema first.
+        ``keep_partition_col`` carries an already-present ``dt`` column
+        through (appended last, matching table column order) — used by
+        DML emulation on ingestion-time tables, where kept/updated rows
+        must retain their ORIGINAL partition.
 
         ``allow_field_addition`` enables BOTH schema-update options the
         reference sets together (bigquery_service.py:111-115): new
@@ -94,17 +102,24 @@ class Writer:
         enforce declared constraints on v1 parquet tables.
         """
         df_cols = {c.lower(): c for c in df.columns}
-        extra = [c for c in df.columns if c.lower() not in {n.lower() for n, _ in meta.columns}]
+        dest_names = {n.lower() for n, _ in meta.columns}
+        extra = [
+            c
+            for c in df.columns
+            if c.lower() not in dest_names
+            and not (keep_partition_col and c == PARTITION_COL)
+        ]
         if extra:
             if not allow_field_addition:
                 raise ValueError(
                     f"result has columns {extra} not in destination {meta.fqn}; "
                     "set ALLOW_FIELD_ADDITION to evolve the schema"
                 )
-            new_cols = [
-                (c, dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[c])
-                for c in extra
-            ]
+            df_types = {
+                c: f.dataType.simpleString()
+                for c, f in zip(df.columns, df.schema.fields)
+            }
+            new_cols = [(c, df_types[c]) for c in extra]
             self.catalog.add_columns(meta.fqn, new_cols)
         missing = [n for n, _ in meta.columns if n.lower() not in df_cols]
         if missing and not allow_field_addition:
@@ -135,6 +150,8 @@ class Writer:
                 select.append(col.alias(name))
             else:
                 select.append(F.lit(None).cast(base_type).alias(name))
+        if keep_partition_col and PARTITION_COL in df.columns:
+            select.append(F.col(PARTITION_COL).cast("date").alias(PARTITION_COL))
         return df.select(*select)
 
     def _with_dt(
@@ -208,6 +225,7 @@ class Writer:
         if isinstance(partition_date, datetime):
             partition_date = partition_date.date()
         out = self._align(df, meta, allow_field_addition)
+        out, obs = self._observed(out)
         view = f"__ts_part_src_{uuid.uuid4().hex[:8]}"
         out.createOrReplaceTempView(view)
         cols = ", ".join(f"`{c}`" for c in meta.column_names)
@@ -219,6 +237,7 @@ class Writer:
             )
         finally:
             self.spark.catalog.dropTempView(view)
+        self._record(obs)
         self._refresh(meta)
 
     def overwrite_partitions(
@@ -228,10 +247,13 @@ class Writer:
         allow_field_addition: bool = False,
     ) -> None:
         """Multi-partition REPLACE fan-out as ONE Spark job: each day's
-        result is tagged with its partition date, unioned, and written
-        with dynamic partition overwrite. Decorator semantics (each
-        listed day is truncated even if its new data is empty) come from
-        dropping the day partitions first — a metastore-only operation.
+        result is tagged with its partition date, unioned, staged, and
+        swapped in with dynamic partition overwrite. Decorator
+        semantics (each listed day is truncated even if its new data is
+        empty) come from dropping listed-but-empty partitions AFTER the
+        staged data lands — write-then-swap, so a failed write job
+        leaves every existing partition intact (dropping first would
+        delete a managed table's data before anything replaced it).
 
         This replaces the reference's N concurrent per-partition load
         jobs (transformation.py:362-428) with a single scan+write whose
@@ -241,6 +263,8 @@ class Writer:
         meta = self.catalog.get_table(fqn)
         if not meta.partition.is_partitioned:
             raise ValueError(f"{meta.fqn} is not partitioned")
+        if not day_dfs:
+            return  # empty day window: nothing to replace
         pieces = []
         for day, df in day_dfs.items():
             aligned = self._align(df, meta, allow_field_addition)
@@ -250,16 +274,7 @@ class Writer:
         combined = pieces[0]
         for piece in pieces[1:]:
             combined = combined.unionByName(piece)
-        for day in day_dfs:
-            self.spark.sql(
-                f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
-                f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
-            )
-        combined, obs = self._observed(combined)
-        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            combined.write.insertInto(meta.spark_name, overwrite=True)
-        self._record(obs)
-        self._refresh(meta)
+        self._replace_affected_partitions(meta, combined, sorted(day_dfs))
 
     def overwrite_dynamic(
         self, fqn: str, df: DataFrame, allow_field_addition: bool = False
@@ -283,10 +298,16 @@ class Writer:
         df: DataFrame,
         filter_expression: str,
         allow_field_addition: bool = False,
+        partition_date: date | datetime | None = None,
     ) -> None:
         """Delete destination rows matching ``filter_expression`` (over
         destination columns, incl. ``dt``/_PARTITIONTIME), then insert
         all result rows (REPLACE_MERGE with PARTITION_FILTER).
+
+        ``partition_date`` assigns the inserted rows' ingestion day on
+        INGESTION_DAY tables (BigQuery stamps loaded rows with the load
+        time's _PARTITIONTIME; the engine passes the execution date) —
+        ignored for COLUMN_DAY tables, whose dt derives from the field.
 
         Partition-scoped on partitioned tables: only partitions that
         contain matching rows or receive new rows are rewritten —
@@ -295,14 +316,17 @@ class Writer:
         the whole-table staged rewrite.
         """
         meta = self.catalog.get_table(fqn)
-        new = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
+        new = self._with_dt(
+            self._align(df, meta, allow_field_addition), meta, partition_date
+        )
         dest = self.spark.table(meta.spark_name)
         matches = F.coalesce(F.expr(filter_expression), F.lit(False))
         if not meta.partition.is_partitioned:
             self._overwrite_via_stage(meta, dest.filter(~matches).unionByName(new))
             return
-        # affected = partitions with deletions ∪ partitions of inserts
-        affected = (
+        # affected = partitions with deletions ∪ partitions of inserts —
+        # snapshotted BEFORE any write (the plan reads the destination)
+        affected_days, affected = self._affected_days_snapshot(
             dest.filter(matches)
             .select(PARTITION_COL)
             .union(new.select(PARTITION_COL))
@@ -314,7 +338,7 @@ class Writer:
         # insertInto is positional — pin user columns + dt in table order
         order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
         combined = kept_in_scope.select(*order).unionByName(new.select(*order))
-        self._replace_affected_partitions(meta, combined, affected)
+        self._replace_affected_partitions(meta, combined, affected_days)
 
     def delete_where(self, fqn: str, predicate: str) -> None:
         """``DELETE FROM t WHERE pred`` (reference:
@@ -329,13 +353,17 @@ class Writer:
         if not meta.partition.is_partitioned:
             self._overwrite_via_stage(meta, dest.filter(~matches))
             return
-        affected = dest.filter(matches).select(PARTITION_COL).distinct()
+        affected_days, affected = self._affected_days_snapshot(
+            dest.filter(matches).select(PARTITION_COL).distinct()
+        )
         kept_in_scope = dest.join(
             F.broadcast(affected), PARTITION_COL, "left_semi"
         ).filter(~matches)
         # insertInto is positional — pin user columns + dt in table order
         order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
-        self._replace_affected_partitions(meta, kept_in_scope.select(*order), affected)
+        self._replace_affected_partitions(
+            meta, kept_in_scope.select(*order), affected_days
+        )
 
     def update_where(
         self, fqn: str, assignments: dict, predicate: str
@@ -397,21 +425,45 @@ class Writer:
                 )
             self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
             return
-        affected = dest.filter(matches).select(PARTITION_COL).distinct()
+        affected_days, affected = self._affected_days_snapshot(
+            dest.filter(matches).select(PARTITION_COL).distinct()
+        )
         in_scope = updated.join(F.broadcast(affected), PARTITION_COL, "left_semi")
         order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
-        self._replace_affected_partitions(meta, in_scope.select(*order), affected)
+        self._replace_affected_partitions(
+            meta, in_scope.select(*order), affected_days
+        )
+
+    def _affected_days_snapshot(self, affected: DataFrame) -> tuple[list, DataFrame]:
+        """Materialize the affected-partition day set ONCE, before any
+        destructive write: the callers' plans read the destination, so
+        re-evaluating them after the overwrite would see mutated state
+        (and could silently drop a live partition). Returns the literal
+        day list plus a broadcast-ready literal frame for the semi-joins
+        — both views of the SAME snapshot."""
+        days = sorted(
+            r[0] for r in affected.collect() if r[0] is not None
+        )
+        frame = self.spark.createDataFrame(
+            [(d,) for d in days], f"`{PARTITION_COL}` DATE"
+        )
+        return days, frame
 
     def _replace_affected_partitions(
-        self, meta: TableMeta, combined: DataFrame, affected: DataFrame
+        self, meta: TableMeta, combined: DataFrame, affected_days: list
     ) -> None:
         """Stage ``combined`` (its plan reads the partitions it
         replaces), dynamic-overwrite exactly those partitions, and drop
-        any affected partition the delete emptied entirely (dynamic
-        overwrite won't touch a partition absent from the staged
-        data)."""
+        any affected partition the new data emptied entirely (dynamic
+        overwrite won't touch a partition absent from the staged data).
+        ``affected_days`` is a pre-collected snapshot — never a lazy
+        plan over the destination (see _affected_days_snapshot).
+        The row-count Observation rides the staging write, so every
+        staged load method reports rows_written consistently."""
         stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+        combined, obs = self._observed(combined)
         combined.write.format("parquet").saveAsTable(stage_name)
+        self._record(obs)
         try:
             with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
                 self.spark.table(stage_name).write.insertInto(
@@ -420,8 +472,7 @@ class Writer:
             staged_parts = {
                 r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
             }
-            for row in affected.collect():
-                day = row[0]
+            for day in affected_days:
                 if day is not None and day not in staged_parts:
                     self.spark.sql(
                         f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
@@ -444,7 +495,9 @@ class Writer:
         scans the destination — the same cost class as BigQuery's
         temp-table materialization in the reference's merge script."""
         stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+        df, obs = self._observed(df)
         df.write.format("parquet").saveAsTable(stage_name)
+        self._record(obs)
         try:
             with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
                 self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
