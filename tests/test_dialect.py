@@ -321,3 +321,55 @@ def test_mask_unmask_roundtrip_property():
         assert _unmask(masked, masked.text) == text
 
     check()
+
+
+def test_struct_field_access_not_mangled():
+    """alias.struct.field in expression position must survive — only
+    table-position 3-part names (after FROM/JOIN/INTO/...) rewrite."""
+    from transformers_spark.dialect import transpile
+
+    out = transpile("SELECT t.address.city FROM `proj.ds.tbl` t")
+    assert "t.address.city" in out
+    out2 = transpile("SELECT x FROM proj.ds.tbl WHERE a.b.c > 1")
+    assert "FROM proj_ds.tbl" in out2
+    assert "a.b.c > 1" in out2  # expression-position path untouched
+
+
+def test_not_in_unnest():
+    from transformers_spark.dialect import transpile
+
+    out = transpile("SELECT * FROM x WHERE id NOT IN UNNEST(ids)")
+    assert "(NOT ARRAY_CONTAINS(ids, id))" in out
+
+
+def test_raw_string_literals():
+    """BQ r'...' raw strings become escaped Spark literals with the
+    same character sequence."""
+    from transformers_spark.dialect import transpile
+
+    out = transpile(r"SELECT REGEXP_CONTAINS(s, r'\d+') FROM t")
+    assert r"'\\d+'" in out and " r'" not in out
+
+
+def test_classify_statement_skips_leading_comments():
+    from transformers_spark.dialect import classify_statement
+
+    assert classify_statement("-- header\nSELECT 1") == "select"
+    assert (
+        classify_statement("/* note */\nMERGE INTO t USING s ON a WHEN MATCHED THEN DELETE")
+        == "merge"
+    )
+
+
+def test_date_arith_nested_operand():
+    from transformers_spark.dialect import transpile
+
+    out = transpile("SELECT DATE_SUB(DATE(ts, 'Asia/Jakarta'), INTERVAL 1 DAY) FROM t")
+    assert "DATE_SUB(TO_DATE(FROM_UTC_TIMESTAMP(ts, 'Asia/Jakarta')), 1)" in out
+
+
+def test_timestamp_constructor_two_arg_tz():
+    from transformers_spark.dialect import transpile
+
+    out = transpile("SELECT TIMESTAMP('2024-01-01 10:00:00', 'Asia/Jakarta')")
+    assert "TO_UTC_TIMESTAMP('2024-01-01 10:00:00', 'Asia/Jakarta')" in out

@@ -853,3 +853,21 @@ def test_rows_written_consistent_for_staged_paths(spark, engine):
         filter_expression="n = 1",
     )
     assert engine.writer.rows_written is not None and engine.writer.rows_written >= 2
+
+
+def test_script_select_with_comment_header_returns_rows(spark):
+    """A comment-prefixed SELECT in a script must classify as select
+    and return rows (BQ returns them)."""
+    eng = Engine(spark)
+    out = eng.run_script("-- result\nSELECT 41 + 1 AS v;")
+    assert out[-1][0]["v"] == 42
+
+
+def test_variable_substitution_leaves_qualified_names(spark):
+    """A script variable sharing a name with a table alias must not be
+    substituted into alias-qualified references (columns take
+    precedence over variables in BigQuery name collisions)."""
+    from transformers_spark.engine import _substitute_variables
+
+    out = _substitute_variables("SELECT p.x FROM tbl AS p2 WHERE p > 1", {"p": 7})
+    assert "p.x" in out and "7 > 1" in out

@@ -31,8 +31,17 @@ __all__ = [
 # db.table with per-identifier backticks. We map project+dataset onto
 # one Spark database: `project_dataset`.`table`.
 _FQN_BACKTICK_RE = re.compile(r"`([\w$][\w\-$]*)\.([\w$]+)\.([\w$][\w\-$]*)`")
+# Bare (unbackticked) 3-part names rewrite ONLY in table position
+# (after FROM/JOIN/INTO/USING/TABLE/MERGE/UPDATE): a bare a.b.c in
+# expression position is almost always alias.struct.field access,
+# which a blanket rewrite would silently mangle into a bogus table
+# name. Same keyword-anchoring as _TABLE_REF_RE. Known limitation:
+# the second name of a comma-separated FROM list isn't rewritten
+# (fails loudly at parse, never silently).
 _FQN_BARE_RE = re.compile(
-    r"(?<![\w`.])([A-Za-z][\w\-]*)\.([A-Za-z]\w*)\.([A-Za-z][\w\-]*)(?![\w`.])"
+    r"\b(FROM|JOIN|INTO|USING|TABLE|MERGE|UPDATE)(\s+)"
+    r"([A-Za-z][\w\-]*)\.([A-Za-z]\w*)\.([A-Za-z][\w\-]*)(?![\w`.])",
+    re.IGNORECASE,
 )
 
 
@@ -105,8 +114,12 @@ def _rewrite_fqns(text: str) -> str:
     text = _FQN_BACKTICK_RE.sub(backtick_sub, text)
 
     def bare_sub(m: re.Match) -> str:
-        return "{}_{}.{}".format(
-            _sanitize(m.group(1)), _sanitize(m.group(2)), _sanitize(m.group(3))
+        return "{}{}{}_{}.{}".format(
+            m.group(1),
+            m.group(2),
+            _sanitize(m.group(3)),
+            _sanitize(m.group(4)),
+            _sanitize(m.group(5)),
         )
 
     return _FQN_BARE_RE.sub(bare_sub, text)
@@ -124,14 +137,11 @@ _DATE_TZ_RE = re.compile(
 _CURRENT_DATE_TZ_RE = re.compile(
     r"\bCURRENT_DATE\s*\(\s*(\x00\d+\x00|'[^']*')\s*\)", re.IGNORECASE
 )
-_DATE_SUB_INTERVAL_RE = re.compile(
-    r"\bDATE_(SUB|ADD)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
-    re.IGNORECASE,
-)
+_DATE_ARITH_HEAD_RE = re.compile(r"\bDATE_(SUB|ADD)\s*\(", re.IGNORECASE)
 _DATE_TRUNC_RE = re.compile(r"\bDATE_TRUNC\s*\(", re.IGNORECASE)
 _TIMESTAMP_TRUNC_RE = re.compile(r"\bTIMESTAMP_TRUNC\s*\(", re.IGNORECASE)
 _IN_UNNEST_RE = re.compile(
-    r"((?:[`\w.\x00]+)(?:\((?:[^()]|\([^()]*\))*\))?)\s+IN\s+UNNEST\s*\(\s*([^()]+?)\s*\)",
+    r"((?:[`\w.\x00]+)(?:\((?:[^()]|\([^()]*\))*\))?)\s+(NOT\s+)?IN\s+UNNEST\s*\(\s*([^()]+?)\s*\)",
     re.IGNORECASE,
 )
 
@@ -263,11 +273,17 @@ def _replace_balanced_call(text: str, pattern: re.Pattern, render) -> str:
 
 
 def _rewrite_functions(text: str, masked: _Masked) -> str:
-    # TIMESTAMP('...') constructor → CAST(... AS TIMESTAMP). CAST(x AS
-    # TIMESTAMP) is unaffected ("TIMESTAMP(" only matches a call shape).
-    text = _replace_balanced_call(
-        text, _TS_CONSTRUCTOR_RE, lambda arg: f"CAST({arg.strip()} AS TIMESTAMP)"
-    )
+    # TIMESTAMP('...') constructor → CAST(... AS TIMESTAMP); the
+    # two-arg BQ form TIMESTAMP(expr, tz) interprets the civil time in
+    # tz → TO_UTC_TIMESTAMP. CAST(x AS TIMESTAMP) is unaffected
+    # ("TIMESTAMP(" only matches a call shape).
+    def _ts_ctor(arg: str) -> str:
+        parts = _split_top_level_args(arg)
+        if len(parts) == 2:
+            return f"TO_UTC_TIMESTAMP({parts[0].strip()}, {parts[1].strip()})"
+        return f"CAST({arg.strip()} AS TIMESTAMP)"
+
+    text = _replace_balanced_call(text, _TS_CONSTRUCTOR_RE, _ts_ctor)
 
     # DATE(ts, 'tz') → TO_DATE(FROM_UTC_TIMESTAMP(ts, 'tz'))
     text = _DATE_TZ_RE.sub(
@@ -278,15 +294,25 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
         lambda m: f"TO_DATE(FROM_UTC_TIMESTAMP(CURRENT_TIMESTAMP(), {m.group(1)}))", text
     )
     # DATE_SUB(d, INTERVAL 30 DAY) → DATE_SUB(d, 30); DATE_ADD similar.
-    def date_arith(m: re.Match) -> str:
-        op, operand, n, unit = m.group(1).upper(), m.group(2).strip(), m.group(3), m.group(4)
-        unit_low = unit.lower().rstrip("s")
-        if unit_low == "day":
+    # Balanced-call parse: the operand may nest arbitrarily (e.g. the
+    # DATE(ts,'tz') pass above produces TO_DATE(FROM_UTC_TIMESTAMP(..)))
+    # — a fixed-depth regex silently left those unrewritten.
+    def date_arith(arg_text: str, m: re.Match) -> str:
+        op = m.group(1).upper()
+        parts = _split_top_level_args(arg_text)
+        if len(parts) != 2:
+            return f"DATE_{op}({arg_text})"  # already Spark-style
+        operand = parts[0].strip()
+        iv = re.match(r"^INTERVAL\s+(\d+)\s+(\w+)$", parts[1].strip(), re.IGNORECASE)
+        if iv is None:
+            return f"DATE_{op}({arg_text})"  # already Spark-style (int)
+        n, unit = iv.group(1), iv.group(2)
+        if unit.lower().rstrip("s") == "day":
             return f"DATE_{op}({operand}, {n})"
         sign = "-" if op == "SUB" else "+"
         return f"({operand} {sign} INTERVAL {n} {unit})"
 
-    text = _DATE_SUB_INTERVAL_RE.sub(date_arith, text)
+    text = _replace_balanced_call(text, _DATE_ARITH_HEAD_RE, date_arith)
 
     # DATE_TRUNC(d, WEEK(MONDAY)) / DATE_TRUNC(d, MONTH) → arg-swapped
     # Spark call returning DATE (BQ DATE_TRUNC on DATE returns DATE).
@@ -322,7 +348,14 @@ def _rewrite_functions(text: str, masked: _Masked) -> str:
     text = _replace_balanced_call(text, _TIMESTAMP_TRUNC_RE, ts_trunc_render)
 
     # x IN UNNEST(arr) → ARRAY_CONTAINS(arr, x)
-    text = _IN_UNNEST_RE.sub(lambda m: f"ARRAY_CONTAINS({m.group(2)}, {m.group(1)})", text)
+    text = _IN_UNNEST_RE.sub(
+        lambda m: (
+            f"(NOT ARRAY_CONTAINS({m.group(3)}, {m.group(1)}))"
+            if m.group(2)
+            else f"ARRAY_CONTAINS({m.group(3)}, {m.group(1)})"
+        ),
+        text,
+    )
 
     # COUNTIF(p) → COUNT_IF(p)
     text = _COUNTIF_RE.sub("COUNT_IF(", text)
@@ -562,9 +595,27 @@ def _rewrite_literals(saved: list[str]) -> list[str]:
     return out
 
 
+_RAW_STRING_RE = re.compile(r"\b[rR]('[^'\n]*'|\"[^\"\n]*\")")
+
+
+def _rewrite_raw_strings(sql: str) -> str:
+    """BQ raw strings (``r'\\d+'`` — the standard regex idiom) have no
+    Spark equivalent: strip the prefix and double the backslashes so
+    Spark's escaping parser reproduces the same character sequence.
+    Runs BEFORE masking (the prefix sits outside the quoted region).
+    In a raw string the quote cannot be escaped, so the literal ends
+    at the first closing quote — exactly what the regex matches."""
+
+    def sub(m: re.Match) -> str:
+        lit = m.group(1)
+        return lit[0] + lit[1:-1].replace("\\", "\\\\") + lit[-1]
+
+    return _RAW_STRING_RE.sub(sub, sql)
+
+
 def transpile(sql: str) -> str:
     """BigQuery SQL text → Spark SQL text."""
-    masked = _mask(sql)
+    masked = _mask(_rewrite_raw_strings(sql))
     text = masked.text
     text = _rewrite_fqns(text)
     text = _rewrite_functions(text, masked)
@@ -601,7 +652,15 @@ _STMT_KIND_RES = [
 ]
 
 
+_LEADING_COMMENT_RE = re.compile(
+    r"^(?:\s+|--[^\n]*(?:\n|$)|#[^\n]*(?:\n|$)|/\*.*?\*/)+", re.DOTALL
+)
+
+
 def classify_statement(stmt: str) -> str:
+    # comment headers on statements are routine (BQ runs them fine);
+    # classification must see the first real token, not the comment
+    stmt = _LEADING_COMMENT_RE.sub("", stmt, count=1)
     for kind, pattern in _STMT_KIND_RES:
         if pattern.match(stmt):
             return kind

@@ -200,11 +200,14 @@ class Engine:
         if method is LoadMethod.REPLACE:
             if not meta.partition.is_partitioned:
                 first_query = sql_query.split(BREAK_MARKER)[0]
-                window = CustomWindow(dstart, dend)
+                window = CustomWindow(l_dstart, l_dend)
                 df, rendered = self._render_and_plan(first_query, window, l_exec, dest)
                 result.rendered_queries.append(rendered)
                 if not dry_run:
-                    reads_dest = dest in table_references(first_query)
+                    # detect self-reads on the RENDERED text: the
+                    # __destination_table__ macro only becomes a table
+                    # reference after rendering
+                    reads_dest = dest in table_references(rendered)
                     self.writer.overwrite_table(
                         dest,
                         df,
@@ -214,7 +217,7 @@ class Engine:
                 return result
             # DAY-partitioned: per-day fan-out (reference
             # MultiPartitionTransformation, transformation.py:362-428)
-            days = CustomWindow(dstart, dend).days()
+            days = CustomWindow(l_dstart, l_dend).days()
             task_queries = sql_query.split(BREAK_MARKER)
             if len(task_queries) < len(days):
                 raise ValueError(
@@ -245,18 +248,21 @@ class Engine:
         if method is LoadMethod.REPLACE_ALL:
             if not meta.partition.is_partitioned:
                 first_query = sql_query.split(BREAK_MARKER)[0]
-                window = CustomWindow(dstart, dend)
+                window = CustomWindow(l_dstart, l_dend)
                 df, rendered = self._render_and_plan(first_query, window, l_exec, dest)
                 result.rendered_queries.append(rendered)
                 if not dry_run:
                     self.writer.overwrite_table(
-                        dest, df, allow_field_addition=task_config.allow_field_addition
+                        dest,
+                        df,
+                        allow_field_addition=task_config.allow_field_addition,
+                        reads_destination=dest in table_references(rendered),
                     )
                 return result
             # destination partition = window START (aggregations whose
             # source partitions don't map 1:1; reference
             # SinglePartitionTransformation, transformation.py:235-270)
-            window = CustomWindow(dstart, dend)
+            window = CustomWindow(l_dstart, l_dend)
             df, rendered = self._render_and_plan(sql_query, window, l_exec, dest)
             result.rendered_queries.append(rendered)
             if not dry_run:
@@ -265,6 +271,7 @@ class Engine:
                     df,
                     partition_date=window.start.date(),
                     allow_field_addition=task_config.allow_field_addition,
+                    reads_destination=dest in table_references(rendered),
                 )
                 result.partitions_written.append(window.start.date())
             return result
@@ -629,5 +636,8 @@ def _substitute_variables(stmt: str, variables: dict[str, Any]) -> str:
             masked.saved.append(_lit)
             return f"\x00{len(masked.saved) - 1}\x00"
 
-        text = re.sub(rf"(?<![\w`.]){re.escape(name)}(?![\w`])", repl, text)
+        # lookahead also excludes '.': `p.x` where p is both a
+        # variable and a table alias must stay a qualified reference
+        # (BigQuery resolves name collisions in favor of the column)
+        text = re.sub(rf"(?<![\w`.]){re.escape(name)}(?![\w`.])", repl, text)
     return _unmask(masked, text)

@@ -216,18 +216,48 @@ class Writer:
         df: DataFrame,
         partition_date: date | datetime,
         allow_field_addition: bool = False,
+        reads_destination: bool = False,
     ) -> None:
         """Partition-decorator write ``table$YYYYMMDD`` — truncate and
-        load exactly one day partition."""
+        load exactly one day partition. ``reads_destination`` breaks a
+        write-over-read cycle by materializing the plan (whose lineage
+        scans the destination) before the overwrite."""
         meta = self.catalog.get_table(fqn)
         if not meta.partition.is_partitioned:
             raise ValueError(f"{meta.fqn} is not partitioned")
         if isinstance(partition_date, datetime):
             partition_date = partition_date.date()
         out = self._align(df, meta, allow_field_addition)
+        if reads_destination:
+            stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+            out.write.format("parquet").saveAsTable(stage_name)
+            try:
+                self._overwrite_partition_from(meta, stage_name, partition_date)
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+            return
         out, obs = self._observed(out)
         view = f"__ts_part_src_{uuid.uuid4().hex[:8]}"
         out.createOrReplaceTempView(view)
+        cols = ", ".join(f"`{c}`" for c in meta.column_names)
+        try:
+            self.spark.sql(
+                f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
+                f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
+                f"SELECT {cols} FROM {view}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+        self._record(obs)
+        self._refresh(meta)
+
+    def _overwrite_partition_from(
+        self, meta: TableMeta, src_table: str, partition_date: date
+    ) -> None:
+        src = self.spark.table(src_table)
+        src, obs = self._observed(src)
+        view = f"__ts_part_src_{uuid.uuid4().hex[:8]}"
+        src.createOrReplaceTempView(view)
         cols = ", ".join(f"`{c}`" for c in meta.column_names)
         try:
             self.spark.sql(
