@@ -193,3 +193,51 @@ def test_export_avro_clear_error_without_module(spark, tmp_path):
         # module present on this classpath: round-trip must work
         back = spark.read.format("avro").load(str(tmp_path / "avro_out"))
         assert back.count() == 1
+
+
+def test_synthesize_doc_id_salted_null_text_stays_null(spark):
+    """With salt_with_file=True a null-text row must still get a NULL
+    id (concat_ws would otherwise hand every null-text row in a file
+    the same md5(filename))."""
+    from transformers_spark.sources.corpus import synthesize_doc_id
+
+    df = spark.createDataFrame([("a",), (None,), (None,)], ["text"])
+    out = synthesize_doc_id(df, salt_with_file=True).collect()
+    ids = [r["doc_id"] for r in out]
+    assert sum(1 for i in ids if i is None) == 2
+
+
+def test_corrupt_rate_respects_sep(spark, tmp_path):
+    """A TSV corpus that ingests cleanly must not be reported corrupt
+    by the health check (same sep plumbed through)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from transformers_spark.sources.corpus import corrupt_rate_by_file, ingest_csv
+
+    p = str(tmp_path / "shard.tsv")
+    with open(p, "w") as fh:
+        fh.write("1\thello\n2\tworld\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    clean, corrupt = ingest_csv(spark, p, schema=schema, sep="\t")
+    assert clean.count() == 2 and corrupt.count() == 0
+    report = corrupt_rate_by_file(spark, p, schema=schema, fmt="csv", sep="\t").collect()
+    assert report[0]["n_corrupt"] == 0
+
+
+def test_external_table_quoted_path_and_options(spark, tmp_path):
+    """Paths/options containing apostrophes must not break the DDL."""
+    from transformers_spark.catalog import Catalog
+    from transformers_spark.sources.external import register_external_table
+
+    d = tmp_path / "o'brien"
+    d.mkdir()
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.mode("overwrite").parquet(
+        str(d / "data")
+    )
+    cat = Catalog(spark)
+    df = register_external_table(
+        cat, "extp.ds.quoted", str(d / "data"), fmt="parquet"
+    )
+    assert df.count() == 1

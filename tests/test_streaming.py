@@ -291,3 +291,31 @@ def test_streaming_static_enrichment_matches_batch_join(spark, tmp_path):
     )
     got = {r["event_id"]: r["c_mktsegment"] for r in out.collect()}
     assert got == {1: "BUILDING", 2: "MACHINERY", 3: None}
+
+
+def test_overwrite_dynamic_sink_rejects_bad_destination_at_start(spark, tmp_path):
+    """overwrite_dynamic sink misconfiguration must fail at start(),
+    not inside the first micro-batch: non-partitioned and
+    ingestion-time destinations have no per-batch partition mapping."""
+    import pytest as _pytest
+
+    from transformers_spark.catalog import Catalog, PartitionKind, PartitionSpec
+    from transformers_spark.loaders import Writer
+    from transformers_spark.streaming.sink import stream_into_table
+    from transformers_spark.streaming.windows import EVENT_SCHEMA
+
+    cat = Catalog(spark)
+    writer = Writer(spark, cat)
+    cat.create_table("sinkv.ds.flat", [("event_id", "bigint"), ("ts", "timestamp"),
+                                       ("user_id", "bigint"), ("event_type", "string"),
+                                       ("value", "double")])
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], EVENT_SCHEMA).write.parquet(src)
+    sdf = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    with _pytest.raises(ValueError, match="column-DAY partitioned"):
+        stream_into_table(
+            sdf, writer, "sinkv.ds.flat",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            query_name="sink_flat",
+            mode="overwrite_dynamic",
+        )

@@ -177,9 +177,12 @@ def corrupt_rate_by_file(
     path: str,
     schema: StructType | None = None,
     fmt: str = "jsonl",
+    sep: str = ",",
 ) -> DataFrame:
     """Per-file corrupt-line rate — the ingest health report. One
-    text scan + one aggregate."""
+    text scan + one aggregate. The csv branch takes the SAME parse
+    options as :func:`ingest_csv` (``sep``, quote escaping) so the
+    report agrees with what ingestion actually accepts."""
     schema = _with_corrupt(schema or DOC_SCHEMA)
     if fmt == "jsonl":
         parse = F.from_json(
@@ -190,7 +193,13 @@ def corrupt_rate_by_file(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
         parse = F.from_csv(
-            "value", ddl, {"columnNameOfCorruptRecord": CORRUPT_COL}
+            "value",
+            ddl,
+            {
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+                "sep": sep,
+                "escape": '"',
+            },
         )
     else:
         raise ValueError(f"unknown corpus format {fmt!r}: use 'jsonl' or 'csv'")
@@ -222,12 +231,20 @@ def synthesize_doc_id(
     distinct ids — leave OFF when exact dedup should collapse them).
     Map-only; stable under re-partitioning/appends, unlike
     ``monotonically_increasing_id``. An existing non-null ``id`` column
-    wins; rows lacking both id and text get NULL (quarantine them)."""
-    basis = (
-        F.concat_ws("\x00", F.input_file_name(), F.col(text_col))
-        if salt_with_file
-        else F.col(text_col)
-    )
+    wins; rows lacking both id and text get NULL (quarantine them) —
+    INCLUDING on the salted path (concat_ws would otherwise swallow
+    the NULL text and hand every null-text row in a file the same
+    md5(filename) id). Caveat: ``salt_with_file`` relies on
+    ``input_file_name()``, which is only populated directly over a
+    file scan — call this BEFORE any shuffle/join/union (the ingest
+    functions' ``source_file`` column is the durable alternative)."""
+    if salt_with_file:
+        basis = F.when(
+            F.col(text_col).isNotNull(),
+            F.concat_ws("\x00", F.input_file_name(), F.col(text_col)),
+        )
+    else:
+        basis = F.col(text_col)
     content_id = F.md5(basis)
     existing = F.col("id") if "id" in df.columns else F.lit(None).cast("string")
     return df.withColumn(id_col, F.coalesce(existing, content_id))

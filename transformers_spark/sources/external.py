@@ -7,8 +7,8 @@ parquet files as external tables under the same catalog coordinates —
 queries address them exactly like managed tables; Catalyst handles
 schema, pushdown (parquet) and pruning.
 
-A JDBC variant is sketched with the same surface; it needs a driver
-jar on the classpath, so it's gated behind a clear error here.
+A JDBC variant has the same surface; it needs a driver jar on the
+classpath, so it's gated behind a clear error here.
 """
 
 from __future__ import annotations
@@ -22,6 +22,20 @@ __all__ = ["register_external_table", "register_jdbc_table"]
 _READERS = {"csv", "json", "parquet"}
 
 
+def _sq(value: str) -> str:
+    """Single-quote a DDL option/location value, escaping embedded
+    quotes (a path like /data/o'brien must not break the statement)."""
+    return "'" + str(value).replace("'", "\\'") + "'"
+
+
+def _schema_to_ddl(schema) -> str:
+    """Field-by-field DDL with backticked names — schema.simpleString()
+    munging breaks on names containing spaces/colons/hyphens."""
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+
+
 def register_external_table(
     catalog: Catalog,
     fqn: str,
@@ -33,33 +47,35 @@ def register_external_table(
     """Register a file-backed external table at ``project.dataset.table``.
 
     Uses CREATE TABLE ... USING <fmt> LOCATION — an unmanaged catalog
-    entry; DROP removes metadata only, never the files.
+    entry; DROP removes metadata only, never the files. DDL goes
+    through the catalog's retry wrapper like every other catalog call.
     """
     if fmt not in _READERS:
         raise ValueError(f"unsupported external format {fmt!r}")
     spark = catalog.spark
     name = catalog.spark_name(fqn)
     db = name.split(".")[0]
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    catalog._run_ddl(f"CREATE DATABASE IF NOT EXISTS `{db}`")
     opts = dict(options or {})
     if fmt == "csv":
         opts.setdefault("header", "true")
     if schema_ddl is None and fmt in ("csv", "json"):
         # infer once driver-side, then pin the schema in the DDL so the
         # table definition is stable across sessions
-        schema_ddl = (
-            spark.read.format(fmt).options(**opts, inferSchema=True).load(path).schema.simpleString()
+        schema = (
+            spark.read.format(fmt).options(**opts, inferSchema=True).load(path).schema
         )
-        schema_ddl = schema_ddl.removeprefix("struct<").removesuffix(">").replace(":", " ")
+        schema_ddl = _schema_to_ddl(schema)
     cols = f" ({schema_ddl})" if schema_ddl else ""
     opts_ddl = (
-        " OPTIONS (" + ", ".join(f"'{k}' = '{v}'" for k, v in opts.items()) + ")"
+        " OPTIONS (" + ", ".join(f"{_sq(k)} = {_sq(v)}" for k, v in opts.items()) + ")"
         if opts
         else ""
     )
     qname = ".".join(f"`{p}`" for p in name.split("."))
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {qname}{cols} USING {fmt}{opts_ddl} LOCATION '{path}'"
+    catalog._run_ddl(
+        f"CREATE TABLE IF NOT EXISTS {qname}{cols} USING {fmt}{opts_ddl} "
+        f"LOCATION {_sq(path)}"
     )
     return spark.table(name)
 
@@ -71,20 +87,25 @@ def register_jdbc_table(
     dbtable: str,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """JDBC-backed external table (same catalog surface). Requires the
-    JDBC driver jar on the Spark classpath."""
+    """JDBC-backed external table registered under the SAME catalog
+    coordinates the dialect produces for ``fqn`` (``project_dataset.
+    table``) via ``CREATE TABLE ... USING jdbc`` — so queries address
+    it exactly like any other table. Requires the JDBC driver jar on
+    the Spark classpath; probed up front for a clear error."""
     spark = catalog.spark
+    opts = {"url": url, "dbtable": dbtable, **(options or {})}
     try:
-        df = (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", dbtable)
-            .options(**(options or {}))
-            .load()
-        )
+        df = spark.read.format("jdbc").options(**opts).load()
     except Exception as err:  # driver jar missing, bad url, ...
         raise RuntimeError(
             f"JDBC source unavailable for {fqn} ({url}): {err}"
         ) from err
-    df.createOrReplaceTempView(catalog.spark_name(fqn).replace(".", "__"))
+    name = catalog.spark_name(fqn)
+    db = name.split(".")[0]
+    catalog._run_ddl(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    qname = ".".join(f"`{p}`" for p in name.split("."))
+    opts_ddl = ", ".join(f"{_sq(k)} = {_sq(v)}" for k, v in opts.items())
+    catalog._run_ddl(
+        f"CREATE TABLE IF NOT EXISTS {qname} USING jdbc OPTIONS ({opts_ddl})"
+    )
     return df

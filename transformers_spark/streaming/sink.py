@@ -75,6 +75,18 @@ def stream_into_table(
                 f"batch_id_col {batch_id_col!r} is not a column of {fqn}; "
                 "pass batch_id_col=None to disable replay tagging"
             )
+    else:
+        # overwrite_dynamic replaces day-partitions derived from a
+        # COLUMN_DAY field: anything else would only fail (or worse,
+        # skip the clobber guard) inside the first micro-batch
+        part = meta.partition
+        if not part.is_partitioned or not part.field:
+            raise ValueError(
+                f"{fqn} must be column-DAY partitioned for the "
+                "overwrite_dynamic sink (non-partitioned and "
+                "ingestion-time destinations have no per-batch "
+                "partition mapping) — use append mode"
+            )
     # data-loss guard for overwrite_dynamic: each batch replaces whole
     # day-partitions, so a day whose data straddles two micro-batches
     # would silently lose the earlier batch's rows — detect and raise.
@@ -103,8 +115,11 @@ def stream_into_table(
             writer.append(fqn, out)
         else:
             part_field = meta.partition.field
-            days: set = set()
-            if part_field:
+            # persist: the days collect AND the overwrite both consume
+            # this batch — uncached, the batch plan runs twice per
+            # micro-batch for the stream's whole life
+            out = out.persist()
+            try:
                 days = {
                     str(r[0])
                     for r in out.select(
@@ -122,14 +137,15 @@ def stream_into_table(
                         "Align batches to partitions or use append mode "
                         "with batch-id dedup."
                     )
-            writer.overwrite_dynamic(fqn, out)
-            if part_field:
-                seen_days.setdefault(batch_id, set()).update(days)
-                path = os.path.join(state_dir, f"days_{batch_id}.json")
-                tmp = path + ".tmp"
-                with open(tmp, "w") as fh:
-                    json.dump(sorted(seen_days[batch_id]), fh)
-                os.replace(tmp, path)
+                writer.overwrite_dynamic(fqn, out)
+            finally:
+                out.unpersist()
+            seen_days.setdefault(batch_id, set()).update(days)
+            path = os.path.join(state_dir, f"days_{batch_id}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(sorted(seen_days[batch_id]), fh)
+            os.replace(tmp, path)
 
     stream = (
         sdf.writeStream.foreachBatch(write_batch)
