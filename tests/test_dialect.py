@@ -351,6 +351,21 @@ def test_raw_string_literals():
     assert r"'\\d+'" in out and " r'" not in out
 
 
+def test_raw_string_prefix_not_misread_inside_literals():
+    """An ordinary literal ending in a standalone 'r' must NOT be
+    treated as a raw-string prefix (round-3 ADVICE, high)."""
+    from transformers_spark.dialect import transpile
+
+    assert "'r'" in transpile("SELECT 'r' AS g")
+    out = transpile("SELECT * FROM t WHERE a = 'foo r' AND b = 'baz'")
+    assert "'foo r'" in out and "'baz'" in out
+    # capital R and double quotes behave the same
+    assert '"R"' in transpile('SELECT "R" AS g')
+    # a real raw string still converts even next to ordinary literals
+    out2 = transpile(r"SELECT 'r', r'\w+' FROM t")
+    assert r"'r', '\\w+'" in out2
+
+
 def test_classify_statement_skips_leading_comments():
     from transformers_spark.dialect import classify_statement
 

@@ -196,6 +196,20 @@ def test_export_data_wildcard_must_be_final_segment():
         )
 
 
+def test_export_data_bare_wildcard_uri_not_rejected_as_directory():
+    """A uri with no '/' at all ('part-*') has its wildcard in the final
+    (only) segment — must pass the segment guard and fail later on the
+    empty destination instead (round-3 ADVICE, low)."""
+    import pytest
+
+    from transformers_spark.exports import execute_export_data
+
+    with pytest.raises(ValueError, match="empty or root"):
+        execute_export_data(
+            None, "EXPORT DATA OPTIONS(uri='part-*', format='CSV') AS SELECT 1"
+        )
+
+
 def test_parse_merge_case_expression_in_set():
     """A top-level CASE WHEN inside SET must not split the WHEN
     clauses (CASE...END awareness in the clause tokenizer)."""

@@ -2,36 +2,17 @@
 query in Spark AND its DuckDB oracle on the same parquet tables, then
 compare row count, column names, and order-insensitive values."""
 
-import math
-
-import duckdb
 import pytest
 
+from transformers_spark.canon import (
+    HAZARD_DUCK_TYPE_RE as _HAZARD_DUCK_TYPE_RE,
+    SPARK_HAZARD_TYPE_NAMES,
+    duckdb_connect_views as _duckdb_con,
+    normalize_rows as _normalize,
+    pandas_canon as _pandas_canon,
+)
 from transformers_spark.queries import QUERIES
-from transformers_spark.sources.testdata import TABLES, table_path
-
-
-def _duckdb_con(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
-    return con
-
-
-def _normalize(rows, columns):
-    # sort columns by name, then rows; stringify with float rounding
-    idx = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def norm_val(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v:.6g}"
-        return str(v)
-
-    return sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
+from transformers_spark.sources.testdata import table_path
 
 
 _MULTIMODAL_KINDS = {
@@ -56,6 +37,16 @@ def _oracle_for(name, sf_dir):
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
     sdf = spec.build(spark, sf_dir)
+    hazardous = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in SPARK_HAZARD_TYPE_NAMES
+    ]
+    assert not hazardous, (
+        f"{name}: Spark output column(s) {hazardous} have pandas-hostile "
+        "types — the driver canon crashes on arrays and diverges on "
+        "decimals; emit strings/doubles/bigints instead"
+    )
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -70,11 +61,35 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: value mismatch"
     )
 
+    # --- driver-faithful pandas canon (round-3 lesson: the fetchall
+    # check above is TOO LENIENT — the driver goes through pandas,
+    # where HUGEINT becomes float64 and array cells crash sort_values)
+    spark_pd = _pandas_canon(sdf.toPandas())
+    duck_pd = _pandas_canon(con.execute(_oracle_for(name, sf_dir)).fetch_df())
+    assert spark_pd == duck_pd, f"{name}: pandas-canon mismatch (driver would hash-fail)"
 
-@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if not s.oracle])
-def test_rows_only_query_runs(spark, sf_dir, name):
-    df = QUERIES[name].build(spark, sf_dir)
-    assert df.count() > 0
+
+@pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])
+def test_oracle_output_dtypes_are_pandas_safe(sf_dir, name):
+    """DESCRIBE every oracle and reject output types whose pandas
+    conversion diverges from Spark's (HUGEINT, arrays, structs,
+    unsigned, DECIMAL) — the round-3 driver failures were exactly
+    these, invisible to a fetchall-based gate."""
+    con = _duckdb_con(sf_dir)
+    rows = con.execute(f"DESCRIBE {_oracle_for(name, sf_dir)}").fetchall()
+    bad = [(c, t) for c, t, *_ in rows if _HAZARD_DUCK_TYPE_RE.search(t)]
+    assert not bad, (
+        f"{name}: oracle emits pandas-hostile type(s) {bad} — cast to "
+        "BIGINT/DOUBLE/VARCHAR (array_to_string for lists) in the oracle "
+        "and mirror the cast in the Spark query"
+    )
+
+
+def test_every_query_has_an_oracle():
+    """no_oracle reached 0 in round 3 — keep it there: a new catalog
+    query without a DuckDB oracle would silently downgrade the driver
+    gate to a rows-only check."""
+    assert not [n for n, s in QUERIES.items() if not s.oracle]
 
 
 def test_entry_smoke(spark):

@@ -308,8 +308,11 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, user_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+    -- CAST: DuckDB SUM(int) OVER returns HUGEINT, which the driver's
+    -- pandas canonicalization coerces to float64 and hash-mismatches
+    -- Spark's bigint (round-3 driver FAIL). BIGINT keeps both int64.
+    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -502,21 +505,25 @@ def q_array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
     users = F.slice(F.sort_array(F.collect_set("user_id")), 1, 5)
+    # The ARRAY stays internal (size / array_contains prove the array
+    # surface); the OUTPUT column is a joined string because the driver's
+    # pandas canonicalization cannot sort raw array columns (round-3
+    # "unhashable numpy.ndarray" ERROR).
     return (
         ev.groupBy("event_type")
-        .agg(users.alias("first_users"))
+        .agg(users.alias("first_users_arr"))
         .select(
             "event_type",
-            "first_users",
-            F.size("first_users").alias("n_listed"),
-            F.array_contains("first_users", 0).alias("has_user_zero"),
+            F.array_join("first_users_arr", ",").alias("first_users"),
+            F.size("first_users_arr").alias("n_listed"),
+            F.array_contains("first_users_arr", 0).alias("has_user_zero"),
         )
     )
 
 
 ORACLE_ARRAY_AGG_USERS = """
 SELECT event_type,
-  list_sort(list(DISTINCT user_id))[1:5] AS first_users,
+  array_to_string(list_sort(list(DISTINCT user_id))[1:5], ',') AS first_users,
   len(list_sort(list(DISTINCT user_id))[1:5]) AS n_listed,
   list_contains(list_sort(list(DISTINCT user_id))[1:5], 0) AS has_user_zero
 FROM events

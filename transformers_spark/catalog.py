@@ -80,11 +80,12 @@ _TRANSIENT_ERROR_RE = re.compile(
     re.IGNORECASE,
 )
 
-# Reference parity: factory.go:42-47 retries transient BigQuery client
-# errors up to 3 times (and main.go:439-463 wraps job submission the
-# same way). Spark task retries cover distributed execution; these
-# catalog calls run driver-side against the metastore / object store
-# and get the same bounded-retry discipline.
+# Reference parity: the reference delegates transient-error retry to the
+# BigQuery client library's default retry policy (the client constructed
+# in factory.go carries google-cloud-go's built-in backoff for 429/5xx).
+# Spark has no such client-side layer, so these driver-side catalog /
+# metastore calls get an explicit bounded-retry discipline instead;
+# Spark task retries cover distributed execution.
 MAX_CATALOG_ATTEMPTS = 3
 _RETRY_BASE_SLEEP_S = 0.2
 

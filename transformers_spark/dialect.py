@@ -71,6 +71,8 @@ _STRING_OR_COMMENT_RE = re.compile(
     r"""
       '''(?:[^\\]|\\.)*?'''           # triple-quoted
     | \"\"\"(?:[^\\]|\\.)*?\"\"\"
+    | (?<![\w'"])[rR]'[^'\n]*'        # raw string: no escapes, ends at first quote
+    | (?<![\w'"])[rR]"[^"\n]*"
     | '(?:[^'\\]|\\.)*'               # single-quoted string
     | "(?:[^"\\]|\\.)*"               # double-quoted string
     | --[^\n]*                        # line comment
@@ -81,14 +83,23 @@ _STRING_OR_COMMENT_RE = re.compile(
 )
 
 
-def _mask(sql: str) -> _Masked:
+def _mask(sql: str, convert_raw: bool = False) -> _Masked:
+    """Mask strings/comments left-to-right. Raw-string prefixes (``r'...'``)
+    are recognized DURING the scan, so an ``r`` that sits inside an
+    ordinary literal (``'foo r'``) is consumed by the string alternative
+    first and never misread as a prefix. With ``convert_raw`` (the
+    transpile path), a raw string is saved as an equivalent escaped
+    Spark literal; otherwise it round-trips verbatim."""
     masked = _Masked(text="")
     out = []
     last = 0
     for m in _STRING_OR_COMMENT_RE.finditer(sql):
         out.append(sql[last : m.start()])
         out.append(f"\x00{len(masked.saved)}\x00")
-        masked.saved.append(m.group(0))
+        tok = m.group(0)
+        if convert_raw and tok[0] in "rR" and len(tok) >= 3 and tok[1] in "'\"":
+            tok = tok[1] + tok[2:-1].replace("\\", "\\\\") + tok[-1]
+        masked.saved.append(tok)
         last = m.end()
     out.append(sql[last:])
     masked.text = "".join(out)
@@ -595,27 +606,12 @@ def _rewrite_literals(saved: list[str]) -> list[str]:
     return out
 
 
-_RAW_STRING_RE = re.compile(r"\b[rR]('[^'\n]*'|\"[^\"\n]*\")")
-
-
-def _rewrite_raw_strings(sql: str) -> str:
-    """BQ raw strings (``r'\\d+'`` — the standard regex idiom) have no
-    Spark equivalent: strip the prefix and double the backslashes so
-    Spark's escaping parser reproduces the same character sequence.
-    Runs BEFORE masking (the prefix sits outside the quoted region).
-    In a raw string the quote cannot be escaped, so the literal ends
-    at the first closing quote — exactly what the regex matches."""
-
-    def sub(m: re.Match) -> str:
-        lit = m.group(1)
-        return lit[0] + lit[1:-1].replace("\\", "\\\\") + lit[-1]
-
-    return _RAW_STRING_RE.sub(sub, sql)
-
-
 def transpile(sql: str) -> str:
-    """BigQuery SQL text → Spark SQL text."""
-    masked = _mask(_rewrite_raw_strings(sql))
+    """BigQuery SQL text → Spark SQL text. Raw strings (``r'\\d+'``)
+    are converted to escaped Spark literals inside the masking scan —
+    never by a pre-mask regex, which would misread an ``r`` at the end
+    of an ordinary literal as a prefix."""
+    masked = _mask(sql, convert_raw=True)
     text = masked.text
     text = _rewrite_fqns(text)
     text = _rewrite_functions(text, masked)

@@ -144,7 +144,10 @@ def execute_export_data(spark, sql: str) -> str:
     # to the single-file form
     import os
 
-    if "*" in uri.rsplit("/", 1)[0]:
+    # guard only applies when there IS a directory part: for a bare
+    # 'part-*' the rsplit head is the whole uri and the wildcard is
+    # legitimately in the final (only) segment
+    if "/" in uri and "*" in uri.rsplit("/", 1)[0]:
         raise ValueError(
             f"EXPORT DATA uri {uri!r}: the wildcard must appear in the "
             "final path segment (it names the shard files, not a "

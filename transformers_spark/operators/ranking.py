@@ -145,13 +145,31 @@ def ntiles_wide(
     passes over the data either way but with 1/d of the barriers.
     """
     spark = df.sparkSession
+
+    def _checked_key(out: str, key: Column) -> Column:
+        # Enforce the documented contract JVM-side (no extra pass): a
+        # null key or |key| >= 2^53 would silently mis-rank after the
+        # double cast — fail the job instead.
+        kd = key.cast("double")
+        guard = F.assert_true(
+            key.isNotNull() & (F.abs(kd) < F.lit(float(2**53))),
+            F.lit(
+                f"ntiles_wide: sort key for {out!r} must be non-null and "
+                "|key| < 2^53 (exactly double-representable)"
+            ),
+        )
+        # coalesce forces guard evaluation (assert_true yields NULL or
+        # raises); a when(cond, kd).otherwise(kd) form would be folded
+        # away by SimplifyConditionals, silently dropping the check
+        return F.coalesce(guard.cast("double"), kd)
+
     legs = [
         df.select(
             F.lit(i).alias("__dim"),
-            key.cast("double").alias("__key"),
+            _checked_key(out, key).alias("__key"),
             F.col(id_col),
         )
-        for i, (_out, key) in enumerate(dims)
+        for i, (out, key) in enumerate(dims)
     ]
     u = legs[0]
     for leg in legs[1:]:
