@@ -676,6 +676,67 @@ def test_persisted_lsh_index_probe_shape_and_result(spark):
     assert got == want and got == {(100, 1): 4}
 
 
+def test_rolling_active_users_is_expansion_not_theta_join(spark):
+    """rolling_7d_active_users must plan as sequence+explode (constant
+    x7 map-side fan-out) joined to a BROADCAST day grid — never a
+    range/theta join of days x (day, user) pairs."""
+    from transformers_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["rolling_7d_active_users"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate explode" in plan or "explode" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_membership_probe_joins_are_broadcast(spark):
+    """The Bloom position set is bounded by the bit width (8192) and
+    must broadcast into BOTH probe semi-joins — a sort-merge join here
+    would shuffle the full probe side twice."""
+    from transformers_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["sketch_bloom_membership"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_expansion_ranking_queries_no_single_task_sort(spark):
+    """segment_top_orders and nation_balance_gini route their ranks
+    through the grouped two-phase primitive: rangepartitioning present,
+    every windowspec's leading arg is a partition id / group key, and
+    no window sorts a whole segment in one task."""
+    import re
+
+    from transformers_spark.queries import QUERIES
+
+    for name in ("segment_top_orders", "nation_balance_gini"):
+        plan = (
+            QUERIES[name]
+            .build(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rangepartitioning" in plan, name
+        for first_arg in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                name,
+                first_arg,
+            )
+
+
 def test_lsh_index_rejects_width_mismatch(spark):
     """A probe with widths different from the recorded index
     properties must raise — silently joining incompatible bucket

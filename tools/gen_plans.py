@@ -104,6 +104,23 @@ PICKS = {
         "scoring join; the bucket-frequency tables are bounded by the "
         "bucket count and broadcast into a map-side join."
     ),
+    "rolling_7d_active_users": (
+        "Trailing-7-day distinct users — sequence+explode expands each "
+        "(day, user) pair map-side by a CONSTANT x7 (never a days x pairs "
+        "range join); the observed-day grid broadcasts; one distinct "
+        "aggregate carries the only shuffle."
+    ),
+    "segment_top_orders": (
+        "Top-n per segment (QUALIFY idiom) — grouped two-phase ROW_NUMBER: "
+        "range-partitioned on (segment, price DESC, key), per-partition "
+        "local windows only, distributed prefix-summed offsets; 5 giant "
+        "segments never funnel through single-task sorts."
+    ),
+    "sketch_bloom_membership": (
+        "Bloom membership — the position set is bounded by the bit width "
+        "(m=8192) and BROADCASTS into both probe semi-joins at any member "
+        "cardinality; the probe side is scanned once, map-side only."
+    ),
 }
 
 _KEEP_PREFIXES = (

@@ -441,10 +441,21 @@ HAVING COUNT(*) >= 1
 
 def _all_specs() -> list["QuerySpec"]:
     from .analytics import analytics_specs
+    from .expansion import expansion_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
-    return _CORE_SPECS + pipeline_specs() + analytics_specs() + streaming_specs()
+    # expansion_specs stays LAST: the driver-cohort rotation orders
+    # never-checked queries by catalog position, and appending keeps
+    # every pre-existing query's position (and its r1-r3 driver rows)
+    # stable.
+    return (
+        _CORE_SPECS
+        + pipeline_specs()
+        + analytics_specs()
+        + streaming_specs()
+        + expansion_specs()
+    )
 
 
 _CORE_SPECS: list[QuerySpec] = [
