@@ -366,6 +366,20 @@ def test_raw_string_prefix_not_misread_inside_literals():
     assert r"'r', '\\w+'" in out2
 
 
+def test_raw_triple_quoted_strings():
+    """BQ r'''...''' must convert as a whole, not be misread as an
+    empty raw string r'' followed by fragments (round-4 review)."""
+    from transformers_spark.dialect import transpile
+
+    out = transpile(r"SELECT r'''\d+''' AS x")
+    assert r"'''\\d+'''" in out and " r'" not in out
+    out = transpile(r'SELECT R"""a\.b""" AS y')
+    assert r'"""a\\.b"""' in out
+    # empty raw triple and plain (non-raw) triple are untouched bodies
+    assert "''''''" in transpile("SELECT r'''''' AS e")
+    assert r"'''plain\n'''" in transpile(r"SELECT '''plain\n''' AS z")
+
+
 def test_classify_statement_skips_leading_comments():
     from transformers_spark.dialect import classify_statement
 

@@ -12,25 +12,7 @@ from transformers_spark.canon import (
     pandas_canon as _pandas_canon,
 )
 from transformers_spark.queries import QUERIES
-from transformers_spark.sources.testdata import table_path
-
-
-_MULTIMODAL_KINDS = {
-    "multimodal_image_features": "image",
-    "multimodal_audio_features": "audio",
-    "multimodal_resize_plan": "resize",
-}
-
-
-def _oracle_for(name, sf_dir):
-    """The multimodal VALUES-literal oracles are generated from the
-    driver's correctness sf (sf0.01); regenerate them for the test's
-    own sf_dir so the local gate checks the same semantics at any sf."""
-    if name in _MULTIMODAL_KINDS:
-        from transformers_spark.operators.specs import _multimodal_oracle
-
-        return _multimodal_oracle(_MULTIMODAL_KINDS[name], table_path(sf_dir, "documents"))
-    return QUERIES[name].oracle
+from transformers_spark.queries import oracle_for as _oracle_for
 
 
 @pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])

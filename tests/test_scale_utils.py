@@ -581,6 +581,25 @@ def test_ntiles_wide_rejects_null_and_unrepresentable_keys(spark):
     huge = spark.createDataFrame([(1, 2**53 + 1), (2, 5)], "id long, b long")
     with pytest.raises(Exception, match="ntiles_wide"):
         ntiles_wide(huge, "id", [("q", F.col("b"))], k=2)
+    # decimal digits that don't survive the double cast also fail ...
+    import decimal
+
+    dec = spark.createDataFrame(
+        [(1, decimal.Decimal("1.0000000000000001")),
+         (2, decimal.Decimal("2"))],
+        "id long, b decimal(20,16)",
+    )
+    with pytest.raises(Exception, match="ntiles_wide"):
+        ntiles_wide(dec, "id", [("q", F.col("b"))], k=2)
+    # ... but double keys are always exact under the identity cast:
+    # huge magnitudes and NaN are legitimate (NaN sorts last, as in the
+    # window-function equivalent) — the guard must not reject them
+    okd = spark.createDataFrame(
+        [(1, 1.2e16), (2, float("nan")), (3, -3.5)], "id long, b double"
+    )
+    got = {r["id"]: r["q"] for r in
+           ntiles_wide(okd, "id", [("q", F.col("b"))], k=3).collect()}
+    assert got == {3: 1, 1: 2, 2: 3}
 
 
 def test_grouped_ntile_matches_window_ntile(spark):

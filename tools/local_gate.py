@@ -44,10 +44,16 @@ def main() -> None:
         normalize_rows,
         pandas_canon,
     )
+    from transformers_spark.queries import oracle_for
     from transformers_spark.session import get_spark
 
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # sf-bound oracles (multimodal VALUES literals) regenerate for the
+    # requested --sf-dir; the rest come from the entry module verbatim.
+    oracles = {
+        name: oracle_for(name, args.sf_dir)
+        for name in entry_mod.oracle_sql()
+    }
     names = list(qs)
     if args.first:
         names = names[: args.first]

@@ -35,7 +35,7 @@ __all__ = [
 # away or the driver's pandas canon will mismatch/crash.
 HAZARD_DUCK_TYPE_RE = re.compile(
     r"HUGEINT|UHUGEINT|UTINYINT|USMALLINT|UINTEGER|UBIGINT"
-    r"|\[\]|STRUCT|MAP\(|UNION\(|DECIMAL",
+    r"|\[\d*\]|STRUCT|MAP\(|UNION\(|DECIMAL",
     re.IGNORECASE,
 )
 
@@ -75,6 +75,11 @@ def pandas_canon(pdf):
     import numpy as np
     import pandas as pd
 
+    # Lowercase before sorting so column order matches the fetchall
+    # canon (which lowercases) — DuckDB lowercases unquoted aliases
+    # while Spark preserves case, and a case-dependent sort would align
+    # the two frames on different column orders.
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns))

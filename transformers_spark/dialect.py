@@ -71,6 +71,10 @@ _STRING_OR_COMMENT_RE = re.compile(
     r"""
       '''(?:[^\\]|\\.)*?'''           # triple-quoted
     | \"\"\"(?:[^\\]|\\.)*?\"\"\"
+    | (?<![\w'"])[rR]'''(?:[^\\]|\\.)*?'''   # raw triple-quoted (before the
+    | (?<![\w'"])[rR]\"\"\"(?:[^\\]|\\.)*?\"\"\"  # 1-quote form, which would
+                                      # otherwise match r'' as an empty raw
+                                      # string and mangle the body)
     | (?<![\w'"])[rR]'[^'\n]*'        # raw string: no escapes, ends at first quote
     | (?<![\w'"])[rR]"[^"\n]*"
     | '(?:[^'\\]|\\.)*'               # single-quoted string
@@ -98,7 +102,11 @@ def _mask(sql: str, convert_raw: bool = False) -> _Masked:
         out.append(f"\x00{len(masked.saved)}\x00")
         tok = m.group(0)
         if convert_raw and tok[0] in "rR" and len(tok) >= 3 and tok[1] in "'\"":
-            tok = tok[1] + tok[2:-1].replace("\\", "\\\\") + tok[-1]
+            q = tok[1]
+            if len(tok) >= 7 and tok[1:4] == q * 3 and tok.endswith(q * 3):
+                tok = q * 3 + tok[4:-3].replace("\\", "\\\\") + q * 3
+            else:
+                tok = q + tok[2:-1].replace("\\", "\\\\") + q
         masked.saved.append(tok)
         last = m.end()
     out.append(sql[last:])

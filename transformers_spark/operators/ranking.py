@@ -147,15 +147,21 @@ def ntiles_wide(
     spark = df.sparkSession
 
     def _checked_key(out: str, key: Column) -> Column:
-        # Enforce the documented contract JVM-side (no extra pass): a
-        # null key or |key| >= 2^53 would silently mis-rank after the
-        # double cast — fail the job instead.
+        # Enforce the documented contract JVM-side (no extra pass): the
+        # key must be non-null and exactly double-representable, i.e.
+        # round-trip through double back to its own type unchanged.
+        # This is an identity for float/double keys (Spark evaluates
+        # NaN = NaN as true, so NaN keys pass and sort last as usual),
+        # catches integral keys >= 2^53, and catches decimals whose
+        # digits don't survive the double cast — two distinct decimals
+        # colliding on one double cannot both round-trip.
         kd = key.cast("double")
+        ktype = df.select(key.alias("__k")).schema[0].dataType
         guard = F.assert_true(
-            key.isNotNull() & (F.abs(kd) < F.lit(float(2**53))),
+            key.isNotNull() & (kd.cast(ktype) == key),
             F.lit(
                 f"ntiles_wide: sort key for {out!r} must be non-null and "
-                "|key| < 2^53 (exactly double-representable)"
+                "exactly double-representable (round-trips through double)"
             ),
         )
         # coalesce forces guard evaluation (assert_true yields NULL or

@@ -554,3 +554,27 @@ def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sqls() -> dict[str, str]:
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+# The multimodal VALUES-literal oracles are materialized from the
+# driver's correctness sf (sf0.01); checks at any other sf must
+# regenerate them for their own documents table or row/hash compares
+# are against the wrong data.
+_SF_DEPENDENT_ORACLE_KINDS = {
+    "multimodal_image_features": "image",
+    "multimodal_audio_features": "audio",
+    "multimodal_resize_plan": "resize",
+}
+
+
+def oracle_for(name: str, sf_dir: str) -> "str | None":
+    """The oracle SQL for ``name``, regenerated for ``sf_dir`` when the
+    catalog literal is sf-bound (shared by the test gate and
+    ``tools/local_gate.py`` so neither can drift)."""
+    kind = _SF_DEPENDENT_ORACLE_KINDS.get(name)
+    if kind is not None:
+        from .operators.specs import _multimodal_oracle
+        from .sources.testdata import table_path
+
+        return _multimodal_oracle(kind, table_path(sf_dir, "documents"))
+    return QUERIES[name].oracle
