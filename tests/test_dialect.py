@@ -368,16 +368,52 @@ def test_raw_string_prefix_not_misread_inside_literals():
 
 def test_raw_triple_quoted_strings():
     """BQ r'''...''' must convert as a whole, not be misread as an
-    empty raw string r'' followed by fragments (round-4 review)."""
+    empty raw string r'' followed by fragments — and the emitted form
+    must be a 1-quote literal, since Spark has no triple-quote syntax
+    ('''x''' parses as quote-escapes: the value 'x' WITH quote chars)
+    (round-4 review, twice)."""
     from transformers_spark.dialect import transpile
 
     out = transpile(r"SELECT r'''\d+''' AS x")
-    assert r"'''\\d+'''" in out and " r'" not in out
+    assert r"'\\d+'" in out and " r'" not in out and "'''" not in out
     out = transpile(r'SELECT R"""a\.b""" AS y')
-    assert r'"""a\\.b"""' in out
-    # empty raw triple and plain (non-raw) triple are untouched bodies
-    assert "''''''" in transpile("SELECT r'''''' AS e")
-    assert r"'''plain\n'''" in transpile(r"SELECT '''plain\n''' AS z")
+    assert r'"a\\.b"' in out and '"""' not in out
+    # empty raw triple collapses to the empty literal
+    assert "SELECT '' AS e" in transpile("SELECT r'''''' AS e")
+    # raw bodies have NO escape semantics: a body ending in backslash
+    # (legal BQ) must not derail the scan or leak fragments
+    out = transpile(r"SELECT r'''ab\''' AS x")
+    assert r"'ab\\'" in out and "'''" not in out
+    # quotes inside the triple body get escaped for the 1-quote form
+    out = transpile("SELECT r'''it's ok''' AS x")
+    assert r"'it\'s ok'" in out
+    # plain (non-raw) triple: keep existing escapes, escape bare quotes
+    out = transpile(r"SELECT '''plain\n''' AS z")
+    assert r"'plain\n'" in out and "'''" not in out
+    out = transpile("SELECT '''don't''' AS z")
+    assert r"'don\'t'" in out
+
+
+def test_triple_quoted_literals_evaluate_correctly(spark):
+    """End-to-end: the transpiled literal must EVALUATE in Spark to the
+    BigQuery value — the text-level asserts above can't catch an output
+    form Spark parses differently than intended."""
+    from transformers_spark.dialect import transpile
+
+    cases = [
+        (r"SELECT r'''\d+''' AS v", r"\d+"),
+        (r"SELECT r'\w+' AS v", r"\w+"),
+        ("SELECT r'''it's ok''' AS v", "it's ok"),
+        (r"SELECT r'''ab\''' AS v", "ab\\"),
+        ("SELECT r'''''' AS v", ""),
+        (r"SELECT '''plain\n''' AS v", "plain\n"),
+        ("SELECT '''don't''' AS v", "don't"),
+        ('SELECT """say "hi" now""" AS v', 'say "hi" now'),
+        ("SELECT '''line1\nline2''' AS v", "line1\nline2"),
+    ]
+    for sql, expected in cases:
+        got = spark.sql(transpile(sql)).collect()[0][0]
+        assert got == expected, f"{sql!r}: {got!r} != {expected!r}"
 
 
 def test_classify_statement_skips_leading_comments():

@@ -71,10 +71,11 @@ _STRING_OR_COMMENT_RE = re.compile(
     r"""
       '''(?:[^\\]|\\.)*?'''           # triple-quoted
     | \"\"\"(?:[^\\]|\\.)*?\"\"\"
-    | (?<![\w'"])[rR]'''(?:[^\\]|\\.)*?'''   # raw triple-quoted (before the
-    | (?<![\w'"])[rR]\"\"\"(?:[^\\]|\\.)*?\"\"\"  # 1-quote form, which would
-                                      # otherwise match r'' as an empty raw
-                                      # string and mangle the body)
+    | (?<![\w'"])[rR]'''.*?'''        # raw triple-quoted: NO escape semantics,
+    | (?<![\w'"])[rR]\"\"\".*?\"\"\"  # body ends at the first closing triple
+                                      # (listed before the 1-quote form, which
+                                      # would otherwise match r'' as an empty
+                                      # raw string and mangle the body)
     | (?<![\w'"])[rR]'[^'\n]*'        # raw string: no escapes, ends at first quote
     | (?<![\w'"])[rR]"[^"\n]*"
     | '(?:[^'\\]|\\.)*'               # single-quoted string
@@ -101,17 +102,53 @@ def _mask(sql: str, convert_raw: bool = False) -> _Masked:
         out.append(sql[last : m.start()])
         out.append(f"\x00{len(masked.saved)}\x00")
         tok = m.group(0)
-        if convert_raw and tok[0] in "rR" and len(tok) >= 3 and tok[1] in "'\"":
-            q = tok[1]
-            if len(tok) >= 7 and tok[1:4] == q * 3 and tok.endswith(q * 3):
-                tok = q * 3 + tok[4:-3].replace("\\", "\\\\") + q * 3
-            else:
-                tok = q + tok[2:-1].replace("\\", "\\\\") + q
+        if convert_raw:
+            tok = _to_spark_literal(tok)
         masked.saved.append(tok)
         last = m.end()
     out.append(sql[last:])
     masked.text = "".join(out)
     return masked
+
+
+def _to_spark_literal(tok: str) -> str:
+    """Convert a masked BigQuery string token to an equivalent Spark
+    literal. Spark has no raw strings and no triple-quoted strings (it
+    parses ``''`` inside a literal as a doubled-quote escape, so an
+    emitted ``'''body'''`` silently evaluates to ``'body'`` WITH quote
+    characters) — every raw or triple-quoted form must be re-emitted
+    as an ordinary 1-quote literal:
+
+    - raw (``r'..'`` / ``r'''..'''``): the body is literal text with no
+      escape semantics; double backslashes and escape bare quotes.
+    - plain triple (``'''..'''``): escape sequences are already
+      Spark-compatible; escape only the *unescaped* quote chars the
+      triple form allowed in its body.
+
+    Comments and plain 1-quote strings pass through verbatim."""
+    is_raw = tok[0] in "rR" and len(tok) >= 3 and tok[1] in "'\""
+    body_tok = tok[1:] if is_raw else tok
+    if body_tok[0] not in "'\"":
+        return tok  # comment
+    q = body_tok[0]
+    triple = len(body_tok) >= 6 and body_tok[:3] == q * 3 and body_tok.endswith(q * 3)
+    if is_raw:
+        body = body_tok[3:-3] if triple else body_tok[1:-1]
+        return q + body.replace("\\", "\\\\").replace(q, "\\" + q) + q
+    if not triple:
+        return tok
+    body = body_tok[3:-3]
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(body[i : i + 2])
+            i += 2
+            continue
+        out.append("\\" + q if ch == q else ch)
+        i += 1
+    return q + "".join(out) + q
 
 
 def _unmask(masked: _Masked, text: str) -> str:

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from . import cache
 from .queries import QuerySpec, _money
 from .sources.testdata import register_tables
 
@@ -126,7 +127,9 @@ def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division."""
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # ut feeds four subtrees (both pair-join sides, type_counts, total);
+    # persist so events is scanned and distinct-shuffled once, not 4x
+    ut = cache.track(ev.select("user_id", "event_type").distinct().persist())
     a = ut.select("user_id", F.col("event_type").alias("t1"))
     b = ut.select("user_id", F.col("event_type").alias("t2"))
     pairs = (
@@ -781,10 +784,16 @@ def q_text_first_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-order tie-break."""
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    # 1-based positions to match DuckDB's generate_subscripts
-    pos = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "word")
-    ).select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
+    # 1-based positions to match DuckDB's generate_subscripts; the
+    # exploded frame feeds both the first_pos and freq branches, so
+    # persist it rather than exploding the whole corpus twice
+    pos = cache.track(
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "word")
+        )
+        .select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
+        .persist()
+    )
     first_pos = pos.groupBy("doc_id", "word").agg(
         F.min("pos").alias("first_pos")
     )
