@@ -85,7 +85,11 @@ def pandas_canon(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns))
 
     def norm(v):
-        if v is None:
+        # NaT is a datetime.datetime but NOT a pd.Timestamp — without
+        # this singleton check a null DATE from DuckDB's .df()
+        # (datetime64 + NaT) stringifies as "NaT" while Spark's null
+        # date (object cell, None) yields "null": a false mismatch.
+        if v is None or v is pd.NaT:
             return "null"
         if isinstance(v, (bool, np.bool_)):
             return str(bool(v))

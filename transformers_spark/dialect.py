@@ -113,11 +113,14 @@ def _mask(sql: str, convert_raw: bool = False) -> _Masked:
 
 def _to_spark_literal(tok: str) -> str:
     """Convert a masked BigQuery string token to an equivalent Spark
-    literal. Spark has no raw strings and no triple-quoted strings (it
-    parses ``''`` inside a literal as a doubled-quote escape, so an
-    emitted ``'''body'''`` silently evaluates to ``'body'`` WITH quote
-    characters) — every raw or triple-quoted form must be re-emitted
-    as an ordinary 1-quote literal:
+    literal. Spark has no TRIPLE-quoted strings (it parses ``''``
+    inside a literal as a doubled-quote escape, so an emitted
+    ``'''body'''`` silently evaluates to ``'body'`` WITH quote
+    characters), so those forms must be re-emitted as ordinary 1-quote
+    literals. Spark 3.0+ does accept 1-quote raw literals (``r'..'``)
+    with BigQuery-compatible no-escape semantics, but we normalize
+    those too so the emitted SQL never depends on parser mode (e.g.
+    ``spark.sql.parser.escapedStringLiterals``):
 
     - raw (``r'..'`` / ``r'''..'''``): the body is literal text with no
       escape semantics; double backslashes and escape bare quotes.
