@@ -150,3 +150,21 @@ def test_event_value_moments_degenerate_groups(spark, tmp_path):
     duck_rows = res.fetchall()
     spark_rows = [tuple(r) for r in q_event_value_moments(spark, sf).collect()]
     assert _normalize(spark_rows, [c.lower() for c in q_event_value_moments(spark, sf).columns]) == _normalize(duck_rows, cols)
+
+
+def test_dedup_incremental_empty_documents(spark, tmp_path):
+    """The 80/20 split threshold is a LAZY broadcast aggregate (round-4
+    review: an eager collect crashed on an empty table with
+    'None * 4' and scanned the table just to build the plan). Empty
+    documents must yield an empty result, not a TypeError."""
+    from transformers_spark.operators.specs import q_dedup_incremental
+
+    sf = str(tmp_path / "sfempty")
+    empty = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    empty.write.parquet(f"{sf}/documents.parquet")
+    out = q_dedup_incremental(spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["new_doc", "matched_doc", "matching_bands"]

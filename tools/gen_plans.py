@@ -121,6 +121,25 @@ PICKS = {
         "(m=8192) and BROADCASTS into both probe semi-joins at any member "
         "cardinality; the probe side is scanned once, map-side only."
     ),
+    "user_ltv_deciles": (
+        "Global NTILE(10) over per-user lifetime value — two-phase ranking "
+        "(range-partition + per-partition local window + partition-count "
+        "offset collect): no SinglePartition sort at any user cardinality; "
+        "the decile rollup is one ordinary keyed aggregate."
+    ),
+    "nation_balance_gini": (
+        "Per-nation Gini via the rank formula — grouped two-phase "
+        "ROW_NUMBER keeps every nation's rank assignment distributed "
+        "(a giant nation never funnels through one task); decimal power "
+        "sums reduce to one row per nation before the only division."
+    ),
+    "event_cooccurrence_lift": (
+        "Event-pair lift — the distinct (user, type) frame is computed "
+        "ONCE and persisted for its four consumers (pair join, two "
+        "marginals, total); pair candidates come from a per-user "
+        "self-join on the deduped frame, never a row-level cross join; "
+        "1-row totals broadcast into the final projection."
+    ),
 }
 
 _KEEP_PREFIXES = (

@@ -279,9 +279,13 @@ def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events").select("user_id", "ts")
     order = W.partitionBy("user_id").orderBy("ts", "user_id")
+    # Exact microseconds on BOTH sides: ts.cast('long') floors to whole
+    # seconds while the oracle's epoch(ts) is fractional, so a true gap
+    # in (1800, 1801)s would split sessions differently. unix_micros /
+    # epoch_us are exact integers at the data's actual precision.
+    micros = F.unix_micros(F.col("ts"))
     gap_break = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
-        > 30 * 60
+        micros - F.lag(micros).over(order) > 30 * 60 * 1_000_000
     ).cast("int")
     with_session = ev.select(
         "user_id",
@@ -302,7 +306,11 @@ def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BATCH_SESSIONIZATION = """
 WITH marked AS (
   SELECT user_id, ts,
-    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+    -- epoch_us, not epoch: exact integer micros to match Spark's
+    -- unix_micros (epoch() is fractional seconds; a floor-second diff
+    -- on one side would split (1800,1801)s gaps differently)
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, user_id)
 ),
@@ -1864,7 +1872,9 @@ scored AS (
 SELECT event_type, d, n, trailing_mean,
        ROUND((n - mean_raw) / SQRT(var), 6) AS z
 FROM scored
-WHERE var > 0 AND ABS((n - mean_raw) / SQRT(var)) > 2.0
+-- filter on the ROUNDED z exactly like the Spark side: a raw |z| in
+-- (2.0, 2.0000005) rounds to 2.0 and must be excluded on both engines
+WHERE var > 0 AND ABS(ROUND((n - mean_raw) / SQRT(var), 6)) > 2.0
 """
 
 

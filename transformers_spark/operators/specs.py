@@ -165,7 +165,10 @@ SELECT d1, d2,
 FROM shared
 JOIN sizes s1 ON s1.doc = d1
 JOIN sizes s2 ON s2.doc = d2
-WHERE shared / (s1.sz + s2.sz - shared) >= 0.2
+-- filter on the ROUNDED ratio exactly like ngram_jaccard_pairs
+-- (dedup.py): a raw jaccard in [0.1999995, 0.2) rounds UP to the
+-- threshold and must be included on both engines
+WHERE ROUND(shared / (s1.sz + s2.sz - shared), 6) >= 0.2
 """
 
 
@@ -556,7 +559,6 @@ def q_embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs), log-diameter label propagation, one verdict
     join."""
     from .graph import connected_components
-    from .similarity import embedding_neardup_pairs
 
     register_tables(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
@@ -843,6 +845,19 @@ def _multimodal_oracle(kind: str, docs_path: str = _MULTIMODAL_ORACLE_DOCS) -> "
     import os
 
     if not os.path.exists(docs_path):
+        # Degrade LOUDLY, not silently: without the parquet the three
+        # multimodal specs fall back to a rows-only gate (oracle=None),
+        # violating the catalog's no_oracle=0 contract. A hard raise
+        # here would instead break the whole catalog import in any
+        # environment without testdata, which is worse.
+        import warnings
+
+        warnings.warn(
+            f"multimodal oracle source {docs_path} missing — "
+            f"{kind} spec degrades to a rows-only correctness gate",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
 
     from .multimodal import fake_resizer
@@ -920,6 +935,11 @@ def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="click_ts",
         right_cols=["click_id", "click_ts"],
+        # deterministic tie-break: two clicks at an identical (user,
+        # ts) resolve to the MAX click_id (asof_join takes the last
+        # row in ascending right_order); the oracle mirrors this by
+        # pre-deduping the right side to MAX(event_id) per (user, ts)
+        right_order="click_id",
     )
     # no-match -> -1, not NULL: nullable BIGINTs round-trip as NaN
     # through pandas on the oracle side, which breaks value compares
@@ -939,7 +959,13 @@ SELECT p.event_id AS purchase_id,
        COALESCE(c.event_id, -1) AS click_id,
        COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  -- pre-dedup to MAX(event_id) per (user, ts): DuckDB's ASOF picks an
+  -- arbitrary row among duplicate right timestamps; the Spark side's
+  -- right_order='click_id' tie-break resolves to the same max id
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
@@ -1456,7 +1482,6 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_random_projection() -> str:
-    from .similarity import hyperplane_weights
 
     weights = hyperplane_weights(RP_OUT_DIM, RP_IN_DIM)
     cols = ",\n       ".join(
@@ -1788,17 +1813,34 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    threshold = (max_id * 4) // 5
-    new = docs.filter(F.col("doc_id") >= threshold)
+    # Lazy threshold: an eager collect here would run a full scan just
+    # to BUILD the plan (and crash on an empty table) — broadcast the
+    # 1-row aggregate instead (same pattern as q_customer_rfm_segments)
+    thr = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("__thr"))
+
+    def above(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(thr))
+            .filter(F.col(col) >= F.col("__thr"))
+            .drop("__thr")
+        )
+
+    def below(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(thr))
+            .filter(F.col(col) < F.col("__thr"))
+            .drop("__thr")
+        )
+
+    new = above(docs, "doc_id")
     buckets = cache.track(
         minhash_band_buckets(
             docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
         ).persist()
     )
     matches = incremental_matches_from_buckets(
-        buckets.filter(F.col("doc") < threshold),
-        buckets.filter(F.col("doc") >= threshold),
+        below(buckets, "doc"),
+        above(buckets, "doc"),
     )
     best = (
         matches.withColumn(
@@ -2044,7 +2086,6 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the before/after report a dedup pass ships with. Reuses
     the full pipeline verdicts; the histogram is two tiny aggregates
     over the per-doc verdict table."""
-    from .dedup import dedup_pipeline
     from pyspark.sql import Window as W
 
     register_tables(spark, sf_dir, ("documents",))
@@ -2129,7 +2170,6 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dataset_hash_split``'s val bucket), exactly how banding
     parameters are tuned in practice; the LSH side under test is the
     cheap part."""
-    from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
@@ -2176,7 +2216,6 @@ def q_crossmodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings correctly show no separation). Deterministic baseline:
     (2k, 2k+1) id pairs — no random sampling, ids are
     content-uncorrelated."""
-    from .dedup import ngram_jaccard_pairs
     from .similarity import _dot, _norm
 
     register_tables(spark, sf_dir, ("documents", "embeddings"))
@@ -2250,7 +2289,6 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage capture at each min-matching-bands cutoff — the table that
     sets ``min_matching_bands`` for the full pipeline. True pairs the
     LSH never candidates score 0 bands via the left join."""
-    from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
@@ -2404,7 +2442,7 @@ def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors as seeds — so the oracle can replicate the assignment in
     plain SQL; production passes a converged codebook through the SAME
     assignment/profile path."""
-    from .similarity import embedding_cluster_profile, kmeans_centroids
+    from .similarity import embedding_cluster_profile
 
     register_tables(spark, sf_dir, ("embeddings",))
     emb = spark.table("embeddings")
@@ -2523,14 +2561,19 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     # The six index-side shuffles here (postings, doclen, df, match,
     # rerank) all carry small per-term/per-doc tables; at local scale
-    # the per-partition task overhead of a wide default dominates
-    # (64 -> 8 partitions measured 8.1s -> 2.4s at sf0.1). A cluster
-    # deployment sizes this to executor width; AQE re-coalesces larger
-    # stages either way.
+    # the per-partition task overhead of a wide default dominates even
+    # under AQE (sf0.1 measured: 200-wide 21s, 32-wide 7.4s, 8-wide
+    # 4.2s). The conf only applies if the plan EXECUTES inside the
+    # window — shuffle.partitions is read at run time, so a lazily
+    # returned plan would run at the caller's width — hence the eager
+    # localCheckpoint of the tiny (top_k x n_queries) result. A
+    # cluster deployment sizes this to executor width instead.
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), top_k=5)
+        return bm25_topk(
+            docs, docs.filter(F.col("doc_id") < 5), top_k=5
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
