@@ -48,7 +48,11 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     7x the distinct (day, user) pairs, never |days| x |events|."""
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
-    du = ev.select(F.to_date("ts").alias("aday"), "user_id").distinct()
+    # du feeds both the explode branch and the observed-day grid;
+    # persist so events is scanned and distinct-shuffled once, not 2x
+    du = cache.track(
+        ev.select(F.to_date("ts").alias("aday"), "user_id").distinct().persist()
+    )
     expanded = du.select(
         F.explode(F.sequence(F.col("aday"), F.date_add(F.col("aday"), 6))).alias(
             "day"
@@ -87,7 +91,7 @@ def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
     per_user = ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(12,4)")).alias("ltv_dec")
+        F.sum(_money("value")).alias("ltv_dec")
     )
     per_user = per_user.withColumn("ltv", F.col("ltv_dec").cast("double"))
     ranked = with_global_ntile(
@@ -157,8 +161,12 @@ def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t2",
             "n_both",
             (
-                (F.col("n_both") * F.col("n_total")).cast("double")
-                / (F.col("n_t1") * F.col("n_t2")).cast("double")
+                # cast each operand BEFORE multiplying: a bigint product
+                # of two ~3e9 counts exceeds 2^63 (silent wrap with ANSI
+                # off, an overflow error in DuckDB); double x double is
+                # IEEE-identical on both engines
+                (F.col("n_both").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("n_t1").cast("double") * F.col("n_t2").cast("double"))
             ).alias("lift"),
         )
     )
@@ -174,7 +182,11 @@ pairs AS (
 tc AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
 tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM ut)
 SELECT t1, t2, n_both,
-       CAST(n_both * n_total AS DOUBLE) / CAST(ca.n_t * cb.n_t AS DOUBLE) AS lift
+       -- operands cast BEFORE the multiply, mirroring the Spark side
+       -- (a BIGINT product would raise on overflow here and silently
+       -- wrap there)
+       (CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE))
+         / (CAST(ca.n_t AS DOUBLE) * CAST(cb.n_t AS DOUBLE)) AS lift
 FROM pairs
 JOIN tc ca ON ca.event_type = t1
 JOIN tc cb ON cb.event_type = t2
@@ -197,9 +209,14 @@ def q_interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        (F.sum("gap_us").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "mean_gap_us"
-        ),
+        # sum in decimal(38,0): per-stream gaps telescope to the data's
+        # time span, so SUM(bigint micros) wraps past 2^63 at ~300k
+        # year-long streams with ANSI off while the oracle's HUGEINT
+        # sum stays exact; both sides are exact integers cast to double
+        (
+            F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_us"),
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
@@ -517,7 +534,7 @@ def q_nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="i",
         total_col="n",
     )
-    xdec = F.col("s_acctbal").cast("decimal(12,4)")
+    xdec = _money("s_acctbal")
     agg = ranked.groupBy("n_name").agg(
         F.max("n").alias("n_suppliers"),
         F.sum(F.col("i") * xdec).alias("s_ix"),
@@ -660,7 +677,9 @@ def q_supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select("l_suppkey", "p_brand")
         .distinct()
         .groupBy("l_suppkey")
-        .agg(F.countDistinct("p_brand").alias("n_brands"))
+        # plain count: the frame is already distinct on (supp, brand) —
+        # countDistinct here would plan a second, redundant dedup phase
+        .agg(F.count(F.lit(1)).alias("n_brands"))
     )
     return per_supp.agg(
         F.count(F.lit(1)).alias("n_suppliers_with_any"),
@@ -962,12 +981,16 @@ def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("customer",))
     cust = spark.table("customer")
     members = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    positions = (
+    # positions feeds BOTH broadcast semi-joins; persist so the member
+    # union+distinct (two customer scans) runs once, not twice — the
+    # frame is bounded at m=8192 rows by construction
+    positions = cache.track(
         members.select(_bloom_pos(F.col("c_custkey"), "s1").alias("pos"))
         .unionByName(
             members.select(_bloom_pos(F.col("c_custkey"), "s2").alias("pos"))
         )
         .distinct()
+        .persist()
     )
     probes = cust.select(
         "c_custkey",
