@@ -992,3 +992,95 @@ def test_embedding_cluster_profile_empty_codebook_raises(spark):
     empty = spark.createDataFrame([], "centroid_id INT, centvec ARRAY<DOUBLE>")
     with _pytest.raises(ValueError, match="empty codebook"):
         embedding_cluster_profile(df, empty)
+
+
+def test_kmv_and_theta_ignore_null_values(spark):
+    """NULL values hash to NULL, sort FIRST ascending in Spark, and
+    would consume a sketch slot while max() ignores them — COUNT
+    (DISTINCT) semantics require dropping them (round-4 review)."""
+    from transformers_spark.operators.sketch import kmv_distinct
+
+    rows = [("g", str(i)) for i in range(10)] + [("g", None), ("allnull", None)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r["grp"]: r["est_distinct"] for r in
+           kmv_distinct(df, ["grp"], "v", k=4).collect()}
+    # below-capacity groups are exact; the all-null group vanishes
+    assert "allnull" not in out
+    # 10 real distinct values, k=4: the null must not displace a real
+    # hash from the k-minimum set (estimate uses the true 4th smallest)
+    assert out["g"] >= 4
+
+
+def test_theta_setops_empty_group_yields_zero_estimates(spark):
+    """An empty (or typo'd) group returns zero-cardinality estimates,
+    not a silently empty frame (round-4 review)."""
+    from transformers_spark.operators.sketch import theta_sketch_setops
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], ["grp", "v"])
+    rows = theta_sketch_setops(df, "grp", "v", "a", "nosuch").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["union_est"] == 2 and r["intersect_est"] == 0
+    assert r["jaccard"] == 0.0
+
+
+def test_count_min_rejects_empty_queries(spark):
+    import pytest as _pytest
+
+    from transformers_spark.operators.sketch import count_min_frequencies
+
+    df = spark.createDataFrame([("k",)], ["key"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        count_min_frequencies(df, "key", [])
+    with _pytest.raises(ValueError, match="depth and width"):
+        count_min_frequencies(df, "key", ["k"], depth=0)
+
+
+def test_temperature_sample_excludes_null_strata(spark):
+    """A NULL stratum must not shrink min_count (which would corrupt
+    every real stratum's keep-rate); null-strata rows drop (round-4
+    review)."""
+    from transformers_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_sample(df, alpha=0.5)
+    # single real stratum -> rate 10000 (keep all); the null row drops.
+    # Were the null counted, min_count=1 would shrink 'big' to ~5%.
+    assert kept.filter(F.col("source") == "big").count() == 400
+    assert kept.filter(F.col("source").isNull()).count() == 0
+
+
+def test_token_budget_rejects_nonpositive_weights():
+    import pytest as _pytest
+
+    from transformers_spark.operators.curation import token_budget_rates_bp
+
+    with _pytest.raises(ValueError, match="positive integer"):
+        token_budget_rates_bp({"a": 100}, {"a": 3, "b": -3}, 1000)
+    with _pytest.raises(ValueError, match="positive integer"):
+        token_budget_rates_bp({"a": 100}, {"a": 0}, 1000)
+
+
+def test_pack_sequences_rejects_nonpositive_seq_len(spark):
+    import pytest as _pytest
+
+    from transformers_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, 0)
+
+
+def test_dsir_weights_drops_empty_token_docs(spark):
+    """Empty/whitespace docs tokenize to [''] — they must neither
+    pollute the bucket LMs nor receive a score row (round-4 review;
+    same rule as text.py's token-LM operators)."""
+    from transformers_spark.operators.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "real tokens here", "en"), (2, "   ", "en"), (3, "", "xx")],
+        ["doc_id", "text", "lang"],
+    )
+    out = dsir_weights(df, F.col("lang") == "en").collect()
+    assert {r["doc"] for r in out} == {1}

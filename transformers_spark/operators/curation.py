@@ -35,9 +35,30 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import cache
+from .hashing import h32
 from .skew import fan_out
 from .split import split_expr
 from .text import tokens
+
+
+def _salted_bucket(salt: str, id_col: str) -> Column:
+    """md5 bucket in [0, 10000) over a salted id — the keep/drop
+    decision shared by the three samplers (distinct salts make their
+    decisions independent). Single-sourced so the expression can never
+    drift between call sites or from the DuckDB oracles."""
+    return (
+        h32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    )
+
+
+def _rate_expr(strata_col: str, rates_bp: dict, default_rate_bp: int = 0) -> Column:
+    """Per-row keep-rate lookup: a when-chain over the (bounded)
+    stratum->rate map. NULL strata never match an equality arm and
+    fall through to the default."""
+    rate: Column = F.lit(default_rate_bp)
+    for value, bp in rates_bp.items():
+        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    return rate
 
 __all__ = [
     "gram_hash60",
@@ -224,6 +245,11 @@ def pack_sequences(
     — once the result is materialized. The attribute does not survive
     further DataFrame transformations; grab it before chaining.
     """
+    if seq_len < 1:
+        # div/mod by 0 under non-ANSI Spark SQL is NULL, so packing
+        # coordinates would silently come back NULL after the prefix
+        # sum already ran — fail before building the plan
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     n_ranges = num_ranges or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.select(
         F.col(id_col), F.col(count_col).cast("bigint").alias(count_col)
@@ -292,17 +318,8 @@ def stratified_sample(
     Map-only (no shuffle at any scale); rebalancing a 100 TB corpus's
     language mix is a single scan.
     """
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
-    rate: Column = F.lit(default_rate_bp)
-    for value, bp in rates_bp.items():
-        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    bucket = _salted_bucket("strat:", id_col)
+    rate = _rate_expr(strata_col, rates_bp, default_rate_bp)
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
 
 
@@ -350,26 +367,22 @@ def temperature_sample(
     across libm implementations — the rates are integers in basis
     points, so drift is a 1e-4 keep-rate step at worst).
     """
+    # NULL strata are EXCLUDED: a null group in the counts would
+    # corrupt min_count (shrinking every real stratum's rate), and a
+    # null can never match the rate when-chain anyway — so null-strata
+    # rows fall through to rate 0 and are dropped, consistently.
     counts = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).agg(F.count(F.lit(1))).collect()
+        if r[0] is not None
     }
     if not counts:
-        return df.withColumn(kept_col, F.lit(0)).filter(F.lit(False))
+        # typed like the normal path (bigint bucket) so per-shard
+        # unions don't mix int and bigint for the same column
+        return df.withColumn(kept_col, F.lit(0).cast("long")).filter(F.lit(False))
     rates_bp = temperature_rates_bp(counts, alpha, floor_bp)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("temp:"), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
-    rate: Column = F.lit(0)
-    for value, bp in rates_bp.items():
-        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    bucket = _salted_bucket("temp:", id_col)
+    rate = _rate_expr(strata_col, rates_bp)
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
 
 
@@ -386,9 +399,11 @@ def token_budget_rates_bp(
     :func:`token_budget_sample`'s summary columns rather than silently
     re-allocated (re-allocation policy is a caller decision)."""
     for s, w in weights.items():
-        if not isinstance(w, int) or isinstance(w, bool):
+        if not isinstance(w, int) or isinstance(w, bool) or w <= 0:
             # int(0.6) would silently become 0 and zero the stratum;
-            # integer ratios are also what keeps the rate arithmetic
+            # a negative weight would corrupt sum_w (zeroing or
+            # sign-flipping every OTHER stratum's rate); integer
+            # ratios are also what keeps the rate arithmetic
             # engine-exact (express 0.6/0.4 as 3/2)
             raise ValueError(
                 f"mix weight for {s!r} must be a positive integer ratio, "
@@ -430,19 +445,8 @@ def token_budget_sample(
         .collect()
     }
     rates = token_budget_rates_bp(token_counts, weights, total_budget)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("budget:"), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
-    rate: Column = F.lit(0)
-    for value, bp in rates.items():
-        rate = F.when(F.col(strata_col) == value, bp).otherwise(rate)
+    bucket = _salted_bucket("budget:", id_col)
+    rate = _rate_expr(strata_col, rates)
     return df.withColumn(kept_col, bucket).filter(F.col(kept_col) < rate)
 
 
@@ -483,6 +487,10 @@ def dsir_weights(
             target_pred.alias("__is_target"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
+        # empty/whitespace-only docs tokenize to [''] — drop the empty
+        # token (same rule as every other token-LM operator, text.py)
+        # so those docs neither pollute the bucket LMs nor score
+        .filter(F.col("tok") != "")
         .select(
             "doc",
             "__is_target",

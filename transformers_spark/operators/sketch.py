@@ -43,7 +43,15 @@ def kmv_distinct(
     sketch. Groups with fewer than ``k`` distinct hashes report the
     exact count (the sketch is lossless below its capacity)."""
     h = hash32(hasher)(F.col(value_col).cast("string"))
-    hashes = df.select(*group_cols, h.alias("__h")).distinct()
+    # NULLs hash to NULL, survive distinct(), and sort FIRST ascending
+    # in Spark — a null would consume a sketch slot (while max()
+    # ignores it), overestimating at-capacity groups; COUNT(DISTINCT)
+    # semantics ignore nulls, so drop them before hashing
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
     w = W.partitionBy(*group_cols).orderBy("__h")
     kept = hashes.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= k
@@ -92,8 +100,10 @@ def theta_sketch_setops(
     rows and combine them repeatedly without re-touching the data.
     """
     h = hash32(hasher)(F.col(value_col).cast("string"))
+    # null values dropped for COUNT(DISTINCT) parity (see kmv_distinct)
     hashes = (
         df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("grp"), h.alias("__h"))
         .distinct()
     )
@@ -116,12 +126,28 @@ def theta_sketch_setops(
             "hs",
         )
     )
-    a = sketches.filter(F.col("grp") == group_a).select(
-        F.col("grp").alias("group_a"), F.col("theta").alias("ta"), F.col("hs").alias("ha")
-    )
-    b = sketches.filter(F.col("grp") == group_b).select(
-        F.col("grp").alias("group_b"), F.col("theta").alias("tb"), F.col("hs").alias("hb")
-    )
+    # Anchor each side on a literal row so an EMPTY group (no rows, or
+    # a typo'd name) yields zero-cardinality estimates instead of a
+    # silently empty result: default sketch = no hashes, theta = the
+    # whole hash space (the lossless below-capacity value).
+    spark = df.sparkSession
+    empty_hs = F.array().cast("array<bigint>")
+
+    def side(name: str, out: str, t: str, hcol: str) -> DataFrame:
+        anchor = spark.createDataFrame([(name,)], f"{out} string")
+        s = sketches.filter(F.col("grp") == name).select(
+            F.col("grp").alias(out),
+            F.col("theta").alias(t),
+            F.col("hs").alias(hcol),
+        )
+        return anchor.join(s, out, "left").select(
+            out,
+            F.coalesce(F.col(t), F.lit(float(HASH_SPACE))).alias(t),
+            F.coalesce(F.col(hcol), empty_hs).alias(hcol),
+        )
+
+    a = side(group_a, "group_a", "ta", "ha")
+    b = side(group_b, "group_b", "tb", "hb")
     th = F.least("ta", "tb")
     joined = (
         a.crossJoin(b)  # two one-row sketch frames — trivially broadcast
@@ -177,6 +203,12 @@ def count_min_frequencies(
     count), so a DuckDB oracle reproduces every counter and estimate
     bit-for-bit. Returns (key, est_count, exact_count, overestimate).
     """
+    if not queries:
+        # createDataFrame([]) below would fail schema inference with an
+        # opaque error AFTER the counter plan was built — fail clearly
+        raise ValueError("queries must be a non-empty list of keys")
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
     h = hash32(hasher)
     # ONE scan: each row explodes into its depth (row_idx, bucket)
     # coordinates inside a single projection — a per-depth select

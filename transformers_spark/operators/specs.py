@@ -2418,6 +2418,8 @@ WITH occ AS (
            unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
     FROM documents
   )
+  -- empty docs tokenize to ['']: dropped on both engines (text.py rule)
+  WHERE tok != ''
 ),
 raw AS (SELECT bucket, COUNT(*) AS rc FROM occ GROUP BY 1),
 tgt AS (SELECT bucket, COUNT(*) AS tc FROM occ WHERE is_t GROUP BY 1),
