@@ -1084,3 +1084,50 @@ def test_dsir_weights_drops_empty_token_docs(spark):
     )
     out = dsir_weights(df, F.col("lang") == "en").collect()
     assert {r["doc"] for r in out} == {1}
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping: a diameter-32 chain must converge well inside
+    max_iterations=8 (one-hop propagation alone would need 32 rounds —
+    the round-4 review's silent-corruption scenario)."""
+    from transformers_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], ["d1", "d2"]
+    )
+    out = {
+        (r["vertex"], r["component"])
+        for r in connected_components(
+            edges, driver_threshold=0, max_iterations=8
+        ).collect()
+    }
+    assert out == {(i, 0) for i in range(33)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exhausting max_iterations raises instead of returning silently
+    inconsistent components (round-4 review)."""
+    import pytest as _pytest
+
+    from transformers_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["d1", "d2"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, driver_threshold=0, max_iterations=1)
+
+
+def test_minhash_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate doc_id rows (dirty re-ingest) must not emit d1 == d2
+    self-pairs — the documented contract is d1 < d2 (round-4 review)."""
+    from transformers_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, num_perm=16, bands=4).collect()
+    assert all(r["d1"] < r["d2"] for r in pairs)
+    assert {(r["d1"], r["d2"]) for r in pairs} == {(1, 2)}

@@ -772,3 +772,35 @@ def test_lsh_index_rejects_width_mismatch(spark):
     probe_lsh_index(spark, "lshdb.width_check", docs, num_perm=16, bands=4).collect()
     with _pytest.raises(ValueError, match="different width"):
         probe_lsh_index(spark, "lshdb.width_check", docs, num_perm=128, bands=16)
+
+
+def test_lsh_index_append_validates_before_writing(spark):
+    """mode='append' with different widths must refuse BEFORE writing —
+    an unchecked append would mix incompatible bucket hashes AND
+    restamp the properties to the new values (round-4 review). A
+    stampless table must also refuse probes (a write that died between
+    saveAsTable and the ALTER cannot prove its parameters)."""
+    import pytest as _pytest
+
+    from transformers_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS lshdb")
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    write_lsh_index(docs, "lshdb.append_check", num_perm=16, bands=4)
+    before = spark.table("lshdb.append_check").count()
+    with _pytest.raises(ValueError, match="cannot append"):
+        write_lsh_index(
+            docs, "lshdb.append_check", num_perm=128, bands=16, mode="append"
+        )
+    assert spark.table("lshdb.append_check").count() == before  # nothing written
+    # matching widths append fine
+    write_lsh_index(docs, "lshdb.append_check", num_perm=16, bands=4, mode="append")
+    assert spark.table("lshdb.append_check").count() == 2 * before
+
+    # a table without the stamp refuses probes outright
+    spark.sql("DROP TABLE IF EXISTS lshdb.stampless")
+    spark.createDataFrame([(1, 0, "x")], ["doc", "band", "bucket"]).write.mode(
+        "overwrite"
+    ).saveAsTable("lshdb.stampless")
+    with _pytest.raises(ValueError, match="no recorded width"):
+        probe_lsh_index(spark, "lshdb.stampless", docs, num_perm=16, bands=4)

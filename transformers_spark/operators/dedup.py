@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import MERSENNE_P, hash32, lcg_constants
+from .hashing import MERSENNE_P, hash32, lcg_constants, perm_hash
 from .skew import fan_out
 from .text import doc_fingerprint, tokens
 
@@ -44,6 +44,7 @@ __all__ = [
     "probe_lsh_index",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "dedup_pipeline",
 ]
 
 # MinHash width parameters. With K = num_perm permutations split into
@@ -153,13 +154,10 @@ def minhash_signatures(
     )
     sig_cols = [
         F.coalesce(
-            F.array_min(
-                F.transform(
-                    F.col("hs"),
-                    lambda h: (F.lit(a).cast("long") * (h % MERSENNE_P) + F.lit(b))
-                    % MERSENNE_P,
-                )
-            ),
+            # perm_hash is THE canonical permutation formula (mirrored
+            # by hashing.duck_perm_hash for the oracles) — never inline
+            # a copy here, it must stay single-sourced
+            F.array_min(F.transform(F.col("hs"), lambda h: perm_hash(h, a, b))),
             F.lit(MERSENNE_P).cast("long"),  # no shingles → the fold identity
         ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(consts)
@@ -236,6 +234,13 @@ def minhash_lsh_pairs(
     return (
         members.select(F.col("band"), F.explode(pair_array).alias("p"))
         .select("band", F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        # duplicate doc_id input rows would expand to d1 == d2
+        # self-pairs (sorted-list slice pairing only guarantees
+        # d1 <= d2) — drop them so the documented d1 < d2 contract
+        # holds even on dirty re-ingests; ids appearing twice should
+        # still be exact-deduped upstream (matching_bands can
+        # otherwise double-count a pair within one band)
+        .filter(F.col("d1") != F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("matching_bands"))
     )
@@ -390,12 +395,26 @@ def simhash_fingerprints(
         def bit_src(bit):
             return F.col("hs_lo"), bit
     else:
-        hashed = fan_out(df).select(
+        # ONE md5 per token: materialize the digests in their own
+        # projection and slice both 32-bit halves from it. Inlining
+        # md5 into two separate transform lambdas digests every token
+        # twice — Spark cannot CSE across lambda scopes, and the
+        # digest dominates simhash cost. CollapseProject keeps the
+        # projections separate (the digest array is a non-cheap expr
+        # referenced twice).
+        digests = fan_out(df).select(
             F.col(id_col).alias("doc"),
-            F.transform(toks, hash32(hasher)).alias("hs_lo"),
+            F.transform(toks, lambda t: F.md5(t)).alias("__dg"),
+        )
+        hashed = digests.select(
+            "doc",
             F.transform(
-                toks,
-                lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long"),
+                F.col("__dg"),
+                lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long"),
+            ).alias("hs_lo"),
+            F.transform(
+                F.col("__dg"),
+                lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long"),
             ).alias("hs_hi"),
         )
         def bit_src(bit):
@@ -434,8 +453,10 @@ def incremental_lsh_matches(
     join is corpus-buckets ⋈ broadcast(new-buckets) ON (band, bucket).
     The NEW side is broadcast — an increment is orders of magnitude
     smaller than the index, so the 100 TB corpus bucket table streams
-    through map tasks with no shuffle at all (at equal sizes AQE falls
-    back to a hash join on the 16-byte bucket key). One aggregate
+    through map tasks with no shuffle at all. The hint is HARD (AQE
+    does not demote explicit broadcasts): for a probe batch comparable
+    to the corpus, call :func:`incremental_matches_from_buckets` with
+    ``broadcast_new=False`` instead. One aggregate
     counts agreeing bands per (new, corpus) pair. In a real deployment
     the corpus band table is computed once and persisted (it is pure
     column math, so appending an increment to the index is the same
@@ -477,16 +498,22 @@ def incremental_matches_from_buckets(
     corpus_buckets: DataFrame,
     new_buckets: DataFrame,
     min_bands: int = 1,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Bucket-level half of :func:`incremental_lsh_matches`, for when
     the band-bucket tables already exist (one shared computation or a
-    persisted index). Same broadcast-new-side join discipline."""
+    persisted index). ``broadcast_new`` is a HARD hint (AQE never
+    demotes an explicit broadcast): right for the common case of an
+    increment orders of magnitude smaller than the corpus, but a
+    probe batch comparable to the index would fail the broadcast
+    build — pass ``broadcast_new=False`` there and let AQE pick the
+    join strategy from runtime sizes."""
+    new_side = new_buckets.withColumnRenamed("doc", "new_doc")
+    if broadcast_new:
+        new_side = F.broadcast(new_side)
     matched = (
         corpus_buckets.withColumnRenamed("doc", "corpus_doc")
-        .join(
-            F.broadcast(new_buckets.withColumnRenamed("doc", "new_doc")),
-            ["band", "bucket"],
-        )
+        .join(new_side, ["band", "bucket"])
         .filter(F.col("corpus_doc") != F.col("new_doc"))
         .groupBy("new_doc", "corpus_doc")
         .agg(F.count(F.lit(1)).alias("matching_bands"))
@@ -512,14 +539,32 @@ def write_lsh_index(
     or clustering of the index buys anything). The width parameters
     are recorded as table properties so :func:`probe_lsh_index` can
     reject a mismatched probe instead of silently joining
-    incompatible bucket hashes."""
+    incompatible bucket hashes. ``mode="append"`` validates the new
+    batch's widths against the existing stamp BEFORE writing — an
+    append with different parameters would mix incompatible bucket
+    hashes in one table while restamping the properties to the new
+    values, defeating the very check they exist for."""
     import re as _re
     import shutil as _shutil
 
+    spark = df.sparkSession
+    asked = _lsh_width_props(num_perm, bands, shingle_n, hasher)
+    if mode == "append" and spark.catalog.tableExists(table):
+        recorded = _read_lsh_props(spark, table)
+        bad = {
+            k: (recorded.get(k), v)
+            for k, v in asked.items()
+            if recorded.get(k) != v
+        }
+        if bad:
+            raise ValueError(
+                f"cannot append to LSH index {table}: width parameters "
+                f"differ from the recorded stamp {bad} (recorded, new) — "
+                f"rebuild the index or match its parameters"
+            )
     buckets = minhash_band_buckets(
         df, text_col, id_col, num_perm, bands, shingle_n, hasher
     )
-    spark = df.sparkSession
     try:
         buckets.write.format("parquet").mode(mode).saveAsTable(table)
     except Exception as err:
@@ -535,11 +580,33 @@ def write_lsh_index(
         buckets.write.format("parquet").mode(mode).saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
-        f"'transformers.lsh.num_perm' = '{int(num_perm)}', "
-        f"'transformers.lsh.bands' = '{int(bands)}', "
-        f"'transformers.lsh.shingle_n' = '{int(shingle_n)}', "
-        f"'transformers.lsh.hasher' = '{hasher}')"
+        f"'transformers.lsh.num_perm' = '{asked['num_perm']}', "
+        f"'transformers.lsh.bands' = '{asked['bands']}', "
+        f"'transformers.lsh.shingle_n' = '{asked['shingle_n']}', "
+        f"'transformers.lsh.hasher' = '{asked['hasher']}')"
     )
+
+
+def _lsh_width_props(
+    num_perm: int, bands: int, shingle_n: int, hasher: str
+) -> dict:
+    return {
+        "num_perm": str(int(num_perm)),
+        "bands": str(int(bands)),
+        "shingle_n": str(int(shingle_n)),
+        "hasher": hasher,
+    }
+
+
+def _read_lsh_props(spark, table: str) -> dict:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    return {
+        k: props.get(f"transformers.lsh.{k}")
+        for k in ("num_perm", "bands", "shingle_n", "hasher")
+    }
 
 
 def probe_lsh_index(
@@ -559,32 +626,26 @@ def probe_lsh_index(
     moves: the new batch's (small) bucket table broadcasts into a
     map-side hash join over the index scan — the only shuffle in the
     plan is the candidate-pair count, which is bounded by matches, not
-    by the corpus. Width parameters must match the ones the index was
-    written with; when the index carries the recorded properties
-    (every :func:`write_lsh_index` table does) a mismatch raises
-    instead of silently joining incompatible bucket hashes."""
+    by the corpus. Width parameters must match the stamp the index was
+    written with; a MISSING stamp also raises — a table without the
+    properties (e.g. a write that died between saveAsTable and the
+    ALTER, or a hand-made table) cannot prove its widths, and probing
+    it would silently join incompatible bucket hashes. Rebuild such an
+    index with :func:`write_lsh_index`."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    props = {
-        r["key"]: r["value"]
-        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    }
-    recorded = {
-        "num_perm": props.get("transformers.lsh.num_perm"),
-        "bands": props.get("transformers.lsh.bands"),
-        "shingle_n": props.get("transformers.lsh.shingle_n"),
-        "hasher": props.get("transformers.lsh.hasher"),
-    }
-    asked = {
-        "num_perm": str(int(num_perm)),
-        "bands": str(int(bands)),
-        "shingle_n": str(int(shingle_n)),
-        "hasher": hasher,
-    }
+    recorded = _read_lsh_props(spark, table)
+    asked = _lsh_width_props(num_perm, bands, shingle_n, hasher)
+    missing = [k for k, v in recorded.items() if v is None]
+    if missing:
+        raise ValueError(
+            f"LSH index {table} has no recorded width properties "
+            f"({missing}) — not a complete write_lsh_index table; "
+            f"rebuild it (a write that died before stamping cannot "
+            f"prove its parameters)"
+        )
     mismatched = {
-        k: (recorded[k], asked[k])
-        for k in asked
-        if recorded[k] is not None and recorded[k] != asked[k]
+        k: (recorded[k], asked[k]) for k in asked if recorded[k] != asked[k]
     }
     if mismatched:
         raise ValueError(

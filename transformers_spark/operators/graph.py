@@ -1,13 +1,17 @@
 """Iterative graph helpers: connected components via label
 propagation — the grouping step of a near-duplicate pipeline.
 
-Implementation is alternating-direction min-label propagation over the
-edge list: each round every vertex takes the minimum label among
-itself and its neighbors. Rounds are driver-side Spark jobs; the label
-table is checkpointed by localCheckpoint() each round so the lineage
-(and the shuffle DAG) doesn't grow with iterations. Converges in
-O(log diameter) rounds for the short, dense components near-dup
-detection produces; ``max_iterations`` bounds pathological chains.
+Implementation is min-label propagation with per-round POINTER
+JUMPING: each round every vertex takes the minimum label among itself
+and its neighbors, then labels chase their own label's label
+(path doubling). One-hop propagation alone converges in O(diameter)
+rounds — a pathological chain defeats it — while the jumping step
+squares the propagated distance per round, giving true
+O(log diameter). Rounds are driver-side Spark jobs; the label table is
+checkpointed by localCheckpoint() each round so the lineage (and the
+shuffle DAG) doesn't grow with iterations. ``max_iterations`` is a
+hard cap: exhausting it RAISES rather than returning silently
+inconsistent components.
 """
 
 from __future__ import annotations
@@ -57,24 +61,39 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.vertex)
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("neighbor_component"))
         )
+        propagated = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex",
+            F.col("component").alias("prev"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neighbor_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # Pointer jumping: component := label(component). Every label
+        # is itself a vertex id (labels start as vertex and only take
+        # mins over vertex ids), so the self-join always matches and
+        # the propagated distance SQUARES each round — a diameter-d
+        # chain converges in O(log d) rounds instead of d.
+        roots = propagated.select(
+            F.col("vertex").alias("component"),
+            F.col("component").alias("root"),
+        )
         # Carry the pre-update label alongside the new one so the
         # convergence check below is a map-only filter over the
         # checkpointed result — not a second shuffle join per round.
         updated = (
-            labels.join(neighbor_min, "vertex", "left")
+            propagated.join(roots, "component", "left")
             .select(
                 "vertex",
-                F.col("component").alias("prev"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
+                "prev",
+                F.coalesce(F.col("root"), F.col("component")).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
@@ -84,6 +103,13 @@ def connected_components(
         labels = updated.select("vertex", "component")
         if changed == 0:
             break
+    if changed != 0:
+        # returning unconverged labels would silently corrupt the
+        # dedup verdict (keep_ids that are themselves duplicates)
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} rounds — raise max_iterations"
+        )
     return labels
 
 
