@@ -1131,3 +1131,156 @@ def test_minhash_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
     pairs = minhash_lsh_pairs(df, num_perm=16, bands=4).collect()
     assert all(r["d1"] < r["d2"] for r in pairs)
     assert {(r["d1"], r["d2"]) for r in pairs} == {(1, 2)}
+
+
+def test_range_count_join_null_columns_and_duplicates(spark):
+    """Counts key on (keys, left_time) only: an unrelated NULL column
+    must not zero a row's count, and duplicated left rows must each
+    get their own count, not the collapsed group's double (round-4
+    review)."""
+    from datetime import datetime as dt
+
+    from transformers_spark.operators.temporal import range_count_join
+
+    left = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 0, 0), None),   # NULL extra column
+            (1, dt(2024, 1, 1, 0, 0, 0), "dup"),  # duplicate (key, t)
+            (1, dt(2024, 1, 1, 0, 0, 0), "dup"),
+            (None, dt(2024, 1, 1, 0, 0, 0), "nullkey"),
+        ],
+        "k int, t timestamp, extra string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 0, 30, 0)), (1, dt(2024, 1, 1, 0, 45, 0))],
+        "k int, rt timestamp",
+    )
+    out = range_count_join(left, right, "k", "t", "rt", window_us=3_600_000_000)
+    rows = [(r["extra"], r["n_matches"]) for r in out.collect()]
+    assert (None, 2) in rows                       # NULL extra still counted
+    assert rows.count(("dup", 2)) == 2             # each dup row gets 2, not 4
+    assert ("nullkey", 0) in rows                  # NULL key matches nothing
+
+
+def test_asof_join_null_semantics(spark):
+    """NULL right_time / NULL keys must behave like SQL ASOF: such
+    right rows never match anything; NULL-key left rows come back
+    unenriched (round-4 review)."""
+    from datetime import datetime as dt
+
+    from transformers_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 2)), (None, dt(2024, 1, 2))], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "null-time"), (None, dt(2024, 1, 1), "null-key")],
+        "k int, rt timestamp, tag string",
+    )
+    out = {
+        (r["k"], r["tag"])
+        for r in asof_join(left, right, "k", "t", "rt", ["tag"]).collect()
+    }
+    assert out == {(1, None), (None, None)}
+
+
+def test_asof_join_timestamp_right_order(spark):
+    """A non-numeric right_order column (timestamp) must not conflict
+    with the left side's placeholder in the union (round-4 review)."""
+    from datetime import datetime as dt
+
+    from transformers_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, dt(2024, 1, 5))], "k int, t timestamp")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), dt(2023, 1, 1), "old"),
+         (1, dt(2024, 1, 1), dt(2023, 6, 1), "new")],
+        "k int, rt timestamp, updated_at timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, "k", "t", "rt", ["tag"], right_order="updated_at"
+    ).collect()
+    assert out[0]["tag"] == "new"  # last in ascending right_order wins
+
+
+def test_frame_sample_plan_degenerate_durations(spark):
+    """duration <= 0 -> empty plan; NULL duration -> NULL plan — never
+    [0], which told a decoder to extract frame 0 of a zero-frame clip
+    (round-4 review)."""
+    from transformers_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, 90), (2, 0), (3, -5), (4, None)], "media_id int, duration_frames int"
+    )
+    out = {r["media_id"]: r["sample_frames"]
+           for r in frame_sample_plan(df).collect()}
+    assert out[1] == [0, 30, 60]
+    assert out[2] == [] and out[3] == []
+    assert out[4] is None
+
+
+def test_hyperplane_dim_mismatch_raises(spark):
+    """A vector length different from the plane dim must error loudly
+    — zip_with null-padding silently emptied LSH output (round-4
+    review). NULL vectors stay NULL."""
+    import pytest as _pytest
+
+    from transformers_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_weights,
+    )
+
+    w = hyperplane_weights(2, 4)
+    ok = spark.createDataFrame([(1, [1.0, 2.0, 3.0, 4.0])], ["vec_id", "embedding"])
+    assert (
+        ok.select(hyperplane_signature(F.col("embedding"), w).alias("b")).first()["b"]
+        is not None
+    )
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id int, embedding array<double>"
+    )
+    assert (
+        nulls.select(hyperplane_signature(F.col("embedding"), w).alias("b"))
+        .first()["b"]
+        is None
+    )
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with _pytest.raises(Exception, match="dim mismatch"):
+        bad.select(hyperplane_signature(F.col("embedding"), w).alias("b")).collect()
+
+
+def test_kmeans_and_pq_empty_training_set_raise(spark):
+    import pytest as _pytest
+
+    from transformers_spark.operators.similarity import kmeans_centroids, pq_codebooks
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty training set"):
+        kmeans_centroids(empty)
+    with _pytest.raises(ValueError, match="empty training set"):
+        pq_codebooks(empty)
+
+
+def test_decode_image_features_null_and_empty_payloads(spark):
+    """NULL payloads never reach the decoder and hash to NULL (matching
+    JVM md5(NULL)); empty payloads decode to a consistent (0, 0)
+    (round-4 review)."""
+    from transformers_spark.operators.multimodal import (
+        decode_image_features,
+        fake_image_decoder,
+    )
+
+    def exploding(b):
+        assert b is not None, "decoder must never see None"
+        return fake_image_decoder(b)
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", b""), ("c", b"xyz")],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           decode_image_features(df, decoder=exploding).collect()}
+    assert out["a"]["content_hash"] is None
+    assert (out["a"]["width"], out["a"]["height"]) == (0, 0)
+    assert (out["b"]["width"], out["b"]["height"]) == (0, 0)
+    assert out["c"]["width"] > 0

@@ -84,9 +84,12 @@ def fake_image_decoder(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a real image decode: derives a
     (width, height) from the payload bytes. Replace with PIL in
     production — the surrounding plumbing is unchanged."""
-    if payload is None:
+    if not payload:
+        # None AND b'' both degenerate to (0, 0) — the previous ternary
+        # guarded only width, reporting an inconsistent 0x16 shape for
+        # empty payloads
         return (0, 0)
-    w = 16 + (sum(payload[:16]) % 1024) if payload else 0
+    w = 16 + (sum(payload[:16]) % 1024)
     h = 16 + (len(payload) % 1024)
     return (int(w), int(h))
 
@@ -116,7 +119,13 @@ def decode_image_features(
         import hashlib
 
         for batch in batches:
-            dims = batch[payload_col].map(lambda b: decode(bytes(b) if b is not None else b))
+            # NULL payloads never reach the decoder (a production PIL
+            # decoder would crash on None) — same shield as the audio
+            # path; NULL hashes to None, matching attach_media_metadata's
+            # JVM md5(NULL) = NULL so dedup-by-hash groups agree
+            dims = batch[payload_col].map(
+                lambda b: (0, 0) if b is None else decode(bytes(b))
+            )
             yield pd.DataFrame(
                 {
                     "media_id": batch[id_col].astype(str),
@@ -126,7 +135,7 @@ def decode_image_features(
                     .map(lambda b: 0 if b is None else len(b))
                     .astype("int32"),
                     "content_hash": batch[payload_col].map(
-                        lambda b: "" if b is None else hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: None if b is None else hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )
@@ -264,12 +273,20 @@ def frame_sample_plan(
     indices to extract per clip. The decode of those frames is the
     stubbed kernel; planning stays in Catalyst so predicate pushdown
     still prunes clips before any Python executes."""
-    idx = F.sequence(
+    seq = F.sequence(
         F.lit(0),
         F.least(
-            F.greatest(F.col(duration_col) - 1, F.lit(0)),
+            F.col(duration_col) - 1,
             F.lit(every_n_frames * (max_frames - 1)),
         ),
         F.lit(every_n_frames),
+    )
+    # Degenerate clips must not plan frame extraction: duration <= 0
+    # yields an EMPTY plan and NULL duration a NULL plan. (The previous
+    # greatest(d-1, 0) mapped 0, negative AND NULL durations all to
+    # upper bound 0 — Spark's greatest() skips nulls — emitting [0],
+    # i.e. "extract frame 0 of a zero-frame clip".)
+    idx = F.when(F.col(duration_col) >= 1, seq).when(
+        F.col(duration_col).isNotNull(), F.array()
     )
     return df.withColumn("sample_frames", idx)

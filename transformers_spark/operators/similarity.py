@@ -239,6 +239,19 @@ def kmeans_centroids(
     # bounded sample, same rows as the row-based collect.
     pdf = vecs.orderBy("vid").limit(max_train_vectors).toPandas()
     x = np.array(list(pdf["vec"]), dtype=np.float64)
+    if x.size == 0:
+        # a 1-D empty array would crash the matmul below with an
+        # opaque shape error — name the real problem instead
+        raise ValueError("kmeans_centroids: empty training set")
+    if len(x) < n_centroids:
+        import warnings
+
+        warnings.warn(
+            f"kmeans_centroids: only {len(x)} training vectors for "
+            f"{n_centroids} requested centroids — returning {len(x)}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     centers = x[:n_centroids].copy()
     for _ in range(iters):
         # Nearest center by squared L2 (standard Lloyd objective);
@@ -345,7 +358,10 @@ def random_projection(
     weights = hyperplane_weights(out_dim, in_dim)
     cols = [F.col(id_col)]
     for j, row in enumerate(weights):
-        w = F.array(*[F.lit(v) for v in row])
+        # _double_array_lit, not per-element F.lit: out_dim x in_dim
+        # individual lit() py4j round-trips dominate plan-build time
+        # (measured in the helper's docstring)
+        w = _double_array_lit(row)
         cols.append(F.round(_dot(F.col(vec_col), w), 6).alias(f"{out_prefix}{j}"))
     return df.select(*cols)
 
@@ -367,14 +383,34 @@ def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
 
 
 def _hyperplane_sign(vec: Column, weights: list[float]) -> Column:
-    """Sign bit of <vec, w> with w a literal weight vector."""
+    """Sign bit of <vec, w> with w a literal weight vector.
+
+    A vector whose length differs from the weight dim ERRORS loudly:
+    zip_with pads the shorter array with nulls, which would poison the
+    fold to NULL, make every bucket NULL, and silently EMPTY the LSH
+    join output. NULL vectors stay NULL (dropped by the equi-join, the
+    documented contract)."""
     w = _double_array_lit(weights)
     weighted = F.aggregate(
         F.zip_with(vec, w, lambda v, wi: v.cast("double") * wi),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return (weighted >= 0).cast("int")
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("int"))
+        .when(F.size(vec) == len(weights), (weighted >= 0).cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"hyperplane dim mismatch: weights have "
+                        f"{len(weights)} components, vector has "
+                    ),
+                    F.size(vec).cast("string"),
+                )
+            )
+        )
+    )
 
 
 def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
@@ -572,6 +608,8 @@ def pq_codebooks(
         .toPandas()
     )
     x = np.array(list(pdf["vec"]), dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("pq_codebooks: empty training set")
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

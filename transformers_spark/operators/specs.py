@@ -875,7 +875,9 @@ def _multimodal_oracle(kind: str, docs_path: str = _MULTIMODAL_ORACLE_DOCS) -> "
         n_bytes = 0 if payload is None else len(payload)
         if kind == "image":
             w, h = fake_image_decoder(payload)
-            chash = "" if payload is None else hashlib.md5(payload).hexdigest()
+            # NULL payload hashes to NULL on both engines (decode path
+            # and attach_media_metadata's JVM md5(NULL) agree)
+            chash = None if payload is None else hashlib.md5(payload).hexdigest()
             rows.append((media_id, w, h, n_bytes, chash))
         elif kind == "audio":
             dur, rate, rms = (

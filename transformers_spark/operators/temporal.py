@@ -53,13 +53,24 @@ def asof_join(
     row precedes). Ties at identical (key, right_time) are broken by
     ``right_order`` ascending when given; pre-dedup the right side if
     neither time nor order is unique.
+
+    NULL semantics match SQL ASOF: right rows with a NULL key or NULL
+    ``right_time`` are dropped up front — without that, ascending sort
+    puts NULL times FIRST so such a row would ride at the head of
+    every window frame and match left rows that have no real
+    predecessor, and NULL keys would enrich NULL-key left rows (an
+    equality join never matches NULL). NULL-key or NULL-time left rows
+    come back with null right columns.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rcols = right_cols or [
         c for c in right.columns if c not in set(keys) | {right_time}
     ]
     order_expr = F.col(right_order) if right_order else F.lit(0)
-    r = right.select(
+    clean = right.filter(F.col(right_time).isNotNull())
+    for k in keys:
+        clean = clean.filter(F.col(k).isNotNull())
+    r = clean.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
@@ -69,7 +80,11 @@ def asof_join(
     l = (
         left.withColumn("__t", F.col(left_time))
         .withColumn("__side", F.lit(1))
-        .withColumn("__ord", F.lit(0))
+        # NullType coerces to the right side's __ord type in the union;
+        # a typed 0 literal would conflict with e.g. a timestamp
+        # right_order. Left rows never need an order value (only right
+        # payloads participate in last(ignorenulls)).
+        .withColumn("__ord", F.lit(None) if right_order else F.lit(0))
     )
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left at equal time (__side 0 < 1), so an
@@ -104,17 +119,27 @@ def range_count_join(
     affect left rows in its own or the previous bucket, so the join is
     an equi-join on (key, bucket) with a post-filter — the standard
     scalable interval-join shape (the right side is never replicated;
-    each left row probes exactly two buckets).
+    each probe key hits exactly two buckets).
+
+    The count depends ONLY on (keys, left_time), so matches are
+    counted per DISTINCT (keys, left_time) and joined back on that —
+    never on every left column. Grouping on the full row (the naive
+    shape) zeroes counts for rows with an unrelated NULL column
+    (NULL = NULL never matches the join-back) and hands duplicated
+    left rows each other's inflated count. NULL-key or NULL-time left
+    rows keep 0, matching an SQL equi-join.
     """
     keys = [on] if isinstance(on, str) else list(on)
     lt = ts_micros(left_time)
     rt = ts_micros(right_time)
-    probe = left.select(
-        *left.columns,
-        lt.alias("__lt"),
+    keyed = left.select(*keys, lt.alias("__lt")).distinct()
+    probe = keyed.select(
+        *keys,
+        "__lt",
         F.explode(
             F.array(
-                F.floor(lt / window_us), F.floor(lt / window_us) + 1
+                F.floor(F.col("__lt") / window_us),
+                F.floor(F.col("__lt") / window_us) + 1,
             )
         ).alias("__bucket"),
     )
@@ -127,10 +152,14 @@ def range_count_join(
             (F.col("__rt") > F.col("__lt"))
             & (F.col("__rt") <= F.col("__lt") + window_us)
         )
-        .groupBy(*left.columns)
+        .groupBy(*keys, "__lt")
         .agg(F.count(F.lit(1)).alias(count_col))
     )
-    return left.join(hits, left.columns, "left").select(
-        *left.columns,
-        F.coalesce(F.col(count_col), F.lit(0)).cast("bigint").alias(count_col),
+    return (
+        left.withColumn("__lt", lt)
+        .join(hits, keys + ["__lt"], "left")
+        .select(
+            *left.columns,
+            F.coalesce(F.col(count_col), F.lit(0)).cast("bigint").alias(count_col),
+        )
     )
