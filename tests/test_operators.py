@@ -1284,3 +1284,80 @@ def test_decode_image_features_null_and_empty_payloads(spark):
     assert (out["a"]["width"], out["a"]["height"]) == (0, 0)
     assert (out["b"]["width"], out["b"]["height"]) == (0, 0)
     assert out["c"]["width"] > 0
+
+
+def test_token_counts_null_text_is_null_not_minus_one(spark):
+    """Non-ANSI size(NULL) = -1 must not leak into token counts — the
+    DuckDB oracle's len(NULL) is NULL and its SUMs skip the row
+    (round-4 review)."""
+    from transformers_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in token_counts(df).collect()}
+    assert out[1][0] == 2
+    assert out[2] == (None, None)
+
+
+def test_repetition_ratios_short_docs_no_crash(spark):
+    """min_words below n must not generate a descending sequence
+    through index 0 (INVALID_INDEX_OF_ZERO crash, round-4 review)."""
+    from transformers_spark.operators.text import repetition_ratios
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f")], "doc_id bigint, text string"
+    )
+    out = repetition_ratios(df, n=3, min_words=2).collect()
+    # the 2-token doc is below the n-gram floor and simply drops
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from transformers_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=64, overlap=-16)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0, overlap=0)
+
+
+def test_fan_out_parses_size_suffixes(spark):
+    """'128m'-style maxPartitionBytes values must parse as mebibytes,
+    not 128 raw bytes (which silently disabled fan-out, round-4
+    review)."""
+    from transformers_spark.operators.skew import fan_out
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        # one small file, 128 MiB splits -> 1 estimated split -> fan out
+        assert fan_out(df).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_column_profile_quoted_column_names(spark):
+    """Column names containing quotes/backticks are legal in Spark and
+    must not break the generated stack() SQL (round-4 review)."""
+    from transformers_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame([(1, "x")], ["plain", "it's"])
+    out = {r["column"]: r["n_nulls"] for r in column_profile(df).collect()}
+    assert out == {"plain": 0, "it's": 0}
+
+
+def test_split_expr_null_id_is_null_split(spark):
+    """NULL ids get NULL split on both engines (md5(NULL) = NULL; the
+    oracle's CASE now mirrors it) — never a silent 'test' bucket."""
+    from transformers_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(None,), (7,)], "doc_id int")
+    out = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert out[None] is None
+    assert out[7] in ("train", "val", "test")

@@ -28,9 +28,19 @@ def column_profile(
     their canonical cast) so heterogeneous column types share one
     result schema."""
     cols = cols or df.columns
+
+    # Escape interpolated names: a quote/backslash in a string literal
+    # or a backtick in an identifier is legal in a Spark column name
+    # and must not break the generated stack() SQL
+    def _qlit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _qid(s: str) -> str:
+        return "`" + s.replace("`", "``") + "`"
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        col = F.col(f"`{c}`")
+        col = F.col(_qid(c))
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"))
         distinct = (
             F.countDistinct(col)
@@ -43,11 +53,11 @@ def column_profile(
     row = df.agg(*aggs)
     stack_args = []
     for c in cols:
-        stack_args.append(f"'{c}'")
-        stack_args.append(f"`__nulls_{c}`")
-        stack_args.append(f"`__dist_{c}`")
-        stack_args.append(f"`__min_{c}`")
-        stack_args.append(f"`__max_{c}`")
+        stack_args.append(_qlit(c))
+        stack_args.append(_qid(f"__nulls_{c}"))
+        stack_args.append(_qid(f"__dist_{c}"))
+        stack_args.append(_qid(f"__min_{c}"))
+        stack_args.append(_qid(f"__max_{c}"))
     stacked = row.select(
         F.col("__n").alias("n_rows"),
         F.expr(

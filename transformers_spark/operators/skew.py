@@ -54,8 +54,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     if not files or len(files) >= target:
         return df
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    digits = re.match(r"\d+", raw)
-    max_bytes = int(digits.group()) if digits else 134217728
+    # Honor Spark's byte-suffix forms ('128m', '1g', '134217728b'):
+    # reading '128m' as 128 raw bytes would estimate thousands of
+    # splits and silently skip the fan-out this operator exists for
+    m = re.match(r"(\d+)\s*([kmgtp]?)b?$", raw.strip().lower())
+    if m:
+        max_bytes = int(m.group(1)) * (
+            1024 ** " kmgtp".index(m.group(2) or " ")
+        )
+    else:
+        max_bytes = 134217728
     splits = 0
     for uri in files:
         parsed = urlparse(uri)
@@ -89,8 +97,11 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     fp_cols = fingerprint_cols or big.columns
-    salt_col: Column = (
-        F.abs(F.xxhash64(*[F.col(c) for c in fp_cols])) % F.lit(salt)
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows back to
+    # negative, producing a salt value the exploded small side never
+    # carries — that row would silently lose its match
+    salt_col: Column = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fp_cols]), F.lit(salt)
     ).cast("int")
     big_salted = big.withColumn("__salt", salt_col)
     small_salted = small.withColumn(

@@ -1140,7 +1140,9 @@ WITH b AS (
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
   FROM documents
 )
-SELECT CASE WHEN bucket < 80 THEN 'train'
+SELECT CASE WHEN bucket IS NULL THEN NULL  -- NULL id: no split, like
+            -- Spark's when-chain without otherwise (md5(NULL) = NULL)
+            WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        source,

@@ -29,6 +29,7 @@ __all__ = [
     "repetition_ratios",
     "bpe_merge_candidates",
     "unigram_frequency_scores",
+    "tfidf_top_terms",
     "vocab_stats",
     "span_dedup_stats",
     "pii_redaction",
@@ -75,12 +76,20 @@ def token_counts(
     / punctuation — a far better proxy for LLM token cost on prose).
     Map-only projection, no shuffle."""
     txt = F.col(text_col)
+    # NULL text counts NULL, not -1: non-ANSI size(NULL) = -1 would
+    # silently corrupt downstream SUMs (tokenizer_fertility) while the
+    # DuckDB oracle's len(NULL) is NULL and its SUM skips the row
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(txt)).cast("bigint").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_bpe_tokens"),
+        F.when(txt.isNotNull(), F.size(tokens(txt)).cast("bigint")).alias(
+            "n_ws_tokens"
+        ),
+        F.when(
+            txt.isNotNull(),
+            F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+                "bigint"
+            ),
+        ).alias("n_bpe_tokens"),
     )
 
 
@@ -398,7 +407,6 @@ def bpe_merge_candidates(
     df: DataFrame,
     top_k: int = 20,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """One round of BPE-style merge-candidate counting at corpus
     scale: the ``top_k`` most frequent ADJACENT token pairs across all
@@ -466,9 +474,13 @@ def repetition_ratios(
     # higher-order lambda touches it: Catalyst inlines same-select
     # aliases into each lambda call, re-running the split per element
     # (O(n_words²) regex work per row).
+    # The gram window needs at least n tokens: for size < n,
+    # sequence(1, size-(n-1)) runs DESCENDING through 0 and
+    # element_at(_, 0) raises INVALID_INDEX_OF_ZERO — so the effective
+    # floor is max(min_words, n) regardless of the caller's min_words.
     toked = df.select(
         id_col, tokens(F.lower(F.col(text_col))).alias("__t")
-    ).filter(F.size("__t") >= min_words)
+    ).filter(F.size("__t") >= max(min_words, n))
     grammed = toked.select(
         id_col,
         "__t",
@@ -625,6 +637,30 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     )
 
 
+def _bigram_heads(counts: DataFrame):
+    """(counts + c(w1·) head totals, vocab scalar) — the shared LM
+    normalization of :func:`bigram_lm` and :func:`bigram_lm_scores`."""
+    from pyspark.sql import Window as W
+
+    vocab = counts.select("w1").distinct().count()  # driver scalar
+    return counts.withColumn("c1", F.sum("c12").over(W.partitionBy("w1"))), vocab
+
+
+def _smoothed_bigram_expr(
+    k_smooth: float, vocab: int, scale: float | None = None
+) -> Column:
+    """THE canonical add-k smoothed conditional probability
+    ``(c12 + k) / (c1 + k·V)``, optionally pre-scaled (``scale``
+    multiplies the NUMERATOR first — the left association the DuckDB
+    oracles embed; changing it changes double rounding). Shared by
+    bigram_lm (6dp) and bigram_lm_scores (integer PPM) so the
+    derivation can never drift between them and their oracles."""
+    num: Column = F.col("c12") + F.lit(float(k_smooth))
+    if scale is not None:
+        num = F.lit(scale) * num
+    return num / (F.col("c1") + F.lit(float(k_smooth) * vocab))
+
+
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -660,18 +696,11 @@ def bigram_lm(
         .agg(F.count(F.lit(1)).alias("c12"))
         .persist()
     )
-    vocab = pairs.select("w1").distinct().count()  # driver scalar
-    head_w = W.partitionBy("w1")
+    with_heads, vocab = _bigram_heads(pairs)
     rank_w = W.partitionBy("w1").orderBy(F.desc("prob"), F.asc("w2"))
     return (
-        pairs.withColumn("c1", F.sum("c12").over(head_w))
-        .withColumn(
-            "prob",
-            F.round(
-                (F.col("c12") + F.lit(float(k_smooth)))
-                / (F.col("c1") + F.lit(float(k_smooth) * vocab)),
-                6,
-            ),
+        with_heads.withColumn(
+            "prob", F.round(_smoothed_bigram_expr(k_smooth, vocab), 6)
         )
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= top_k)
@@ -714,15 +743,12 @@ def bigram_lm_scores(
 
     occurrences = cache.track(_doc_bigrams(df, text_col, id_col).persist())
     counts = occurrences.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    vocab = counts.select("w1").distinct().count()  # driver scalar
+    with_heads, vocab = _bigram_heads(counts)
     lm = (
-        counts.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
-        .withColumn(
+        with_heads.withColumn(
             "ppm",
             F.round(
-                F.lit(1000000.0)
-                * (F.col("c12") + F.lit(float(k_smooth)))
-                / (F.col("c1") + F.lit(float(k_smooth) * vocab))
+                _smoothed_bigram_expr(k_smooth, vocab, scale=1000000.0)
             ).cast("bigint"),
         )
         .select("w1", "w2", "ppm")
@@ -919,8 +945,14 @@ def chunk_documents(
     ``n_tokens`` is the chunk's real token count (tail-aware), which
     downstream packing/batching needs.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        # a NEGATIVE overlap silently skips stride-chunk_tokens tokens
+        # between consecutive chunks — data loss, not a layout choice
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
