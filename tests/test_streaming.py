@@ -319,3 +319,68 @@ def test_overwrite_dynamic_sink_rejects_bad_destination_at_start(spark, tmp_path
             query_name="sink_flat",
             mode="overwrite_dynamic",
         )
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the pandas fns."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_running_totals_fn_ignores_null_values():
+    """An all-null first micro-batch must not seed min/max with NaN —
+    min(NaN, x) stays NaN forever, permanently diverging from the
+    oracle's null-ignoring MIN/MAX (round-4 review)."""
+    import pandas as pd
+
+    from transformers_spark.streaming.windows import _running_totals_fn
+
+    state = _FakeState()
+    b1 = pd.DataFrame({"value": [None, None]}, dtype="float64")
+    out1 = list(_running_totals_fn((7,), iter([b1]), state))
+    assert out1[0]["min_value"][0] is None or pd.isna(out1[0]["min_value"][0])
+    b2 = pd.DataFrame({"value": [3.5, 1.25]})
+    out2 = list(_running_totals_fn((7,), iter([b2]), state))
+    assert out2[0]["n_events"][0] == 4          # counts ALL rows
+    assert out2[0]["min_value"][0] == 1.25      # NaN never poisoned it
+    assert out2[0]["max_value"][0] == 3.5
+
+
+def test_session_fn_drops_null_timestamps():
+    """NULL ts must not become the int64-min NaT sentinel and fabricate
+    a bogus session boundary (round-4 review)."""
+    import pandas as pd
+
+    from transformers_spark.streaming.windows import _make_session_fn
+
+    fn = _make_session_fn("none")
+    state = _FakeState()
+    batch = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00:00", None, "2024-01-01 10:05:00"])}
+    )
+    list(fn((1,), iter([batch]), state))
+    start_us, last_us, n = state.get
+    assert n == 2                               # null row dropped
+    assert start_us > 0                         # no int64-min garbage

@@ -1426,14 +1426,16 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming engine (micro-batching, state store, event-time
     timeouts) under the full correctness gate."""
     from ..streaming.specs import SENTINEL_USER, _stream_flush_source_dir
-    from ..streaming.windows import run_available_now, sessionize
+    from ..streaming.windows import (
+        run_available_now,
+        sessionize,
+        shuffle_partitions,
+    )
 
     import hashlib as _hl
 
     source = _stream_flush_source_dir(spark, sf_dir)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions(spark, 8):
         # file-at-a-time draining: each micro-batch is one contiguous
         # time range, so the watermark (and event-time timeouts)
         # advance between batches and the second sentinel file is
@@ -1443,8 +1445,6 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = "stream_sess_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
         result = run_available_now(sdf, name, output_mode="append")
         return result.filter(F.col("user_id") != SENTINEL_USER)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 ORACLE_STREAMING_SESSIONIZATION = """
@@ -1453,6 +1453,9 @@ WITH marked AS (
     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS brk
   FROM events
+  -- streaming drops NULL event times (watermarking engine-side, and
+  -- the session fn filters NaT) — mirror that here
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
@@ -2574,14 +2577,12 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned plan would run at the caller's width — hence the eager
     # localCheckpoint of the tiny (top_k x n_queries) result. A
     # cluster deployment sizes this to executor width instead.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from ..streaming.windows import shuffle_partitions
+
+    with shuffle_partitions(spark, 8):
         return bm25_topk(
             docs, docs.filter(F.col("doc_id") < 5), top_k=5
         ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # float discipline: every constant-folding step mirrors the Spark

@@ -100,12 +100,21 @@ def stream_into_table(
     # through that store's API.
     state_dir = os.path.join(checkpoint_dir, "_seen_partitions")
     seen_days: dict[int, set] = {}
+    # reverse index day -> owning batch: the clobber check must be
+    # O(days in THIS batch), not a re-union of every historical
+    # batch's days on every micro-batch (that grows linearly with
+    # stream age on a long-lived stream)
+    day_owner: dict[str, int] = {}
     if mode == "overwrite_dynamic":
         os.makedirs(state_dir, exist_ok=True)
         for fn in os.listdir(state_dir):
             if fn.startswith("days_") and fn.endswith(".json"):
+                bid = int(fn[5:-5])
                 with open(os.path.join(state_dir, fn)) as fh:
-                    seen_days[int(fn[5:-5])] = set(json.load(fh))
+                    ds = set(json.load(fh))
+                seen_days[bid] = ds
+                for d in ds:
+                    day_owner[d] = bid
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
@@ -126,8 +135,8 @@ def stream_into_table(
                         F.to_date(F.col(f"`{part_field}`"))
                     ).distinct().collect()
                 }
-                clobbered = days & {
-                    d for b, ds in seen_days.items() if b != batch_id for d in ds
+                clobbered = {
+                    d for d in days if day_owner.get(d, batch_id) != batch_id
                 }
                 if clobbered:
                     raise ValueError(
@@ -141,6 +150,8 @@ def stream_into_table(
             finally:
                 out.unpersist()
             seen_days.setdefault(batch_id, set()).update(days)
+            for d in days:
+                day_owner[d] = batch_id
             path = os.path.join(state_dir, f"days_{batch_id}.json")
             tmp = path + ".tmp"
             with open(tmp, "w") as fh:

@@ -20,17 +20,25 @@ from ..sources.testdata import load_table
 from .windows import (
     SESSION_GAP_US,
     run_available_now,
+    shuffle_partitions,
     streaming_distinct,
     streaming_event_counts,
     streaming_running_totals,
+    streaming_static_enrichment,
     streaming_view_purchase_join,
 )
 
 __all__ = [
     "q_streaming_hourly_counts",
     "q_streaming_distinct_pairs",
+    "q_streaming_view_purchase_join",
+    "q_streaming_running_totals",
+    "q_streaming_static_enrichment",
     "ORACLE_STREAMING_HOURLY",
     "ORACLE_STREAMING_DISTINCT",
+    "ORACLE_STREAMING_SS_JOIN",
+    "ORACLE_STREAMING_RUNNING_TOTALS",
+    "ORACLE_STREAMING_ENRICHMENT",
     "streaming_specs",
 ]
 
@@ -58,7 +66,9 @@ def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
     key = f"{prefix}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
     out = os.path.join(_STREAM_CACHE_ROOT, key)
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        os.utime(out)  # prune grace tracks USE (see _prune_stale_cache)
+    else:
         load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         ).coalesce(4).write.mode("overwrite").parquet(out)
@@ -87,16 +97,26 @@ def _stream_flush_source_dir(spark: SparkSession, sf_dir: str) -> str:
       micro-batch. Callers filter ``user_id != SENTINEL_USER``.
     """
     src = os.path.join(sf_dir, "events.parquet")
+    # the key must cover every parameter that shapes the cached LAYOUT
+    # (sentinel spacing, file count), not just the source bytes — a
+    # code change to the gap/slack constants must invalidate the cache,
+    # or stale sentinels could sit inside the new watermark and final
+    # sessions would silently never flush
+    layout = f"g{SESSION_GAP_US}:f2:slack4h"
     try:
         st = os.stat(src)
-        ident = f"{sf_dir}:flush:{st.st_mtime_ns}:{st.st_size}"
+        ident = f"{sf_dir}:flush:{st.st_mtime_ns}:{st.st_size}:{layout}"
     except OSError:
-        ident = f"{sf_dir}:flush"
+        ident = f"{sf_dir}:flush:{layout}"
     prefix = hashlib.md5(f"{sf_dir}:flush".encode()).hexdigest()[:8]
     key = f"{prefix}-{hashlib.md5(ident.encode()).hexdigest()[:10]}"
     out = os.path.join(_STREAM_CACHE_ROOT, key)
     marker = os.path.join(out, "_FLUSH_READY")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        # refresh mtime so the prune grace window tracks USE, not
+        # creation — a long drain on a superseded key stays protected
+        os.utime(out)
+    else:
         import glob
 
         ev = load_table(spark, sf_dir, "events").select(
@@ -209,14 +229,10 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 stores for 4k keys measured 2-8s of pure init/commit overhead
     # vs 1.3s at 8. Long-running production streams size this to
     # cluster cores × per-key state instead.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions(spark, 8):
         sdf = streaming_event_counts(spark, source, window="1 hour", watermark="2 hours")
         name = "stream_hourly_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         return run_available_now(sdf, name, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 ORACLE_STREAMING_HOURLY = """
@@ -235,14 +251,10 @@ def q_streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup drained with availableNow: the append
     output over exactly the dedup keys equals batch SELECT DISTINCT."""
     source = _stream_source_dir(spark, sf_dir)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see hourly note
-    try:
+    with shuffle_partitions(spark, 8):  # see hourly note
         sdf = streaming_distinct(spark, source)
         name = "stream_distinct_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         return run_available_now(sdf, name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 ORACLE_STREAMING_DISTINCT = "SELECT DISTINCT user_id, event_type FROM events"
@@ -255,14 +267,10 @@ def q_streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFram
     streaming_view_purchase_join's docstring for the production
     tighter-watermark shape."""
     source = _stream_source_dir(spark, sf_dir)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see hourly note
-    try:
+    with shuffle_partitions(spark, 8):  # see hourly note
         sdf = streaming_view_purchase_join(spark, source)
         name = "stream_ssjoin_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         return run_available_now(sdf, name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 ORACLE_STREAMING_SS_JOIN = """
@@ -289,14 +297,10 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. All emitted stats commute across arrival order, which is
     what makes an exact oracle possible for an update-mode stream."""
     source = _stream_source_dir(spark, sf_dir)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions(spark, 8):  # see hourly note
         sdf = streaming_running_totals(spark, source)
         name = "stream_totals_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         drained = run_available_now(sdf, name, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     final = F.max(
         F.struct("n_events", "min_value", "max_value")
     ).alias("s")
@@ -323,19 +327,12 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     (streaming/windows.py:streaming_static_enrichment): every streamed
     event picks up its user's market segment from the static customer
     dimension; stateless append drain equals the batch left join."""
-    from ..sources.testdata import load_table
-    from .windows import run_available_now, streaming_static_enrichment
-
     source = _stream_source_dir(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see hourly note
-    try:
+    with shuffle_partitions(spark, 8):  # see hourly note
         sdf = streaming_static_enrichment(spark, source, customer)
         name = "stream_enrich_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         return run_available_now(sdf, name, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 ORACLE_STREAMING_ENRICHMENT = """

@@ -15,6 +15,7 @@ runs against Kafka/rate sources on a real cluster.
 from __future__ import annotations
 
 from collections.abc import Iterable
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
@@ -39,7 +40,25 @@ __all__ = [
     "streaming_running_totals",
     "sessionize",
     "run_available_now",
+    "shuffle_partitions",
 ]
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions``. The conf is
+    read at EXECUTION time, so the plan must actually run (a streaming
+    drain, collect, or eager localCheckpoint) INSIDE this window for
+    the width to apply — a lazily returned plan executes at the
+    caller's width. Single-sourced here for the seven spec sites that
+    size state-store / small-table shuffles to 8 (see
+    q_streaming_hourly_counts' measurement note)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 EVENT_SCHEMA = StructType(
     [
@@ -227,7 +246,11 @@ def _session_fn(
     rows = []
     import numpy as np
 
-    chunks = [batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    # drop NULL timestamps up front: NaT would otherwise become the
+    # int64-min sentinel, sort first, and fabricate a bogus session
+    # boundary (the watermarked path already drops them engine-side;
+    # this keeps the timeout='none' path consistent)
+    chunks = [batch["ts"].dropna().to_numpy().astype("datetime64[us]").astype("int64")
               for batch in batches]
     if not chunks:
         return
@@ -393,13 +416,18 @@ def _running_totals_fn(key, batches, state) -> "Iterator[pd.DataFrame]":
             continue
         saw = True
         cnt += len(pdf)
-        bmn = float(pdf["value"].min())
-        bmx = float(pdf["value"].max())
-        mn = bmn if mn is None else min(mn, bmn)
-        mx = bmx if mx is None else max(mx, bmx)
+        # min/max over NON-NULL values only (SQL MIN/MAX semantics):
+        # an all-null first batch would otherwise seed mn/mx with NaN,
+        # and min(NaN, x) returns NaN forever — permanently poisoning
+        # the stats vs the oracle's null-ignoring MIN/MAX
+        vals = pdf["value"].dropna()
+        if len(vals):
+            bmn, bmx = float(vals.min()), float(vals.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
     if not saw:
         return
-    state.update((int(cnt), float(mn), float(mx)))
+    state.update((int(cnt), mn, mx))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
