@@ -273,3 +273,71 @@ def test_cohort_order_rotation(tmp_path, monkeypatch):
     order = entry_mod._cohort_order(["a", "b", "c", "d"])
     # b regressed in r2 -> front; c,d never checked -> middle; a green -> last
     assert order == ["b", "c", "d", "a"]
+
+
+def test_catalyst_never_executes_dml(spark):
+    """Dependency resolution of an INSERT must not RUN it — spark.sql
+    executes commands eagerly, so the 'analyze' path is reserved for
+    read statements and DML goes through the parser only (round-4
+    review: resolving deps used to duplicate data into the target)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS depdml")
+    spark.sql("DROP TABLE IF EXISTS depdml.tgt")
+    spark.sql("DROP TABLE IF EXISTS depdml.src")
+    spark.sql("CREATE TABLE depdml.src (x INT) USING PARQUET")
+    spark.sql("CREATE TABLE depdml.tgt (x INT) USING PARQUET")
+    spark.sql("INSERT INTO depdml.src VALUES (1), (2)")
+    deps = resolve_with_catalyst(
+        spark, "INSERT INTO depdml.tgt SELECT * FROM depdml.src"
+    )
+    assert spark.table("depdml.tgt").count() == 0  # NOT executed
+    assert "depdml.src" in deps
+
+
+def test_catalyst_resolves_statements_with_leading_comments(spark):
+    """BQ queries routinely open with /* owner */ blocks — the
+    statement classifier must strip them, not skip the statement
+    (round-4 review)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS depdb")
+    spark.sql("CREATE TABLE IF NOT EXISTS depdb.base (x INT) USING PARQUET")
+    spark.sql("CREATE OR REPLACE VIEW depdb.v AS SELECT * FROM depdb.base")
+    deps = resolve_with_catalyst(
+        spark, "/* owner: team */ SELECT * FROM depdb.v"
+    )
+    assert deps == ["depdb.base"]
+
+
+def test_epoch_nanos_integer_exact():
+    """dt.timestamp()*1e6 truncates ~1% of microsecond instants 1us
+    low (float precision); the integer path must be exact (round-4
+    review)."""
+    from datetime import datetime, timedelta, timezone
+
+    from transformers_spark.sources.testdata import _epoch_nanos
+
+    # a known float-hostile instant (verified truncating via float)
+    dt = datetime(1974, 4, 15, 11, 35, 2, 200348)
+    expected_us = (
+        dt.replace(tzinfo=timezone.utc)
+        - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    ) // timedelta(microseconds=1)
+    assert _epoch_nanos(dt) == expected_us * 1000
+    assert _epoch_nanos(dt) % 1000 == 0
+
+
+def test_exchange_count_sees_roundrobin_and_single(spark):
+    """repartition(n) (RoundRobinPartitioning) and global sorts/limits
+    (SinglePartition) are real shuffles and must be counted (round-4
+    review: the case-sensitive regex missed both)."""
+    from transformers_spark.sources.bucketed import exchange_count
+
+    df = spark.range(100)
+    assert exchange_count(df.repartition(7)) >= 1
+
+
+def test_topn_tokens_negative_n_yields_nothing(spark):
+    from transformers_spark.functions.udtfs import TopNTokens
+
+    # TopNTokens is an @udtf wrapper; .func is the underlying class
+    rows = list(TopNTokens.func().eval("a a b c", -1))
+    assert rows == []
+    assert len(list(TopNTokens.func().eval("a a b c", 2))) == 2

@@ -43,7 +43,10 @@ class TopNTokens:
         for token in text.split():
             counts[token] = counts.get(token, 0) + 1
         ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        for token, count in ranked[: n or 0]:
+        # clamp at 0: a negative n would slice from the END
+        # (ranked[:-2] = everything but the two rarest) instead of
+        # yielding nothing
+        for token, count in ranked[: max(0, n or 0)]:
             yield token, count
 
 

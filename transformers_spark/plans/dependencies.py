@@ -27,7 +27,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from ..dialect import spark_table_name_from_fqn, split_statements, table_references, transpile
+from ..dialect import (
+    _LEADING_COMMENT_RE,
+    spark_table_name_from_fqn,
+    split_statements,
+    table_references,
+    transpile,
+)
 from ..tracing import start_child_span
 
 __all__ = [
@@ -104,13 +110,33 @@ def _catalyst_relations(
     deps: list[str] = []
     dest_spark = spark_table_name_from_fqn(destination) if destination and destination.count(".") == 2 else destination
     for stmt in split_statements(transpile(sql)):
-        if not re.match(r"^\s*(WITH|SELECT|MERGE|DELETE|INSERT|UPDATE)\b", stmt, re.IGNORECASE):
+        # strip leading comments before classifying (BQ queries
+        # routinely open with /* owner */ blocks — dialect.py's
+        # classify_statement applies the same rule); without this the
+        # statement is silently skipped and its deps lost
+        head = _LEADING_COMMENT_RE.sub("", stmt, count=1)
+        m = re.match(
+            r"^\s*(WITH|SELECT|MERGE|DELETE|INSERT|UPDATE)\b", head, re.IGNORECASE
+        )
+        if not m:
             continue
         names: list[str]
-        try:
-            names = _analyzed_relations(spark, stmt)
-        except Exception:
-            names = _parsed_relations(spark, stmt)
+        if m.group(1).upper() in ("WITH", "SELECT"):
+            # analysis (view expansion) is safe only for READ
+            # statements: spark.sql() runs commands EAGERLY, so
+            # "analyzing" an INSERT/MERGE/UPDATE/DELETE would EXECUTE
+            # it — mutating the target as a side effect of dependency
+            # resolution. DML goes through the parse-only path (no
+            # view expansion, no execution).
+            try:
+                names = _analyzed_relations(spark, stmt)
+            except Exception:
+                names = _parsed_relations(spark, stmt)
+        else:
+            try:
+                names = _parsed_relations(spark, stmt)
+            except Exception:
+                continue
         for name in names:
             if name != dest_spark and name not in deps:
                 deps.append(name)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "bucketed_join_ready"]
+__all__ = ["write_bucketed", "bucketed_join_is_shuffle_free", "exchange_count"]
 
 
 def write_bucketed(
@@ -29,14 +29,20 @@ def write_bucketed(
         .mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
     )
-    if sort_cols or bucket_cols:
-        writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(table)
 
 
 import re
 
-_SHUFFLE_RE = re.compile(r"\bExchange (hash|range|single|rebalance)")
+# case-insensitive + round-robin: plans print 'Exchange
+# SinglePartition' and repartition(n) prints 'Exchange
+# RoundRobinPartitioning' — a case-sensitive (hash|range|single|
+# rebalance) match counted neither, so shuffle-free checks could
+# pass while shuffles exist
+_SHUFFLE_RE = re.compile(
+    r"\bExchange (hash|range|single|rebalance|roundrobin)", re.IGNORECASE
+)
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -152,9 +152,9 @@ def ingest_csv(
     :func:`ingest_jsonl`; quoted embedded newlines are not supported
     on this path (they span text lines)."""
     schema = _with_corrupt(schema or DOC_SCHEMA)
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-    )
+    from .external import _schema_to_ddl
+
+    ddl = _schema_to_ddl(schema)
     parsed = _text_lines(spark, path).select(
         F.from_csv(
             "value",
@@ -189,9 +189,9 @@ def corrupt_rate_by_file(
             "value", schema, {"columnNameOfCorruptRecord": CORRUPT_COL}
         )
     elif fmt == "csv":
-        ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-        )
+        from .external import _schema_to_ddl
+
+        ddl = _schema_to_ddl(schema)
         parse = F.from_csv(
             "value",
             ddl,

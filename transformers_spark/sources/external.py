@@ -104,6 +104,20 @@ def register_jdbc_table(
     db = name.split(".")[0]
     catalog._run_ddl(f"CREATE DATABASE IF NOT EXISTS `{db}`")
     qname = ".".join(f"`{p}`" for p in name.split("."))
+    if any(k.lower() in ("password", "keytab") for k in opts):
+        # the options are serialized into CREATE TABLE DDL and stored
+        # as plaintext table properties (readable via SHOW CREATE
+        # TABLE, durable under a Hive metastore) — never put secrets
+        # there; use a credential provider or a secrets-managed url
+        import warnings
+
+        warnings.warn(
+            f"register_jdbc_table({fqn}): credential option will be "
+            "persisted in PLAINTEXT catalog DDL — use a credential "
+            "provider or secrets-managed url instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     opts_ddl = ", ".join(f"{_sq(k)} = {_sq(v)}" for k, v in opts.items())
     catalog._run_ddl(
         f"CREATE TABLE IF NOT EXISTS {qname} USING jdbc OPTIONS ({opts_ddl})"

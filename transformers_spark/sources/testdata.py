@@ -105,11 +105,16 @@ def load_table(
 
 
 def _epoch_nanos(dt: "datetime") -> int:
-    from datetime import timezone
+    from datetime import datetime, timedelta, timezone
 
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)  # engine time is UTC
-    return int(dt.timestamp() * 1_000_000) * 1_000
+    # integer arithmetic end-to-end: dt.timestamp() is a float that
+    # cannot hold epoch-seconds at microsecond precision (~1% of
+    # instants truncate 1us low), which would shift the pushed-down
+    # nanos bound off the converted-timestamp semantics at window edges
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return ((dt - epoch) // timedelta(microseconds=1)) * 1_000
 
 
 def register_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
