@@ -139,3 +139,73 @@ def test_apply_engine_conf_clamps_foreign_local_width(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == moderate
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_window_size_rejects_negative():
+    import pytest as _pytest
+
+    from transformers_spark.config import TaskConfig
+
+    with _pytest.raises(ValueError, match="invalid window size"):
+        TaskConfig(
+            destination_project="proj", destination_dataset="dset",
+            destination_table_name="tbl", load_method=_lm("APPEND"),
+            window_size="-24h",
+        )
+
+
+def _lm(name):
+    from transformers_spark.config import LoadMethod
+
+    return LoadMethod[name]
+
+
+def test_load_method_case_tolerant_and_helpful():
+    import pytest as _pytest
+
+    from transformers_spark.config import _load_method
+
+    assert _load_method("append").name == "APPEND"
+    assert _load_method(" Replace ").name == "REPLACE"
+    with _pytest.raises(ValueError, match="valid:"):
+        _load_method("bogus")
+
+
+def test_parse_labels_strips_whitespace():
+    from transformers_spark.config import parse_labels
+
+    assert parse_labels("owner=data, team=infra") == {
+        "owner": "data", "team": "infra"
+    }
+
+
+def test_properties_duplicate_key_rejected_and_labels_parity():
+    import pytest as _pytest
+
+    from transformers_spark.config import task_config_from_properties
+
+    good = """
+[DESTINATION]
+PROJECT="proj"
+DATASET="dset"
+TABLE="tbl"
+[TRANSFORMATION]
+LOAD_METHOD="APPEND"
+"""
+    cfg = task_config_from_properties(good)
+    assert cfg.labels == {"owner": "transformers-spark"}  # env-path parity
+    dup = good + "\n[LOAD]\nTABLE=\"scratch\"\n"
+    with _pytest.raises(ValueError, match="multiple sections"):
+        task_config_from_properties(dup)
+
+
+def test_render_macros_strict_raises_on_leftover():
+    import pytest as _pytest
+
+    from transformers_spark.macros import render_macros
+
+    with _pytest.raises(ValueError, match="remain after rendering"):
+        render_macros("SELECT 1 WHERE d >= '__dstart__'", strict=True)
+    # non-strict keeps the permissive contract
+    out = render_macros("SELECT 1 WHERE d >= '__dstart__'")
+    assert "__dstart__" in out

@@ -125,8 +125,22 @@ class TaskConfig:
         self.query_priority = _validate_priority(self.query_priority)
         _validate_timezone(self.timezone)
         _validate_positive(self.concurrency)
-        if self.window_size is not None and parse_duration(self.window_size).total_seconds() == 0:
+        if self.window_size is not None and parse_duration(self.window_size).total_seconds() <= 0:
+            # <= 0: a negative size ('-24h') would only explode later,
+            # deep in the window calculus, far from the config source
             raise ValueError(f"invalid window size: {self.window_size!r}")
+
+
+def _load_method(raw: str) -> "LoadMethod":
+    """Case-tolerant LoadMethod lookup with a helpful error (a bare
+    KeyError named neither the bad value nor the valid options)."""
+    try:
+        return LoadMethod[raw.strip().upper()]
+    except KeyError:
+        valid = ", ".join(m.name for m in LoadMethod)
+        raise ValueError(
+            f"invalid LOAD_METHOD {raw!r}; valid: {valid}"
+        ) from None
 
 
 def _env(name: str, default: str | None = None, required: bool = False) -> str | None:
@@ -141,6 +155,7 @@ def parse_labels(text: str) -> dict[str, str]:
     out: dict[str, str] = {}
     for pair in text.split(","):
         key, sep, value = pair.partition("=")
+        key, value = key.strip(), value.strip()
         if not sep or not key or not value:
             raise ValueError(f"labels must be k=v pairs, got {text!r}")
         out[key] = value
@@ -152,7 +167,7 @@ def task_config_from_env() -> TaskConfig:
         destination_project=_env("PROJECT", required=True),
         destination_dataset=_env("DATASET", required=True),
         destination_table_name=_env("TABLE", required=True),
-        load_method=LoadMethod[_env("LOAD_METHOD", required=True)],
+        load_method=_load_method(_env("LOAD_METHOD", required=True)),
         timezone=_env("TIMEZONE", "UTC"),
         concurrency=int(_env("CONCURRENCY", "1")),
         query_priority=_env("QUERY_PRIORITY", "INTERACTIVE"),
@@ -175,6 +190,13 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
     props: dict[str, str] = {}
     for section in cp.sections():
         for key in cp[section]:
+            if key in props:
+                # flattening sections means a duplicated key would
+                # silently take whichever section parses last — make
+                # the ambiguity an error instead
+                raise ValueError(
+                    f"property '{key}' appears in multiple sections"
+                )
             val = cp[section][key]
             props[key] = val.strip('"') if val is not None else val
 
@@ -191,7 +213,7 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
         destination_project=require("PROJECT"),
         destination_dataset=require("DATASET"),
         destination_table_name=require("TABLE"),
-        load_method=LoadMethod[require("LOAD_METHOD")],
+        load_method=_load_method(require("LOAD_METHOD")),
         timezone=get("TIMEZONE", "UTC"),
         concurrency=int(get("CONCURRENCY", "1")),
         query_priority=get("QUERY_PRIORITY", "INTERACTIVE"),
@@ -202,4 +224,8 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
         window_offset=get("WINDOW_OFFSET"),
         window_truncate_upto=get("WINDOW_TRUNCATE_UPTO"),
         execution_project=get("EXECUTION_PROJECT"),
+        # parity with the env path: JOB_LABELS is honored from
+        # properties too, with the same owner default (previously the
+        # two entry points produced different labels for the same task)
+        labels=parse_labels(get("JOB_LABELS", "owner=transformers-spark")),
     )

@@ -172,7 +172,8 @@ class Engine:
         if method is LoadMethod.MERGE:
             window = CustomWindow(l_dstart, l_dend)
             rendered = render_macros(
-                sql_query, window=window, execution_time=l_exec, destination_table=dest
+                sql_query, window=window, execution_time=l_exec,
+                destination_table=dest, strict=True,
             )
             result.rendered_queries.append(rendered)
             if not dry_run:
@@ -307,6 +308,7 @@ class Engine:
                         window=window,
                         execution_time=l_exec,
                         destination_table=dest,
+                        strict=True,
                     )
                 )
                 self.writer.delete_insert(
@@ -345,6 +347,7 @@ class Engine:
             spillover_sql,
             window=window,
             execution_time=localise_datetime(execution_time, timezone),
+            strict=True,
         )
         rows = self.spark.sql(transpile(rendered)).collect()
         out: list[date] = []
@@ -361,7 +364,8 @@ class Engine:
         self, sql_query: str, window: Window, execution_time: datetime, dest: str
     ) -> tuple[DataFrame, str]:
         rendered = render_macros(
-            sql_query, window=window, execution_time=execution_time, destination_table=dest
+            sql_query, window=window, execution_time=execution_time,
+            destination_table=dest, strict=True,
         )
         spark_sql = transpile(rendered)
         statements = split_statements(spark_sql)

@@ -38,14 +38,24 @@ def window_macro_values(window: Window) -> dict[str, str]:
     return {DSTART: window.start.strftime(fmt), DEND: window.end.strftime(fmt)}
 
 
+KNOWN_MACROS = (DSTART, DEND, EXECUTION_TIME, DESTINATION_TABLE)
+
+
 def render_macros(
     sql: str,
     window: Window | None = None,
     execution_time: datetime | None = None,
     destination_table: str | None = None,
     extra: dict[str, str] | None = None,
+    strict: bool = False,
 ) -> str:
-    """Render all macros present in ``sql``; unknown text is untouched."""
+    """Render all macros present in ``sql``; unknown text is untouched.
+
+    ``strict=True`` raises if any KNOWN macro token survives rendering
+    (e.g. the caller passed ``window=None`` while the SQL uses
+    ``__dstart__``): with ``spark.sql.ansi.enabled=false`` a leftover
+    macro literal CASTs to NULL and the query silently filters to zero
+    rows — the engine's execution paths want the loud error instead."""
     params: dict[str, str] = {}
     if window is not None:
         params.update(window_macro_values(window))
@@ -58,4 +68,13 @@ def render_macros(
     out = sql
     for key, value in params.items():
         out = out.replace(key, value)
+    if strict:
+        leftover = [m for m in KNOWN_MACROS if m in out]
+        if leftover:
+            raise ValueError(
+                f"macros {leftover} remain after rendering — no value "
+                "was supplied for them (a leftover literal would cast "
+                "to NULL under non-ANSI SQL and silently empty the "
+                "result)"
+            )
     return out

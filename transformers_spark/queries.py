@@ -94,9 +94,7 @@ def q_windowed_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _windowed_events_oracle() -> str:
-    return render_macros(WINDOWED_EVENTS_SQL, window=EVENTS_WINDOW).replace(
-        "COUNT(DISTINCT user_id)", "COUNT(DISTINCT user_id)"
-    )
+    return render_macros(WINDOWED_EVENTS_SQL, window=EVENTS_WINDOW)
 
 
 # ---------------------------------------------------------------------------

@@ -123,7 +123,15 @@ class Window:
 
     @property
     def is_sub_daily(self) -> bool:
-        """True when macros should render with a time component."""
+        """True when macros should render with a time component.
+
+        REFERENCE PARITY — do not "fix": the reference renders
+        date-only for any >=1-day window regardless of the actual
+        bound times (query.py:76-84 uses exactly this size/truncate
+        test), so a 24h window offset by 6h renders as dates there
+        too. Rendered SQL and Window.start/end can therefore disagree
+        by design for offset whole-day windows; code needing the true
+        bounds must use start/end, never the rendered macros."""
         return self.size < timedelta(days=1) or self.truncate_upto == "h"
 
     def days(self) -> list[datetime]:
