@@ -199,6 +199,34 @@ LOAD_METHOD="APPEND"
         task_config_from_properties(dup)
 
 
+def test_properties_default_section_not_a_duplicate():
+    """configparser injects [DEFAULT] keys into every section's view;
+    a key defined once under [DEFAULT] must not trip the multi-section
+    duplicate check, and a section may override the DEFAULT value."""
+    from transformers_spark.config import task_config_from_properties
+
+    ini = """
+[DEFAULT]
+EXECUTION_PROJECT="proj-exec"
+[DESTINATION]
+PROJECT="proj"
+DATASET="dset"
+TABLE="tbl"
+[TRANSFORMATION]
+LOAD_METHOD="APPEND"
+"""
+    cfg = task_config_from_properties(ini)
+    assert cfg.execution_project == "proj-exec"
+
+    override = ini.replace(
+        'TABLE="tbl"', 'TABLE="tbl"\nEXECUTION_PROJECT="proj-override"'
+    )
+    assert (
+        task_config_from_properties(override).execution_project
+        == "proj-override"
+    )
+
+
 def test_render_macros_strict_raises_on_leftover():
     import pytest as _pytest
 

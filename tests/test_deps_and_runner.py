@@ -293,6 +293,33 @@ def test_catalyst_never_executes_dml(spark):
     assert "depdml.src" in deps
 
 
+def test_catalyst_dml_parse_failure_falls_back_to_regex(spark, monkeypatch):
+    """A DML statement Spark's parser rejects must not silently lose
+    its upstream edges (the scheduler would run the job before its
+    inputs) — the resolver warns and falls back to regex reference
+    extraction over the original SQL (round-4 review)."""
+    import warnings as _warnings
+
+    from transformers_spark.plans import dependencies as dep_mod
+
+    def boom(spark_, stmt):
+        raise RuntimeError("simulated parse failure")
+
+    monkeypatch.setattr(dep_mod, "_parsed_relations", boom)
+    sql = (
+        "MERGE INTO `proj-x.ds.tgt` t USING `proj-x.ds.src` s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        deps = dep_mod.resolve_with_catalyst(
+            spark, sql, destination="proj-x.ds.tgt"
+        )
+    assert "proj_x_ds.src" in deps  # regex fallback, destination excluded
+    assert "proj_x_ds.tgt" not in deps
+    assert any("regex" in str(w.message) for w in caught)
+
+
 def test_catalyst_resolves_statements_with_leading_comments(spark):
     """BQ queries routinely open with /* owner */ blocks — the
     statement classifier must strip them, not skip the statement

@@ -366,6 +366,25 @@ def test_raw_string_prefix_not_misread_inside_literals():
     assert r"'r', '\\w+'" in out2
 
 
+def test_raw_string_escaped_quote_pairs():
+    """GoogleSQL keeps a backslash-quote pair inside a raw string as
+    two literal characters WITHOUT terminating the literal
+    (r'it\\'s' == it\\'s); the lexer must step over \\. pairs instead
+    of ending the token at the first quote (round-4 review)."""
+    from transformers_spark.dialect import transpile
+
+    out = transpile(r"SELECT r'it\'s' AS g")
+    assert r"'it\\\'s'" in out and " r'" not in out
+    out = transpile(r'SELECT r"a\"b" AS g')
+    assert r'"a\\\"b"' in out
+    # triple-quoted raw: \' pair does not close the literal early
+    out = transpile(r"SELECT r'''a\'''' AS g")
+    assert r"'a\\\''" in out and "'''" not in out
+    # the rest of the statement is untouched (no cascade mangling)
+    out = transpile(r"SELECT r'it\'s' AS a, 'plain' AS b")
+    assert "'plain'" in out and out.rstrip().endswith("AS b")
+
+
 def test_raw_triple_quoted_strings():
     """BQ r'''...''' must convert as a whole, not be misread as an
     empty raw string r'' followed by fragments — and the emitted form

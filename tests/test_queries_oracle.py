@@ -30,25 +30,31 @@ def test_query_matches_oracle(spark, sf_dir, name):
         "decimals; emit strings/doubles/bigints instead"
     )
     spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    # persist: the frame is read twice (collect + toPandas) — without
+    # this every Spark plan executes twice per gate entry
+    sdf = sdf.persist()
+    try:
+        spark_rows = [tuple(r) for r in sdf.collect()]
 
-    con = _duckdb_con(sf_dir)
-    res = con.execute(_oracle_for(name, sf_dir))
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+        con = _duckdb_con(sf_dir)
+        res = con.execute(_oracle_for(name, sf_dir))
+        duck_cols = [d[0].lower() for d in res.description]
+        duck_rows = res.fetchall()
 
-    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
-    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols), (
-        f"{name}: value mismatch"
-    )
+        assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+        assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
+        assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols), (
+            f"{name}: value mismatch"
+        )
 
-    # --- driver-faithful pandas canon (round-3 lesson: the fetchall
-    # check above is TOO LENIENT — the driver goes through pandas,
-    # where HUGEINT becomes float64 and array cells crash sort_values)
-    spark_pd = _pandas_canon(sdf.toPandas())
-    duck_pd = _pandas_canon(con.execute(_oracle_for(name, sf_dir)).fetch_df())
-    assert spark_pd == duck_pd, f"{name}: pandas-canon mismatch (driver would hash-fail)"
+        # --- driver-faithful pandas canon (round-3 lesson: the fetchall
+        # check above is TOO LENIENT — the driver goes through pandas,
+        # where HUGEINT becomes float64 and array cells crash sort_values)
+        spark_pd = _pandas_canon(sdf.toPandas())
+        duck_pd = _pandas_canon(con.execute(_oracle_for(name, sf_dir)).fetch_df())
+        assert spark_pd == duck_pd, f"{name}: pandas-canon mismatch (driver would hash-fail)"
+    finally:
+        sdf.unpersist()
 
 
 @pytest.mark.parametrize("name", [n for n, s in QUERIES.items() if s.oracle])

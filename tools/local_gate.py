@@ -73,8 +73,12 @@ def main() -> None:
             "in_driver_sample": i < n_sample,
             "err": None,
         }
+        sdf = None
         try:
-            sdf = qs[name](spark, args.sf_dir)
+            # persist: the frame is read twice (collect for the fetchall
+            # canon, toPandas for the driver-faithful canon) — without
+            # this every Spark plan executes twice per gate entry
+            sdf = qs[name](spark, args.sf_dir).persist()
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -96,6 +100,8 @@ def main() -> None:
         except Exception:
             row["err"] = traceback.format_exc(limit=5)
         finally:
+            if sdf is not None:
+                sdf.unpersist()
             cache.release()
         results[name] = row
         ok = all(

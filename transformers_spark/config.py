@@ -188,16 +188,28 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
     cp.optionxform = str  # preserve key case
     cp.read_string(raw_properties)
     props: dict[str, str] = {}
+    # [DEFAULT] keys are injected by configparser into every section's
+    # view. Keep configparser's own semantics — DEFAULT is a base that
+    # any section may override — and only flag a key that is explicitly
+    # written in two *non-default* sections (that is the genuinely
+    # ambiguous case when sections are flattened).
+    defaults = cp.defaults()
+    for key, val in defaults.items():
+        props[key] = val.strip('"') if val is not None else val
+    seen_explicit: set[str] = set()
     for section in cp.sections():
         for key in cp[section]:
-            if key in props:
+            val = cp[section][key]
+            if key in defaults and val == defaults[key]:
+                continue  # injected DEFAULT value, not section-local
+            if key in seen_explicit:
                 # flattening sections means a duplicated key would
                 # silently take whichever section parses last — make
                 # the ambiguity an error instead
                 raise ValueError(
                     f"property '{key}' appears in multiple sections"
                 )
-            val = cp[section][key]
+            seen_explicit.add(key)
             props[key] = val.strip('"') if val is not None else val
 
     def get(key: str, default: str | None = None) -> str | None:

@@ -71,12 +71,26 @@ _STRING_OR_COMMENT_RE = re.compile(
     r"""
       '''(?:[^\\]|\\.)*?'''           # triple-quoted
     | \"\"\"(?:[^\\]|\\.)*?\"\"\"
-    | (?<![\w'"])[rR]'''.*?'''        # raw triple-quoted: NO escape semantics,
-    | (?<![\w'"])[rR]\"\"\".*?\"\"\"  # body ends at the first closing triple
-                                      # (listed before the 1-quote form, which
+    | (?<![\w'"])[rR]'''(?:[^\\]|\\.)*?'''        # raw triple-quoted: escape
+    | (?<![\w'"])[rR]\"\"\"(?:[^\\]|\\.)*?\"\"\"  # sequences aren't PROCESSED,
+                                      # but GoogleSQL still keeps a \<quote>
+                                      # pair as two literal chars WITHOUT
+                                      # terminating the string, so the lexer
+                                      # must step over \. pairs. (Triple forms
+                                      # listed before the 1-quote form, which
                                       # would otherwise match r'' as an empty
-                                      # raw string and mangle the body)
-    | (?<![\w'"])[rR]'[^'\n]*'        # raw string: no escapes, ends at first quote
+                                      # raw string and mangle the body.)
+    | (?<![\w'"])[rR]'''.*?'''        # lenient fallbacks: a raw string with a
+    | (?<![\w'"])[rR]\"\"\".*?\"\"\"  # trailing odd backslash is INVALID
+                                      # GoogleSQL (unterminated under the
+                                      # \.-pair rule); rather than mangle the
+                                      # scan, degrade to first-closing-quote
+                                      # termination for such inputs only (the
+                                      # spec-correct alternatives above win
+                                      # for every valid literal)
+    | (?<![\w'"])[rR]'(?:[^'\\\n]|\\.)*'   # raw string: \<any> kept verbatim,
+    | (?<![\w'"])[rR]"(?:[^"\\\n]|\\.)*"   # ends at first UNPAIRED quote
+    | (?<![\w'"])[rR]'[^'\n]*'        # lenient 1-quote fallbacks (same rule)
     | (?<![\w'"])[rR]"[^"\n]*"
     | '(?:[^'\\]|\\.)*'               # single-quoted string
     | "(?:[^"\\]|\\.)*"               # double-quoted string

@@ -143,8 +143,10 @@ def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     type_counts = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    # count("user_id") over the distinct frame skips a NULL user row,
+    # matching the oracle's null-ignoring COUNT(DISTINCT user_id)
     total = ut.select("user_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_total")
+        F.count("user_id").alias("n_total")
     )
     ca = type_counts.select(
         F.col("event_type").alias("t1"), F.col("n_t").alias("n_t1")
@@ -754,10 +756,15 @@ def q_text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     words = F.split(F.col("text"), " ")
+    # size(split(NULL)) is -1 under non-ANSI Spark while the DuckDB
+    # oracle's len(string_split(NULL)) is NULL (skipped by SUM/MIN/MAX)
+    # — guard so both sides treat null text as null counts
     per_doc = docs.select(
         "lang",
-        F.size(words).alias("n_tokens"),
-        F.size(F.array_distinct(words)).alias("n_types"),
+        F.when(F.col("text").isNotNull(), F.size(words)).alias("n_tokens"),
+        F.when(
+            F.col("text").isNotNull(), F.size(F.array_distinct(words))
+        ).alias("n_types"),
     )
     ttr = F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
     return (
@@ -1152,8 +1159,15 @@ def q_curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum; the share/epoch divisions are single portable IEEE ops."""
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
+    # null-guard: size(split(NULL)) is -1 under non-ANSI Spark and would
+    # silently subtract from the sum; the oracle's SUM skips NULLs
     per_source = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+        F.sum(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(F.split(F.col("text"), " ")),
+            )
+        ).alias("n_tokens")
     )
     weighted = per_source.withColumn(
         "w", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(20,10)")

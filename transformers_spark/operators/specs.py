@@ -1030,7 +1030,8 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_kmv() -> str:
     return f"""
 WITH h AS (
-  SELECT DISTINCT event_type, {duck_h32("CAST(user_id AS VARCHAR)")} AS h FROM events
+  SELECT DISTINCT event_type, {duck_h32("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE user_id IS NOT NULL
 ),
 rk AS (
   SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
@@ -1170,7 +1171,8 @@ def _oracle_theta_setops() -> str:
     return f"""
 WITH h AS (
   SELECT DISTINCT event_type AS grp, {duck_h32("CAST(user_id AS VARCHAR)")} AS h
-  FROM events WHERE event_type IN ('view', 'purchase')
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
 ),
 rk AS (
   SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h

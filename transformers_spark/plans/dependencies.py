@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import re
 import time
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -136,7 +137,23 @@ def _catalyst_relations(
             try:
                 names = _parsed_relations(spark, stmt)
             except Exception:
-                continue
+                # A DML statement Spark's parser rejects must not
+                # silently lose its upstream edges (the scheduler would
+                # order the job before its inputs). Fall back to the
+                # reference-parity regex extraction over the ORIGINAL
+                # SQL — a conservative over-approximation (whole-script
+                # refs, not just this statement's) is safe for
+                # scheduling; a missing edge is not.
+                warnings.warn(
+                    "dependency resolution: Spark could not parse a DML "
+                    f"statement (head: {head[:80]!r}); falling back to "
+                    "regex reference extraction for its dependencies",
+                    stacklevel=2,
+                )
+                names = [
+                    spark_table_name_from_fqn(fqn)
+                    for fqn in table_references(sql, destination)
+                ]
         for name in names:
             if name != dest_spark and name not in deps:
                 deps.append(name)
