@@ -1361,3 +1361,29 @@ def test_split_expr_null_id_is_null_split(spark):
     out = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
     assert out[None] is None
     assert out[7] in ("train", "val", "test")
+
+
+def test_null_text_semantics_engine_wide(spark):
+    """Null-bearing data must not silently poison counts or signatures
+    (round-4 null gate): size(split(NULL)) is NULL engine-wide (the
+    spark.sql.legacy.sizeOfNull=false conf — legacy -1 subtracts into
+    aggregates while every DuckDB oracle null-skips), and a null-text
+    doc gets NO simhash (fingerprint 0 would collide all null docs
+    into one false-duplicate bucket)."""
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.dedup import simhash_fingerprints
+    from transformers_spark.operators.text import text_stats
+
+    assert spark.conf.get("spark.sql.legacy.sizeOfNull") == "false"
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id bigint, text string"
+    )
+    sized = df.select(F.size(F.split("text", " ")).alias("n")).collect()
+    assert sorted([r["n"] for r in sized], key=str) == [3, None]
+
+    stats = {r["doc_id"]: r["n_tokens"] for r in text_stats(df).collect()}
+    assert stats == {1: 3, 2: None}
+
+    fps = simhash_fingerprints(df).collect()
+    assert [r["doc"] for r in fps] == [1]  # null-text doc dropped

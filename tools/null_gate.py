@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Null-robustness gate: the catalog vs its oracles on null-bearing data.
+
+The driver's testdata contains no NULLs, so a whole class of
+Spark-vs-DuckDB divergence (size(split(NULL)) = -1, count(*) vs
+null-skipping COUNT(col), hashing NULL into a sketch, ...) is
+invisible to the regular gate. This tool copies sf0.001 with ~2% NULLs
+injected into the nullable VALUE columns of the LLM-pipeline tables
+(events.user_id/event_type/value/props, documents.text/lang/source,
+embeddings.label — ids, timestamps and vectors stay non-null) and runs
+the same dual-engine compare over every catalog query.
+
+A mismatch here is a real portability bug: the two engines disagree on
+the same input. A loud ERROR can be a contract (operators like
+ntiles_wide reject null keys by design) — those are reported
+separately for eyeball triage, not auto-failed.
+
+    python tools/null_gate.py                # build + run all
+    python tools/null_gate.py --only NAME    # one query
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/nulldata_sf0.001"
+
+# table -> columns to null-inject (deterministic ~2% by id-hash)
+INJECT = {
+    "events": ["user_id", "event_type", "value", "props"],
+    "documents": ["text", "lang", "source"],
+    "embeddings": ["label"],
+}
+KEY = {"events": "event_id", "documents": "doc_id", "embeddings": "vec_id"}
+
+
+def build_nulldata() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    for fname in sorted(os.listdir(SRC)):
+        if not fname.endswith(".parquet"):
+            continue
+        table = fname[: -len(".parquet")]
+        src = os.path.join(SRC, fname)
+        dst = os.path.join(DST, fname)
+        if table not in INJECT:
+            shutil.copyfile(src, dst)
+            continue
+        key = KEY[table]
+        cols = duckdb.sql(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()
+        exprs = []
+        for cname, *_ in cols:
+            if cname in INJECT[table]:
+                # ~2% per column, decorrelated across columns by name
+                exprs.append(
+                    f"CASE WHEN hash({key} + hash('{cname}')) % 50 = 0 "
+                    f"THEN NULL ELSE {cname} END AS {cname}"
+                )
+            else:
+                exprs.append(cname)
+        duckdb.sql(
+            f"COPY (SELECT {', '.join(exprs)} FROM read_parquet('{src}')) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+    print(f"built {DST}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--json", default=None,
+                    help="also write a summary artifact to this path")
+    args = ap.parse_args()
+
+    if not args.skip_build:
+        build_nulldata()
+
+    import __spark_entry__ as entry_mod
+
+    from transformers_spark import cache
+    from transformers_spark.canon import (
+        duckdb_connect_views,
+        normalize_rows,
+        pandas_canon,
+    )
+    from transformers_spark.queries import oracle_for
+    from transformers_spark.session import get_spark
+
+    qs = entry_mod.queries()
+    names = [args.only] if args.only else list(qs)
+
+    spark = get_spark(app_name="null-robustness-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    mismatches: list[str] = []
+    errors: list[tuple[str, str]] = []
+    for i, name in enumerate(names):
+        sdf = None
+        try:
+            oracle = oracle_for(name, DST)
+            if oracle is None:
+                continue
+            sdf = qs[name](spark, DST).persist()
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            con = duckdb_connect_views(DST)
+            res = con.execute(oracle)
+            duck_cols = [d[0].lower() for d in res.description]
+            duck_rows = res.fetchall()
+            ok = (
+                len(spark_rows) == len(duck_rows)
+                and sorted(spark_cols) == sorted(duck_cols)
+                and normalize_rows(spark_rows, spark_cols)
+                == normalize_rows(duck_rows, duck_cols)
+                and pandas_canon(sdf.toPandas())
+                == pandas_canon(con.execute(oracle).fetch_df())
+            )
+            status = "green" if ok else "MISMATCH"
+            if not ok:
+                mismatches.append(name)
+        except Exception as exc:
+            status = f"ERROR ({type(exc).__name__})"
+            errors.append((name, traceback.format_exc(limit=3)))
+        finally:
+            if sdf is not None:
+                sdf.unpersist()
+            cache.release()
+        print(f"[{i + 1}/{len(names)}] {name}: {status}", file=sys.stderr)
+
+    print("\n=== NULL-GATE SUMMARY ===")
+    print(f"checked: {len(names)}  mismatches: {len(mismatches)}  errors: {len(errors)}")
+    for n in mismatches:
+        print("MISMATCH:", n)
+    for n, tb in errors:
+        print(f"--- ERROR {n} ---\n{tb}")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "data": DST,
+                    "inject": INJECT,
+                    "n_checked": len(names),
+                    "n_green": len(names) - len(mismatches) - len(errors),
+                    "mismatches": mismatches,
+                    "errors": [n for n, _ in errors],
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -383,6 +383,11 @@ def simhash_fingerprints(
     two's complement: bit 63 contributes ``-2^63`` so the value stays
     an exact int64 in both Spark and the DuckDB oracle.
     """
+    # a null-text doc has no signature: every vote is null, the
+    # fingerprint degenerates to 0, and ALL null docs collide into one
+    # giant false-duplicate bucket (quadratic pair blowup at scale) —
+    # drop them like the other signature families do
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(F.col(text_col))
     if hasher == "fast":
         # one signed-64 array; arithmetic shiftright + &1 reads any bit

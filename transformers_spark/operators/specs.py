@@ -1456,8 +1456,9 @@ WITH marked AS (
          THEN 1 ELSE 0 END AS brk
   FROM events
   -- streaming drops NULL event times (watermarking engine-side, and
-  -- the session fn filters NaT) — mirror that here
-  WHERE ts IS NOT NULL
+  -- the session fn filters NaT) and NULL users (no key to attribute
+  -- a session to) — mirror both here
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
@@ -1708,7 +1709,13 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEMPERATURE_SAMPLE = """
-WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+WITH counts AS (
+  -- null strata are excluded from the rate computation (a NULL group
+  -- would corrupt MIN(c), shrinking every real stratum's rate) —
+  -- mirrors temperature_sample's documented contract
+  SELECT lang, COUNT(*) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
 m AS (SELECT MIN(c) AS mc FROM counts),
 rates AS (
   SELECT lang,
@@ -2074,7 +2081,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CHUNK_DOCUMENTS = f"""
 WITH toks AS (
+  -- null text yields no chunks (mirrors chunk_documents, where the
+  -- null token array collapses the starts sequence and explode drops
+  -- the row) — without this the oracle fabricates one NULL chunk
   SELECT doc_id AS doc, {DUCK_TOKENS} AS ts FROM documents
+  WHERE text IS NOT NULL
 ),
 starts AS (
   SELECT doc, ts,

@@ -31,6 +31,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # ANSI off: BigQuery-style permissive casts in ported queries.
     "spark.sql.ansi.enabled": "false",
+    # ...but keep size(NULL) = NULL (the ANSI/BigQuery/DuckDB answer):
+    # with ANSI off Spark's legacy size(NULL) = -1 silently poisons any
+    # aggregate over size(split(nullable_text)) while every oracle's
+    # len() null-skips — one engine-wide conf beats per-site guards.
+    "spark.sql.legacy.sizeOfNull": "false",
     # Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) surface as
     # nano-precision longs; the source layer converts them back to
     # timestamps (see sources/testdata.py).
