@@ -35,6 +35,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import cache
+from .frames import literal_frame
 from .hashing import h32
 from .skew import fan_out
 from .split import split_expr
@@ -278,9 +279,10 @@ def pack_sequences(
     for pid, total in totals:
         offsets[pid] = acc
         acc += total
-    offset_df = df.sparkSession.createDataFrame(
+    offset_df = literal_frame(
+        df.sparkSession,
         [(int(pid), int(off)) for pid, off in offsets.items()] or [(0, 0)],
-        "`__pid` INT, `__off` BIGINT",
+        [("__pid", "int"), ("__off", "bigint")],
     )
     start = F.col("__cum") + F.col("__off") - F.col(count_col)
     result = (

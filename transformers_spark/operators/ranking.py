@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import cache
+from .frames import literal_frame
 
 __all__ = [
     "global_row_number",
@@ -75,9 +76,10 @@ def global_row_number(
     for pid, c in counts:
         offsets[pid] = acc
         acc += c
-    off_df = spark.createDataFrame(
+    off_df = literal_frame(
+        spark,
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
-        "`__pid` INT, `__off` BIGINT",
+        [("__pid", "int"), ("__off", "bigint")],
     )
     out = (
         with_rn.join(F.broadcast(off_df), "__pid")
@@ -199,8 +201,10 @@ def ntiles_wide(
     totals = set(acc.values())
     # every dimension ranks the same rows — totals must agree
     total = totals.pop() if len(totals) == 1 else max(acc.values())
-    off_df = spark.createDataFrame(
-        offset_rows or [(0, 0, 0)], "`__pid` INT, `__dim` INT, `__off` BIGINT"
+    off_df = literal_frame(
+        spark,
+        offset_rows or [(0, 0, 0)],
+        [("__pid", "int"), ("__dim", "int"), ("__off", "bigint")],
     )
     rn = "__gnt_rn"
     scored = (

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .frames import literal_frame
 from .skew import fan_out
 
 __all__ = [
@@ -264,9 +265,10 @@ def kmeans_centroids(
             members = x[cell == i]
             if len(members):  # empty cell keeps its old center
                 centers[i] = members.sum(axis=0) / len(members)
-    return corpus.sparkSession.createDataFrame(
+    return literal_frame(
+        corpus.sparkSession,
         [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
-        ["centroid_id", "centvec"],
+        [("centroid_id", "bigint"), ("centvec", "double")],
     )
 
 

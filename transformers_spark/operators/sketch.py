@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .frames import literal_frame
 from .hashing import hash32
 
 __all__ = ["kmv_distinct", "theta_sketch_setops", "count_min_frequencies"]
@@ -134,7 +135,14 @@ def theta_sketch_setops(
     empty_hs = F.array().cast("array<bigint>")
 
     def side(name: str, out: str, t: str, hcol: str) -> DataFrame:
-        anchor = spark.createDataFrame([(name,)], f"{out} string")
+        # The anchor must be a JVM-side literal frame: createDataFrame
+        # over a Python list builds a parallelized Python RDD whose
+        # every evaluation launches Python workers across
+        # defaultParallelism partitions, and CartesianProduct schedules
+        # left x right TASKS — two such anchors made this 1x1-row
+        # cross join cost ~15 s at sf0.1 (a 14x regression). range(1)
+        # + lit() is pure JVM with a single partition.
+        anchor = spark.range(0, 1, 1, 1).select(F.lit(name).alias(out))
         s = sketches.filter(F.col("grp") == name).select(
             F.col("grp").alias(out),
             F.col("theta").alias(t),
@@ -236,8 +244,10 @@ def count_min_frequencies(
     # agnostic), over a tiny |queries| x depth frame, then a broadcast
     # join against the counter table
     spark = df.sparkSession
-    lookup_df = spark.createDataFrame(
-        [(q, d) for q in queries for d in range(depth)], ["key", "row_idx"]
+    lookup_df = literal_frame(
+        spark,
+        [(q, d) for q in queries for d in range(depth)],
+        [("key", "string"), ("row_idx", "int")],
     )
     lookup_salted = h(
         F.concat(
