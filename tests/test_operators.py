@@ -1387,3 +1387,50 @@ def test_null_text_semantics_engine_wide(spark):
 
     fps = simhash_fingerprints(df).collect()
     assert [r["doc"] for r in fps] == [1]  # null-text doc dropped
+
+
+def test_null_vector_and_event_time_contracts(spark):
+    """Round-4 wave-2 null gate contracts: vector operators drop NULL
+    embeddings at intake (query AND corpus sides — a NULL cannot be
+    scored, and letting it through crashes codebook training and
+    diverges from every SQL oracle), and event-time operators drop
+    NULL event times (their ORDER BY position is engine-dependent:
+    Spark sorts NULL first ascending, standard SQL engines last)."""
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.similarity import (
+        cosine_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") <= 2), k=2)
+    rows = topk.collect()
+    assert all(r["query_id"] != 2 for r in rows)  # null query dropped
+    assert all(r["neighbor_id"] != 2 for r in rows)  # null neighbor too
+
+    cents = kmeans_centroids(emb, n_centroids=2, iters=1)
+    assert cents.count() == 2  # trains despite the NULL row
+
+    from transformers_spark.analytics import q_batch_sessionization
+
+    # null-ts events must not contribute sessions (engine-dependent
+    # ordering otherwise); exercised via the catalog query on a tmp dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 7, "view", 1.0, None),
+                (2, None, 7, "click", 1.0, None),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = q_batch_sessionization(spark, d).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 1

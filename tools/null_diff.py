@@ -14,7 +14,10 @@ DST = "/tmp/nulldata_sf0.001"
 
 
 def main() -> None:
+    global DST
     name = sys.argv[1]
+    if len(sys.argv) > 2:
+        DST = sys.argv[2]
     import __spark_entry__ as entry_mod
 
     from transformers_spark.canon import duckdb_connect_views, normalize_rows

@@ -39,27 +39,36 @@ INJECT = {
     "documents": ["text", "lang", "source"],
     "embeddings": ["label"],
 }
+# wave 2: event-time and embedding-vector nulls — these exercise
+# window ORDER BY (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST),
+# temporal joins, and vector arithmetic, so they are gated separately
+INJECT_WAVE2 = {
+    "events": ["ts"],
+    "embeddings": ["embedding"],
+}
 KEY = {"events": "event_id", "documents": "doc_id", "embeddings": "vec_id"}
 
 
-def build_nulldata() -> None:
+def build_nulldata(inject: dict | None = None, dst_dir: str | None = None) -> None:
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    inject = inject if inject is not None else INJECT
+    dst_dir = dst_dir or DST
+    os.makedirs(dst_dir, exist_ok=True)
     for fname in sorted(os.listdir(SRC)):
         if not fname.endswith(".parquet"):
             continue
         table = fname[: -len(".parquet")]
         src = os.path.join(SRC, fname)
-        dst = os.path.join(DST, fname)
-        if table not in INJECT:
+        dst = os.path.join(dst_dir, fname)
+        if table not in inject:
             shutil.copyfile(src, dst)
             continue
         key = KEY[table]
         cols = duckdb.sql(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()
         exprs = []
         for cname, *_ in cols:
-            if cname in INJECT[table]:
+            if cname in inject[table]:
                 # ~2% per column, decorrelated across columns by name
                 exprs.append(
                     f"CASE WHEN hash({key} + hash('{cname}')) % 50 = 0 "
@@ -71,7 +80,7 @@ def build_nulldata() -> None:
             f"COPY (SELECT {', '.join(exprs)} FROM read_parquet('{src}')) "
             f"TO '{dst}' (FORMAT PARQUET)"
         )
-    print(f"built {DST}", file=sys.stderr)
+    print(f"built {dst_dir}", file=sys.stderr)
 
 
 def main() -> None:
@@ -80,10 +89,21 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--json", default=None,
                     help="also write a summary artifact to this path")
+    ap.add_argument("--wave2", action="store_true",
+                    help="ALSO null-inject events.ts and "
+                         "embeddings.embedding (null ordering / vector "
+                         "arithmetic paths) on top of the wave-1 columns")
     args = ap.parse_args()
 
+    dst = DST + "-w2" if args.wave2 else DST
+    inject = INJECT
+    if args.wave2:
+        inject = {
+            t: sorted(set(INJECT.get(t, [])) | set(INJECT_WAVE2.get(t, [])))
+            for t in set(INJECT) | set(INJECT_WAVE2)
+        }
     if not args.skip_build:
-        build_nulldata()
+        build_nulldata(inject, dst)
 
     import __spark_entry__ as entry_mod
 
@@ -107,13 +127,13 @@ def main() -> None:
     for i, name in enumerate(names):
         sdf = None
         try:
-            oracle = oracle_for(name, DST)
+            oracle = oracle_for(name, dst)
             if oracle is None:
                 continue
-            sdf = qs[name](spark, DST).persist()
+            sdf = qs[name](spark, dst).persist()
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
-            con = duckdb_connect_views(DST)
+            con = duckdb_connect_views(dst)
             res = con.execute(oracle)
             duck_cols = [d[0].lower() for d in res.description]
             duck_rows = res.fetchall()
@@ -149,8 +169,8 @@ def main() -> None:
         with open(args.json, "w") as fh:
             json.dump(
                 {
-                    "data": DST,
-                    "inject": INJECT,
+                    "data": dst,
+                    "inject": inject,
                     "n_checked": len(names),
                     "n_green": len(names) - len(mismatches) - len(errors),
                     "mismatches": mismatches,

@@ -73,8 +73,12 @@ def q_moving_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 preceding .. current). Exact decimal sums inside the frame; the
     average is a double division at the end."""
     register_tables(spark, sf_dir, ("events",))
+    # event-time contract: rows with NULL ts are dropped — a null day
+    # in the moving frame would sort FIRST here and LAST in standard
+    # SQL engines (DuckDB), making the 7-row window engine-dependent
     daily = (
         spark.table("events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(
             F.col("event_type"), F.col("ts").cast("date").alias("event_date")
         )
@@ -98,7 +102,7 @@ ORACLE_MOVING_WINDOW_VALUE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS event_date,
          SUM(CAST(value AS DECIMAL(12,4))) AS day_value
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, event_date,
   CAST(day_value AS DOUBLE) AS day_value,
@@ -277,7 +281,14 @@ def q_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization in batch: lag + cumulative sum of
     gap-breaks — the batch twin of streaming/windows.sessionize."""
     register_tables(spark, sf_dir, ("events",))
-    ev = spark.table("events").select("user_id", "ts")
+    # event-time contract: NULL ts rows are dropped (they sort FIRST in
+    # Spark's ORDER BY and LAST in DuckDB's, so lag-gap session splits
+    # would be engine-dependent; the streaming twin drops them too)
+    ev = (
+        spark.table("events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
     order = W.partitionBy("user_id").orderBy("ts", "user_id")
     # Exact microseconds on BOTH sides: ts.cast('long') floors to whole
     # seconds while the oracle's epoch(ts) is fractional, so a true gap
@@ -312,6 +323,7 @@ WITH marked AS (
     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS brk
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, user_id)
 ),
 sessions AS (
@@ -1026,6 +1038,9 @@ WITH binned AS (
          make_timestamp(epoch_us(ts) // 21600000000 * 21600000000) AS bar_start,
          ts, event_id, CAST(value AS DECIMAL(12,4)) AS val
   FROM events
+  -- Spark's window(ts, ...) assigns NULL ts to no bucket (row dropped);
+  -- without this filter the oracle would emit a NULL-bar group
+  WHERE ts IS NOT NULL
 ),
 ranked AS (
   SELECT *,
@@ -1391,6 +1406,8 @@ WITH assigned AS (
     event_type,
     CAST(value AS DECIMAL(12,4)) AS val
   FROM events, unnest([0, 1]) AS u(k)
+  -- Spark's window(ts, ...) drops NULL ts rows; mirror that here
+  WHERE ts IS NOT NULL
 )
 SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
@@ -1809,8 +1826,11 @@ def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over the small daily table. Days with fewer than 3
     prior observations or zero variance are never flagged."""
     register_tables(spark, sf_dir, ("events",))
+    # event-time contract: NULL ts rows dropped — a NULL day would sort
+    # engine-dependently in the trailing-window ORDER BY
     daily = (
         spark.table("events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1850,7 +1870,7 @@ def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENT_ANOMALY_DAYS = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 sums AS (
   SELECT event_type, d, n,
@@ -1953,9 +1973,13 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-cell matrix — the Markov-chain build behind next-action
     prediction and funnel-drop diagnostics."""
     register_tables(spark, sf_dir, ("events",))
+    # event-time contract: NULL ts rows dropped — their position in the
+    # per-user ORDER BY is engine-dependent, so the (prev, next) pairs
+    # on either side of such a row would differ across engines
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         spark.table("events")
+        .filter(F.col("ts").isNotNull())
         .select(
             "user_id",
             F.lag("event_type").over(w).alias("prev_type"),
@@ -1981,7 +2005,7 @@ WITH pairs AS (
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type,
          event_type AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 cells AS (
   SELECT prev_type, next_type, COUNT(*) AS n

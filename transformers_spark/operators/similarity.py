@@ -173,10 +173,12 @@ def cosine_topk(
     broadcast(queries) × corpus — one corpus scan, no shuffle of the
     big side; the rank window shuffles only (q, k) candidate rows.
     """
-    q = queries.select(
+    # null-vector contract: a NULL embedding can be neither query nor
+    # neighbor (no score exists) — dropped at intake on both sides
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = fan_out(corpus).select(
+    c = fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -232,7 +234,11 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # null-vector contract: NULL embeddings cannot train a codebook
+    # (np.array over a None row degrades to object dtype and crashes)
+    vecs = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=20260813)
     # Arrow toPandas (see pq_codebooks): columnar transfer of the
@@ -298,6 +304,10 @@ def ivf_topk(
     expansion, no window shuffle. Scoring work is proportional to
     probed-cell sizes — never |corpus|×|queries|.
     """
+    # null-vector contract: NULL embeddings are dropped at intake —
+    # they cannot seed the codebook, be assigned a cell, or be scored
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     cent = (
         centroids
         if centroids is not None
@@ -361,6 +371,9 @@ def random_projection(
     shuffle, no driver data movement; at 100 TB this runs at scan
     bandwidth next to whatever op consumes the reduced vectors."""
     weights = hyperplane_weights(out_dim, in_dim)
+    # null-vector contract: no projection exists for a NULL embedding —
+    # dropped rather than emitting an all-NULL signature row
+    df = df.filter(F.col(vec_col).isNotNull())
     cols = [F.col(id_col)]
     for j, row in enumerate(weights):
         # _double_array_lit, not per-element F.lit: out_dim x in_dim
@@ -613,7 +626,9 @@ def pq_codebooks(
     # max_train_vectors full-width vectors — columnar transfer is
     # several times faster and the bound is identical.
     pdf = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        # null-vector contract: see kmeans_centroids
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .orderBy("vid")
         .limit(max_train_vectors)
         .toPandas()
@@ -680,7 +695,10 @@ def pq_encode(
     codes = F.array(
         *[_subspace_code(F.col(vec_col), book, j, ds) for j, book in enumerate(books)]
     )
-    return corpus.select(F.col(id_col).alias("doc"), codes.alias("codes"))
+    # null-vector contract: a NULL embedding has no code word
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), codes.alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -699,8 +717,11 @@ def pq_adc_topk(
     rounded distance with id tie-breaks (deterministic)."""
     m, ds = len(books), len(books[0][0])
     cb = _nested_array_lit(books)  # [m][n_codes][ds]
+    # null-vector contract: a NULL query vector has no ADC distance
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
     )
     terms = []
     for j in range(m):
@@ -748,8 +769,11 @@ def l2_topk(
 ) -> DataFrame:
     """Exact squared-L2 top-k (the metric PQ/ADC approximates) — same
     broadcast-queries/scan-corpus shape as :func:`cosine_topk`."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = fan_out(corpus).select(
+    # null-vector contract: see cosine_topk
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     sq = F.aggregate(
@@ -800,6 +824,10 @@ def embedding_outliers(
     pass + distance pass) — unavoidable without an approximate
     streaming mean, and both scans are map-heavy/shuffle-light.
     """
+    # null-vector contract: a NULL embedding has no distance to its
+    # class centroid (and posexplode already skips it in the centroid
+    # pass) — drop it from the distance pass so class counts agree
+    df = df.filter(F.col(vec_col).isNotNull())
     cents = label_centroids(df, vec_col, label_col)
     cent_arrays = (
         cents.groupBy("label")
@@ -866,6 +894,8 @@ def embedding_cluster_profile(
     :func:`embedding_outliers` so any engine reproduces them
     bit-for-bit.
     """
+    # null-vector contract: a NULL embedding belongs to no cluster
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     codebook = _collect_codebook(centroids)
     cent_arr, ids = _codebook_literals(codebook)
     vec = F.col(vec_col)

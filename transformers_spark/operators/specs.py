@@ -250,7 +250,9 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IVF_ANN = f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+-- null-vector contract: NULL embeddings are dropped at intake
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL),
 cent AS (SELECT vec_id AS centroid_id, v AS centvec FROM vecs WHERE vec_id < 16),
 c_assign AS (
   SELECT vec_id AS neighbor_id, v AS cvec, centroid_id AS cell
@@ -488,10 +490,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_COSINE_TOPK = f"""
 WITH q AS (
+  -- null-vector contract: NULL embeddings dropped on both sides
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings
-  WHERE vec_id < {N_QUERY_VECS}
+  WHERE vec_id < {N_QUERY_VECS} AND embedding IS NOT NULL
 ),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+      WHERE embedding IS NOT NULL),
 scored AS (
   SELECT query_id, neighbor_id,
     ROUND(list_dot_product(qvec, cvec)
@@ -537,7 +541,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_embedding_neardup() -> str:
     return f"""
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL),
 sigs AS (SELECT vec_id, v, CAST({_duck_sig_terms()} AS BIGINT) AS bucket FROM vecs),
 scored AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -604,6 +609,7 @@ def _oracle_lsh_ann() -> str:
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 sigs AS (SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS bucket FROM vecs),
 q AS (SELECT vec_id AS query_id, v AS qvec, bucket FROM sigs WHERE vec_id < {N_QUERY_VECS}),
@@ -722,7 +728,7 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_IVF_KMEANS = f"""
 SELECT vec_id AS query_id, TRUE AS recall_ok
-FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+FROM embeddings WHERE vec_id < {N_QUERY_VECS} AND embedding IS NOT NULL
 """
 
 
@@ -958,7 +964,11 @@ def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ASOF_LATEST_CLICK = """
 SELECT p.event_id AS purchase_id,
        p.user_id AS user_id,
-       COALESCE(c.event_id, -1) AS click_id,
+       -- a NULL left time has no "most recent click before it":
+       -- DuckDB's ASOF sorts NULL greatest and would match the user's
+       -- LAST click; the engine contract (asof_join) is no-match
+       CASE WHEN p.ts IS NULL THEN -1
+            ELSE COALESCE(c.event_id, -1) END AS click_id,
        COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (
@@ -1500,7 +1510,10 @@ def _oracle_random_projection() -> str:
         )
         for j, row in enumerate(weights)
     )
-    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+    return (
+        f"SELECT vec_id,\n       {cols}\nFROM embeddings\n"
+        "WHERE embedding IS NOT NULL"
+    )
 
 
 def q_unigram_frequency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1809,7 +1822,7 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PQ_ADC = f"""
 SELECT vec_id AS query_id, TRUE AS recall_ok
-FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+FROM embeddings WHERE vec_id < {N_QUERY_VECS} AND embedding IS NOT NULL
 """
 
 
@@ -2479,9 +2492,14 @@ WITH ex AS (
   FROM embeddings
 ),
 sx AS (
-  SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS dim,
+  -- the 8 lowest-id NON-NULL vectors: kmeans_centroids drops NULL
+  -- embeddings before its id-ordered take, and numbers centroids
+  -- POSITIONALLY (0..7), not by vec_id
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+         generate_subscripts(embedding, 1) AS dim,
          unnest(embedding) AS c
-  FROM embeddings WHERE vec_id < 8
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8) seeds
 ),
 pairs AS (
   SELECT e.vec_id, s.cid,

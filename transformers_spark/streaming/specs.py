@@ -243,6 +243,9 @@ SELECT
   COUNT(*)                                  AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
 FROM events
+-- Spark's window(ts, ...) assigns NULL event times to no bucket (the
+-- row is dropped, matching the watermark contract); mirror that here
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
