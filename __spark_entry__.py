@@ -30,19 +30,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _cohort_order(names: list[str]) -> list[str]:
-    """Deterministic round-robin cohort: the driver's correctness run
+    """Deterministic rotating cohort: the driver's correctness run
     samples the FIRST 50 ``queries()`` entries per round, so order the
-    catalog by prior-round CORRECTNESS_r*.json status — (0) rows that
-    exist but aren't fully green (re-check until fixed), (1) rows never
-    driver-checked, (2) already-green rows — each group stable in
-    catalog order. As each round's artifact lands in the repo the
-    front of the dict rotates automatically, so the union of green
-    rows converges to the whole catalog in ceil(N/50) rounds."""
+    catalog by prior-round CORRECTNESS_r*.json status — (0) rows whose
+    LATEST driver row isn't fully green (re-check until fixed), (1)
+    rows never driver-checked, (2) already-green rows *ordered by
+    staleness*: the round of their latest green row, oldest first.
+    With the whole catalog green, each driver round now re-verifies
+    the 50 stalest greens instead of re-sampling the same catalog
+    prefix forever, so every query gets a fresh driver row at least
+    every ceil(N/50) rounds — regression coverage is re-checked, not
+    one-shot (the reference re-runs its whole main_test.go table every
+    CI for the same reason)."""
     import glob
     import json
+    import re
 
     status: dict[str, str] = {}
+    green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -60,9 +68,20 @@ def _cohort_order(names: list[str]) -> list[str]:
             # that was green once but regressed later must come back to
             # the front of the sample, not hide at rank 2
             status[key] = "green" if green else "not_green"
+            if green:
+                green_round[key] = rnd
+            else:
+                green_round.pop(key, None)
     rank = {"not_green": 0, "green": 2}
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (rank.get(status.get(n, ""), 1), pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            rank.get(status.get(n, ""), 1),
+            green_round.get(n, 0),
+            pos[n],
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7,6 +7,15 @@
 
 Each query is forced end-to-end with a noop-format write (full plan
 execution, no driver-side collect bottleneck).
+
+Methodology (round-4 verdict ask 5): the cold pass runs first in
+catalog order and remains the headline ``value``/``queries`` (directly
+comparable to BENCH_r01-r04). Then ``$SPARK_GRAFT_WARM_RUNS`` (default
+3) additional passes run and the PER-QUERY MEDIAN of the warm passes
+lands in ``queries_warm``/``warm_total`` — the stable signal for
+round-over-round comparison, immune to the cold-start variance that
+cost two verdict cycles in r3/r4. Set SPARK_GRAFT_WARM_RUNS=0 for the
+fast single-pass mode while iterating.
 """
 
 from __future__ import annotations
@@ -44,15 +53,33 @@ def main() -> None:
 
     from transformers_spark import cache
 
-    timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        start = time.perf_counter()
-        df = spec.build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
-        cache.release()  # drop intermediates persisted by this query
+    def one_pass() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, spec in QUERIES.items():
+            start = time.perf_counter()
+            df = spec.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t[name] = round(time.perf_counter() - start, 4)
+            cache.release()  # drop intermediates persisted by this query
+        return t
 
+    timings = one_pass()  # cold pass: the headline, comparable to r01-r04
     total = round(sum(timings.values()), 4)
+
+    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    warm_passes = [one_pass() for _ in range(warm_runs)]
+    warm: dict[str, float] = {}
+    if warm_passes:
+        for name in timings:
+            vals = sorted(p[name] for p in warm_passes)
+            mid = len(vals) // 2
+            med = (
+                vals[mid]
+                if len(vals) % 2
+                else (vals[mid - 1] + vals[mid]) / 2
+            )
+            warm[name] = round(med, 4)
+    warm_total = round(sum(warm.values()), 4) if warm else None
 
     # Full 4-decimal map always lands on disk for the judge.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -63,6 +90,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": warm_total,
+                "warm_runs": warm_runs,
                 "sf": sf,
                 "n_queries": len(timings),
             },
@@ -89,6 +119,9 @@ def main() -> None:
             "omitted_fastest": omitted,
             "full": "BENCH_FULL.json",
         }
+        if warm_total is not None:
+            payload["warm_total"] = warm_total
+            payload["warm_runs"] = warm_runs
         return json.dumps(payload, separators=(",", ":"))
 
     while len(line_for(kept, len(timings) - len(kept))) > budget and kept:

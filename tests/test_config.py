@@ -227,6 +227,37 @@ LOAD_METHOD="APPEND"
     )
 
 
+def test_properties_explicit_key_equal_to_default_still_duplicates():
+    """A section key explicitly set to the SAME value as [DEFAULT] is
+    still an explicit key: if another section then sets a different
+    value, that is the multi-section ambiguity and must raise — under
+    value-equality dedup the second section won silently (round-4
+    advice)."""
+    import pytest as _pytest
+
+    from transformers_spark.config import task_config_from_properties
+
+    ini = """
+[DEFAULT]
+EXECUTION_PROJECT="proj-exec"
+[DESTINATION]
+PROJECT="proj"
+DATASET="dset"
+TABLE="tbl"
+EXECUTION_PROJECT="proj-exec"
+[TRANSFORMATION]
+LOAD_METHOD="APPEND"
+EXECUTION_PROJECT="proj-other"
+"""
+    with _pytest.raises(ValueError, match="multiple sections"):
+        task_config_from_properties(ini)
+
+    # ...and an explicit equal-value key alone (no second section) is
+    # fine — it simply restates the default
+    single = ini.replace('EXECUTION_PROJECT="proj-other"\n', "")
+    assert task_config_from_properties(single).execution_project == "proj-exec"
+
+
 def test_render_macros_strict_raises_on_leftover():
     import pytest as _pytest
 

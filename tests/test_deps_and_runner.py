@@ -275,6 +275,35 @@ def test_cohort_order_rotation(tmp_path, monkeypatch):
     assert order == ["b", "c", "d", "a"]
 
 
+def test_cohort_order_green_staleness(tmp_path, monkeypatch):
+    """With everything green, greens rotate by STALENESS: the round of
+    each query's latest green row, oldest first — so the driver's
+    first-50 sample re-verifies the stalest greens every round instead
+    of re-sampling the same catalog prefix forever (round-4 verdict
+    ask 1)."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    # a green in r1 only; b green in r1 and re-verified r3; c green r2
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"c": green}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"b": green}))
+    monkeypatch.setattr(entry_mod, "_REPO_DIR", str(tmp_path))
+    # all green -> staleness order: a (r1) before c (r2) before b (r3);
+    # d never checked -> before every green
+    assert entry_mod._cohort_order(["a", "b", "c", "d"]) == ["d", "a", "c", "b"]
+    # a regression in a later round still jumps the queue entirely
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({"b": {"rows_match": False, "schema_match": True,
+                          "hash_match": False}})
+    )
+    assert entry_mod._cohort_order(["a", "b", "c", "d"]) == ["b", "d", "a", "c"]
+
+
 def test_catalyst_never_executes_dml(spark):
     """Dependency resolution of an INSERT must not RUN it — spark.sql
     executes commands eagerly, so the 'analyze' path is reserved for
@@ -318,6 +347,54 @@ def test_catalyst_dml_parse_failure_falls_back_to_regex(spark, monkeypatch):
     assert "proj_x_ds.src" in deps  # regex fallback, destination excluded
     assert "proj_x_ds.tgt" not in deps
     assert any("regex" in str(w.message) for w in caught)
+
+
+def test_dml_fallback_scoped_to_failed_statement(spark, monkeypatch):
+    """The regex fallback runs over the FAILED statement's original
+    text, not the whole script — whole-script extraction attributed
+    every statement's tables to the one failed statement, adding
+    spurious dependency edges (round-4 advice)."""
+    import warnings as _warnings
+
+    from transformers_spark.plans import dependencies as dep_mod
+
+    def boom(spark_, stmt):
+        raise RuntimeError("simulated parse failure")
+
+    monkeypatch.setattr(dep_mod, "_parsed_relations", boom)
+    # statement 1 is a SELECT over other_tbl (resolves via the analyze
+    # path); statement 2 is the failing DML over src only — other_tbl
+    # must NOT be attributed to it twice, and more importantly a script
+    # whose ONLY parseable refs differ per statement must keep them
+    # scoped. Here we assert the fallback names exactly src's table.
+    sql = (
+        "MERGE INTO `proj-x.ds.tgt` t USING `proj-x.ds.src` s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v;\n"
+        "DELETE FROM `proj-x.ds.tgt2` WHERE id IN "
+        "(SELECT id FROM `proj-x.ds.purge_list`)"
+    )
+    seen_texts: list[str] = []
+    real_table_references = dep_mod.table_references
+
+    def spy(text, destination=None):
+        seen_texts.append(text)
+        return real_table_references(text, destination)
+
+    monkeypatch.setattr(dep_mod, "table_references", spy)
+    with _warnings.catch_warnings(record=True):
+        _warnings.simplefilter("always")
+        deps = dep_mod.resolve_with_catalyst(
+            spark, sql, destination="proj-x.ds.tgt"
+        )
+    # both statements' upstreams present, destination excluded
+    assert "proj_x_ds.src" in deps
+    assert "proj_x_ds.purge_list" in deps
+    assert "proj_x_ds.tgt" not in deps
+    # SCOPING: each fallback call saw only its own statement's text —
+    # the MERGE call must not contain the DELETE's tables or vice versa
+    assert len(seen_texts) == 2
+    assert "purge_list" not in seen_texts[0] and "src" in seen_texts[0]
+    assert "src" not in seen_texts[1] and "purge_list" in seen_texts[1]
 
 
 def test_catalyst_resolves_statements_with_leading_comments(spark):

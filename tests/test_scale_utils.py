@@ -434,6 +434,33 @@ def test_customer_rfm_no_single_partition_window(spark):
         assert "ASC" not in first_arg and "DESC" not in first_arg, first_arg
 
 
+def test_window_over_join_queries_never_single_partition(spark):
+    """first_touch_attribution / interarrival_time_stats /
+    median_order_gap_days (round-4 verdict ask 6): window-over-join
+    shapes where a refactor could reintroduce an empty partitionBy —
+    every window spec must name a partition column (no SinglePartition
+    exchange may feed a Window), pinned the same way as the RFM test."""
+    import re
+
+    from transformers_spark.queries import QUERIES
+
+    for name in (
+        "first_touch_attribution",
+        "interarrival_time_stats",
+        "median_order_gap_days",
+    ):
+        df = QUERIES[name].build(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, name
+        assert plan.count("Window") >= 1, name
+        # no empty partitionBy: windowspecdefinition's first argument is
+        # a partition column, never an ORDER BY expression (ASC/DESC)
+        for first_arg in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                name, first_arg,
+            )
+
+
 def test_pq_adc_no_cartesian_and_broadcast_queries(spark):
     """PQ-ADC scoring scans the compact code table once against a
     BROADCAST query set — the only nested-loop joins allowed are

@@ -133,6 +133,21 @@ PICKS = {
         "(a giant nation never funnels through one task); decimal power "
         "sums reduce to one row per nation before the only division."
     ),
+    "first_touch_attribution": (
+        "First-touch attribution — the first_value window partitions by "
+        "(user, day): one keyed shuffle, never a SinglePartition sort; the "
+        "two rollup aggregates are partial+final hash aggregates."
+    ),
+    "interarrival_time_stats": (
+        "Inter-arrival gaps — the lag window partitions by (user, type) "
+        "bounded streams; gap stats reduce map-side before the only "
+        "aggregate exchange; no SinglePartition window anywhere."
+    ),
+    "median_order_gap_days": (
+        "Median order gap — the lag window partitions by customer; the "
+        "customer join stays a broadcast at dim scale and the ordered-set "
+        "median is a keyed (per-segment) aggregate, never a global sort."
+    ),
     "event_cooccurrence_lift": (
         "Event-pair lift — the distinct (user, type) frame is computed "
         "ONCE and persisted for its four consumers (pair join, two "

@@ -46,7 +46,36 @@ INJECT_WAVE2 = {
     "events": ["ts"],
     "embeddings": ["embedding"],
 }
-KEY = {"events": "event_id", "documents": "doc_id", "embeddings": "vec_id"}
+# wave 3: the TPC-H side. FK columns (o_custkey, l_partkey, l_suppkey,
+# c_nationkey, s_nationkey) are the interesting ones — NOT IN with a
+# NULL-bearing subquery must yield the empty set in BOTH engines, and a
+# Spark plan that compiled NOT IN to a plain left-anti join would
+# diverge here. Value columns exercise null-skipping aggregates and
+# NULL group keys. Date/timestamp columns stay non-null: the engine's
+# time-null contract was established in wave 2 (event-time operators
+# drop NULL event times) and TPC-H dates are PK-like generator outputs.
+INJECT_WAVE3 = {
+    "customer": ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "lineitem": [
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    ],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "supplier": ["s_name", "s_nationkey", "s_acctbal"],
+}
+# table -> key EXPRESSION used to derive the deterministic inject hash
+# (lineitem's key is composite, so it hashes a fused expression)
+KEY = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": "(l_orderkey * 8 + l_linenumber)",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
 
 
 def build_nulldata(inject: dict | None = None, dst_dir: str | None = None) -> None:
@@ -93,14 +122,25 @@ def main() -> None:
                     help="ALSO null-inject events.ts and "
                          "embeddings.embedding (null ordering / vector "
                          "arithmetic paths) on top of the wave-1 columns")
+    ap.add_argument("--wave3", action="store_true",
+                    help="ALSO null-inject the TPC-H value + FK columns "
+                         "(NOT IN / anti-join / null-group-key paths) on "
+                         "top of the wave-1 columns")
     args = ap.parse_args()
 
-    dst = DST + "-w2" if args.wave2 else DST
-    inject = INJECT
+    dst = DST
+    inject = dict(INJECT)
     if args.wave2:
+        dst = DST + "-w2"
         inject = {
-            t: sorted(set(INJECT.get(t, [])) | set(INJECT_WAVE2.get(t, [])))
-            for t in set(INJECT) | set(INJECT_WAVE2)
+            t: sorted(set(inject.get(t, [])) | set(INJECT_WAVE2.get(t, [])))
+            for t in set(inject) | set(INJECT_WAVE2)
+        }
+    if args.wave3:
+        dst = DST + "-w3"
+        inject = {
+            t: sorted(set(inject.get(t, [])) | set(INJECT_WAVE3.get(t, [])))
+            for t in set(inject) | set(INJECT_WAVE3)
         }
     if not args.skip_build:
         build_nulldata(inject, dst)

@@ -794,7 +794,7 @@ ORACLE_CUSTOMER_BALANCE_QUARTILES = """
 WITH ranked AS (
   SELECT c_mktsegment, c_acctbal,
          NTILE(4) OVER (PARTITION BY c_mktsegment
-                        ORDER BY c_acctbal, c_custkey) AS quartile
+                        ORDER BY c_acctbal NULLS FIRST, c_custkey) AS quartile
   FROM customer
 )
 SELECT c_mktsegment, quartile,
@@ -1329,11 +1329,16 @@ def q_balance_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordering is balance ASC) — no second scan of customer needed,
     # this reads the already-persisted ranked frame
     seg_max = ranked.filter(F.col("__rn") == F.col("__n")).select(
-        "c_mktsegment",
+        F.col("c_mktsegment").alias("__seg"),
         F.col("c_acctbal").cast("decimal(12,4)").alias("__max_bal"),
     )
     out = (
-        ranked.join(F.broadcast(seg_max), "c_mktsegment")
+        # null-safe: a NULL segment is an ordinary window partition and
+        # must pick up its own segment max, not drop out of the join
+        ranked.join(
+            F.broadcast(seg_max),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg")),
+        )
         .select(
             "c_custkey",
             F.col("c_mktsegment").alias("segment"),
@@ -1360,11 +1365,13 @@ SELECT * FROM (
     ROUND(percent_rank() OVER w, 6) AS pct_rank,
     ROUND(cume_dist() OVER w, 6) AS cume,
     CAST(CAST(last_value(c_acctbal) OVER
-         (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+         (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS DECIMAL(12,4)) AS DOUBLE) AS segment_max
   FROM customer
-  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC)
 )
 WHERE pct_rank >= 0.9
 """
@@ -1735,7 +1742,17 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia_keys), F.col("c_nationkey") == F.col("c_nk"))
-        .filter(F.col("l_quantity") > 0)
+        # intake contract: a "cheapest offer" needs a price, a supplier
+        # and a part — NULL measurements are excluded BEFORE the
+        # min-struct (a struct with a null field is not null, so the
+        # aggregate would otherwise rank it, and engines disagree on
+        # null-field struct ordering)
+        .filter(
+            (F.col("l_quantity") > 0)
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+        )
     )
     best = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.min(
@@ -1766,6 +1783,9 @@ WITH li AS (
   JOIN nation   ON c_nationkey = n_nationkey
   JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
   WHERE l_quantity > 0
+    AND l_extendedprice IS NOT NULL
+    AND l_suppkey IS NOT NULL
+    AND l_partkey IS NOT NULL
 ),
 best AS (
   SELECT l_partkey AS partkey,

@@ -187,12 +187,28 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
     cp = configparser.ConfigParser(allow_no_value=True)
     cp.optionxform = str  # preserve key case
     cp.read_string(raw_properties)
-    props: dict[str, str] = {}
     # [DEFAULT] keys are injected by configparser into every section's
-    # view. Keep configparser's own semantics — DEFAULT is a base that
-    # any section may override — and only flag a key that is explicitly
-    # written in two *non-default* sections (that is the genuinely
-    # ambiguous case when sections are flattened).
+    # view, and value-equality can't tell an injected key from a
+    # section key explicitly set to the same value (round-4 advice: the
+    # equal-value copy was skipped, letting a later section override it
+    # silently instead of raising). Reparse with the default-section
+    # name pointed at a sentinel so [DEFAULT] becomes an ordinary
+    # section and every section's key set is exactly its EXPLICIT keys.
+    raw_cp = configparser.ConfigParser(
+        allow_no_value=True, default_section="\x00none"
+    )
+    raw_cp.optionxform = str
+    raw_cp.read_string(raw_properties)
+    explicit: dict[str, set[str]] = {
+        section: set(raw_cp[section])
+        for section in raw_cp.sections()
+        if section != cp.default_section
+    }
+    props: dict[str, str] = {}
+    # Keep configparser's own semantics — DEFAULT is a base that any
+    # section may override — and only flag a key explicitly written in
+    # two *non-default* sections (the genuinely ambiguous case when
+    # sections are flattened).
     defaults = cp.defaults()
     for key, val in defaults.items():
         props[key] = val.strip('"') if val is not None else val
@@ -200,7 +216,7 @@ def task_config_from_properties(raw_properties: str) -> TaskConfig:
     for section in cp.sections():
         for key in cp[section]:
             val = cp[section][key]
-            if key in defaults and val == defaults[key]:
+            if key not in explicit.get(section, set()):
                 continue  # injected DEFAULT value, not section-local
             if key in seen_explicit:
                 # flattening sections means a duplicated key would

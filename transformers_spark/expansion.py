@@ -612,7 +612,8 @@ SELECT c_mktsegment, rn, o_orderkey, total_price
 FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice AS total_price,
          row_number() OVER (PARTITION BY c_mktsegment
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                            ORDER BY o_totalprice DESC NULLS LAST,
+                                     o_orderkey) AS rn
   FROM orders JOIN customer ON o_custkey = c_custkey
 )
 WHERE rn <= 3

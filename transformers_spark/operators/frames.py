@@ -40,7 +40,11 @@ def literal_frame(
 
     def cell(v, typ: str):
         if isinstance(v, (list, tuple)):
-            return F.array(*[F.lit(x).cast(typ) for x in v])
+            # cast the whole array, not just elements: an empty cell is
+            # F.array() of type array<void>, which fails to unify with
+            # other rows' array<typ> struct fields inside inline(); the
+            # outer cast also normalizes all-null-element cells
+            return F.array(*[F.lit(x) for x in v]).cast(f"array<{typ}>")
         return F.lit(v).cast(typ)
 
     structs = [

@@ -295,13 +295,21 @@ def grouped_row_number(
         .rowsBetween(W.unboundedPreceding, -1)
     )
     offs = counts.select(
-        "__pid",
-        *group_cols,
+        F.col("__pid").alias("__pid_o"),
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
         F.coalesce(F.sum("__c").over(prior), F.lit(0)).alias("__off"),
         F.sum("__c").over(W.partitionBy(*group_cols)).alias(total_col),
     )
+    # NULL-SAFE join back: PARTITION BY treats NULL group keys as one
+    # ordinary group, so the offset join must too — a plain equi-join
+    # would silently DROP every null-keyed row (null never equals null).
+    # EqualNullSafe is still an equi-join key for Spark's hash joins.
+    cond = F.col("__pid") == F.col("__pid_o")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
     return (
-        with_rn.join(offs, ["__pid", *group_cols])
+        with_rn.join(offs, cond)
         .withColumn(rn_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__lrn", "__off")
+        .drop("__pid", "__pid_o", "__lrn", "__off",
+              *[f"__g_{c}" for c in group_cols])
     )

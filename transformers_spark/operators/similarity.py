@@ -424,6 +424,8 @@ def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
     join output. NULL vectors stay NULL (dropped by the equi-join, the
     documented contract). The guard is applied once around the packed
     signature, not per plane."""
+    if not weights:
+        raise ValueError("hyperplane_signature: weights must be non-empty")
     bits = [
         (_hyperplane_sign(vec, weights[p]) * F.lit(2**p)).cast("long")
         for p in range(len(weights))
@@ -431,7 +433,7 @@ def hyperplane_signature(vec: Column, weights: list[list[float]]) -> Column:
     total = bits[0]
     for b in bits[1:]:
         total = total + b
-    dim = len(weights[0]) if weights else 0
+    dim = len(weights[0])
     return (
         F.when(vec.isNull(), F.lit(None).cast("long"))
         .when(F.size(vec) == dim, total)

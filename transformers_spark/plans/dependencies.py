@@ -110,7 +110,15 @@ def _catalyst_relations(
 ) -> list[str]:
     deps: list[str] = []
     dest_spark = spark_table_name_from_fqn(destination) if destination and destination.count(".") == 2 else destination
-    for stmt in split_statements(transpile(sql)):
+    stmts = split_statements(transpile(sql))
+    # Original (untranspiled) per-statement text for the regex fallback:
+    # recoverable whenever the original splits into the same number of
+    # statements as the transpiled script (transpile never adds/removes
+    # statement boundaries, but guard anyway).
+    orig_stmts = split_statements(sql)
+    if len(orig_stmts) != len(stmts):
+        orig_stmts = [sql] * len(stmts)
+    for stmt, stmt_original in zip(stmts, orig_stmts):
         # strip leading comments before classifying (BQ queries
         # routinely open with /* owner */ blocks — dialect.py's
         # classify_statement applies the same rule); without this the
@@ -141,9 +149,10 @@ def _catalyst_relations(
                 # silently lose its upstream edges (the scheduler would
                 # order the job before its inputs). Fall back to the
                 # reference-parity regex extraction over the ORIGINAL
-                # SQL — a conservative over-approximation (whole-script
-                # refs, not just this statement's) is safe for
-                # scheduling; a missing edge is not.
+                # text of THIS statement when recoverable (whole-script
+                # extraction is the last resort: it over-approximates by
+                # attributing every statement's tables to the failed one
+                # — safe for scheduling, but it can add spurious edges).
                 warnings.warn(
                     "dependency resolution: Spark could not parse a DML "
                     f"statement (head: {head[:80]!r}); falling back to "
@@ -152,7 +161,7 @@ def _catalyst_relations(
                 )
                 names = [
                     spark_table_name_from_fqn(fqn)
-                    for fqn in table_references(sql, destination)
+                    for fqn in table_references(stmt_original, destination)
                 ]
         for name in names:
             if name != dest_spark and name not in deps:
