@@ -1,0 +1,194 @@
+"""Round-5 expansion queries: semantic invariants + plan pins.
+
+The oracle gate (tests/test_queries_oracle.py + the driver) checks
+engine equality; these tests check the operators mean what they claim
+on hand-built inputs, and pin the scale-bearing plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_ngram_novelty_copy_is_all_duplicate(spark, tmp_path):
+    """A doc that is a verbatim copy of a lower-id doc has novelty 0;
+    the original keeps novelty 1; per-source rollup reflects both."""
+    from transformers_spark.expansion2 import q_text_ngram_novelty
+
+    base = "a b c d e f g h"  # 4 distinct 5-grams
+    df = _docs(
+        spark,
+        [
+            (1, base, "en", "web", len(base)),
+            (2, base, "en", "books", len(base)),  # exact copy, later id
+            (3, "p q r s t u", "en", "books", 11),  # all novel
+        ],
+    )
+    sf = str(tmp_path / "sfnov")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["source"]: r.asDict() for r in q_text_ngram_novelty(spark, sf).collect()}
+    assert out["web"]["novelty_ratio"] == 1.0
+    # books: doc 2 contributes 4 non-novel shingles, doc 3 adds 2 novel
+    assert out["books"]["n_shingles"] == 6
+    assert out["books"]["n_novel"] == 2
+
+
+def test_source_overlap_matrix_asymmetry(spark, tmp_path):
+    """overlap(a->b) normalizes by |a|'s shingles: a small source fully
+    contained in a big one reads 1.0 one way and < 1 the other."""
+    from transformers_spark.expansion2 import q_source_overlap_matrix
+
+    small = "a b c d e"  # 1 shingle
+    big = "a b c d e f g h i"  # 5 shingles, superset
+    df = _docs(
+        spark,
+        [(1, big, "en", "web", len(big)), (2, small, "en", "wiki", len(small))],
+    )
+    import os
+
+    sf = str(tmp_path / "sfover")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        (r["source_a"], r["source_b"]): r["overlap_frac"]
+        for r in q_source_overlap_matrix(spark, sf).collect()
+    }
+    assert out[("wiki", "web")] == 1.0
+    assert out[("web", "wiki")] == 0.2
+
+
+def test_kmv_rollup_merge_equals_direct(spark, tmp_path):
+    """The mergeable-sketch identity: per-day k-min sketches merged =
+    the direct global sketch, exactly — with > k distinct users spread
+    over several days so the estimation path (not the lossless path)
+    is exercised."""
+    import os
+    from datetime import datetime
+
+    from transformers_spark.expansion2 import KMV_ROLLUP_K, q_sketch_kmv_rollup
+
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        for u in range(40):  # 7 days x 40 users/day, 280 user-days
+            eid += 1
+            rows.append(
+                (eid, (day * 37 + u * 11) % 200, "view",
+                 datetime(2024, 1, day, 12, 0, 0), 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    )
+    sf = str(tmp_path / "sfkmv")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    row = q_sketch_kmv_rollup(spark, sf).collect()[0]
+    assert row["merged_est_users"] == row["direct_est_users"]
+    assert row["n_days"] == 7
+    assert row["exact_users"] > KMV_ROLLUP_K  # estimation path exercised
+    # KMV with k=64 over ~200 distinct: estimate within 50% of exact
+    assert 0.5 * row["exact_users"] <= row["merged_est_users"] <= 2 * row["exact_users"]
+
+
+def test_basket_pairs_null_partkeys_excluded(spark, tmp_path):
+    """NULL part keys form no pairs and no marginals; lift of a pair
+    always co-occurring with independent marginals of 1 is n_orders."""
+    import os
+    from datetime import datetime
+
+    from transformers_spark.expansion2 import q_order_basket_pairs
+
+    rows = [
+        # order 1: parts 10, 20 + a NULL partkey row
+        (1, 10, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 1)),
+        (1, 20, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 1)),
+        (1, None, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 1)),
+        # order 2: parts 10, 20 again
+        (2, 10, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 2)),
+        (2, 20, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 2)),
+        # order 3: part 30 alone
+        (3, 30, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 3)),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = str(tmp_path / "sfbask")
+    os.makedirs(sf, exist_ok=True)
+    li.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    out = q_order_basket_pairs(spark, sf).collect()
+    assert len(out) == 1  # only (10, 20); NULL never pairs
+    r = out[0]
+    assert (r["p1"], r["p2"], r["n_together"]) == (10, 20, 2)
+    # lift = n_together * n_orders / (n_p1 * n_p2) = 2*3/(2*2)
+    assert abs(r["lift"] - 1.5) < 1e-12
+
+
+def test_event_path_counts_ordering_and_threshold(spark, tmp_path):
+    """Paths use the first 3 events by (ts, event_id); user-days with
+    fewer than 3 events don't qualify."""
+    import os
+    from datetime import datetime
+
+    from transformers_spark.expansion2 import q_event_path_counts
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, 1, "view", t(1), 1.0, "{}"),
+        (2, 1, "click", t(2), 1.0, "{}"),
+        (3, 1, "purchase", t(3), 1.0, "{}"),
+        (4, 1, "error", t(4), 1.0, "{}"),  # beyond the 3-slice
+        # same-ts tie on user 2: event_id breaks it
+        (6, 2, "b_second", t(5), 1.0, "{}"),
+        (5, 2, "a_first", t(5), 1.0, "{}"),
+        (7, 2, "c_third", t(6), 1.0, "{}"),
+        # user 3: only 2 events -> no path
+        (8, 3, "view", t(1), 1.0, "{}"),
+        (9, 3, "click", t(2), 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    )
+    sf = str(tmp_path / "sfpath")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = {r["path"]: r["n_user_days"] for r in q_event_path_counts(spark, sf).collect()}
+    assert out == {"view>click>purchase": 1, "a_first>b_second>c_third": 1}
+
+
+def test_expansion2_plan_shapes(spark):
+    """Scale pins: no CartesianProduct anywhere; the top-k queries
+    compile to TakeOrderedAndProject; novelty/overlap never plan a
+    SinglePartition exchange (their data-sized stages stay parallel)."""
+    from transformers_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name, require_topk, forbid_single in [
+        ("text_ngram_novelty", False, True),
+        ("source_overlap_matrix", False, True),
+        ("event_path_counts", True, True),
+        ("order_basket_pairs", True, False),  # 1-row n_orders agg is bounded
+        ("sketch_kmv_rollup", True, False),  # <=k-row reductions are bounded
+    ]:
+        plan = (
+            QUERIES[name]
+            .build(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        if require_topk:
+            assert "TakeOrderedAndProject" in plan, name
+        if forbid_single:
+            assert "SinglePartition" not in plan, name

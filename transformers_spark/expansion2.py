@@ -1,0 +1,529 @@
+"""Round-5 catalog expansion: corpus-analysis operators a training-data
+pipeline runs between dedup and mixing, each Spark-first with an exact
+DuckDB oracle (pandas-safe output types only — see
+``transformers_spark.canon``).
+
+* n-gram novelty — the duplication/memorization curve: what fraction
+  of a doc's shingles already occurred earlier in the corpus.
+* source overlap matrix — cross-source shingle contamination, the
+  input to dataset-mixing decisions (and to "is source B just a crawl
+  of source A" audits).
+* event path counts — top first-k event-type paths (product analytics
+  / funnel discovery shape: ordered collect + bounded slice).
+* order basket pairs — market-basket co-occurrence with lift (the
+  a-priori support/lift primitive over an order-scoped self-join).
+* KMV rollup — per-day sketches MERGED to a global estimate: the
+  mergeable-rollup pattern (pre-aggregate once, combine forever)
+  with an EXACT oracle, because the k smallest of a union of per-day
+  k-smallest sets is exactly the global k smallest (associativity of
+  min-k), so merged == direct, bit for bit.
+
+Numeric determinism rules (same as queries.py): exact integer/decimal
+aggregates; at most ONE double division on identical exact operands per
+output column; no ln/pow.
+
+Null contracts (the null gates inject ~2% NULLs into every nullable
+column): event-time operators drop NULL ts/user_id/event_type at
+intake; text operators drop NULL text; the overlap matrix drops NULL
+source (a contamination edge needs both endpoints named); basket pairs
+exclude NULL part keys by construction (NULL < x is never TRUE in
+either engine). Every oracle mirrors its contract explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import cache
+from .operators.dedup import _word_ngrams
+from .operators.hashing import duck_h32, h32
+from .operators.specs import DUCK_TOKENS, _duck_grams
+from .sources.testdata import register_tables
+
+# QuerySpec is imported lazily inside expansion2_specs(): queries.py
+# builds its QUERIES dict at import time by calling back into this
+# module, so a module-level import here would be a circular import for
+# any consumer that imports expansion2 first.
+
+__all__ = ["expansion2_specs"]
+
+NOVELTY_GRAM_N = 5
+KMV_ROLLUP_K = 64
+HASH_SPACE = 1 << 32
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty — the duplication curve
+# ---------------------------------------------------------------------------
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: what fraction of documents' 5-gram shingles are
+    NOVEL (first occurrence in corpus order, i.e. no lower-doc_id doc
+    contains them)? The standard corpus-duplication curve used to
+    decide how aggressively to dedup before training.
+
+    Scale shape: shingles shuffle ONCE on their 32-bit hash (md5-h32,
+    portable — the oracle collides identically, and hashing keeps the
+    shuffle key 8 bytes instead of a ~25-char gram string); novelty is
+    a min-over-window comparison on that same partitioning — no
+    self-join, no second shuffle of the postings. The rollup is an
+    ordinary per-source hash aggregate. Never |docs|² anywhere.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= NOVELTY_GRAM_N)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(_word_ngrams(F.col("toks"), NOVELTY_GRAM_N)).alias("gram"),
+    ).select("doc_id", "source", h32(F.col("gram")).alias("gh"))
+    first_doc = F.min("doc_id").over(W.partitionBy("gh"))
+    tagged = grams.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") == first_doc).cast("int").alias("novel"),
+    )
+    return tagged.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        (
+            F.sum("novel").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_ratio"),
+    )
+
+
+def _oracle_text_ngram_novelty() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {DUCK_TOKENS} AS t FROM documents
+  WHERE text IS NOT NULL AND len({DUCK_TOKENS}) >= {NOVELTY_GRAM_N}
+),
+grams AS (
+  SELECT doc_id, source,
+         {duck_h32(f"unnest({_duck_grams(NOVELTY_GRAM_N)})")} AS gh
+  FROM toks
+),
+tagged AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY gh)
+              THEN 1 ELSE 0 END AS novel
+  FROM grams
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM tagged GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# source overlap matrix — cross-source contamination
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each ordered source pair (a, b): the fraction of a's
+    distinct 5-gram shingles that also appear in b — the contamination
+    matrix behind dataset-mixing and provenance audits.
+
+    Scale shape: the unit of work is the distinct (source, shingle-
+    hash) posting set — ONE dedup shuffle over the corpus. The pair
+    expansion is a self-equi-join on the hash whose per-key fan-out is
+    bounded by the number of SOURCES (a handful), never by posting
+    length; marginals are |sources| rows and broadcast.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    toks = docs.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
+        "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= NOVELTY_GRAM_N)
+    # sg feeds the self-join (twice) and the marginals: persist so the
+    # corpus is tokenized and dedup-shuffled once, not three times
+    sg = cache.track(
+        toks.select(
+            "source",
+            F.explode(_word_ngrams(F.col("toks"), NOVELTY_GRAM_N)).alias(
+                "gram"
+            ),
+        )
+        .select("source", h32(F.col("gram")).alias("gh"))
+        .distinct()
+        .persist()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "gh")
+    b = sg.select(F.col("source").alias("source_b"), "gh")
+    common = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    totals = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    return common.join(
+        F.broadcast(totals), F.col("source_a") == F.col("source")
+    ).select(
+        "source_a",
+        "source_b",
+        "n_common",
+        "n_a",
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+def _oracle_source_overlap_matrix() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, {DUCK_TOKENS} AS t FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+    AND len({DUCK_TOKENS}) >= {NOVELTY_GRAM_N}
+),
+sg AS (
+  SELECT DISTINCT source,
+         {duck_h32(f"unnest({_duck_grams(NOVELTY_GRAM_N)})")} AS gh
+  FROM toks
+),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source != b.source
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a FROM sg GROUP BY 1
+)
+SELECT source_a, source_b, n_common, n_a,
+       CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS overlap_frac
+FROM common JOIN totals ON source_a = totals.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# event path counts — funnel discovery
+# ---------------------------------------------------------------------------
+
+
+def q_event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths over (user, day) sessions:
+    the path-discovery shape (ordered per-key collect + bounded slice)
+    behind funnel mining. Only user-days with >= 3 events qualify, so
+    every path has exactly 3 steps; ordering ties break on event_id.
+
+    Scale shape: ONE (user, day) keyed aggregate — collect_list is
+    safe because a user-day's event count is bounded by human behavior
+    (and the slice keeps 3); the path rollup is an ordinary hash
+    aggregate and the final top-10 is TakeOrderedAndProject
+    (distributed partial top-k), never a global sort.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    per_day = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            ).alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .filter(F.size("es") >= 3)
+        .select(
+            F.array_join(
+                F.transform(F.slice("es", 1, 3), lambda s: s["event_type"]),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per_day.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_EVENT_PATH_COUNTS = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         array_to_string(
+           (array_agg(event_type ORDER BY ts, event_id))[1:3], '>'
+         ) AS path,
+         COUNT(*) AS n_events
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM per_day WHERE n_events >= 3
+GROUP BY path
+ORDER BY n_user_days DESC, path ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# order basket pairs — market-basket support / lift
+# ---------------------------------------------------------------------------
+
+
+def q_order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by within-order co-occurrence, with lift
+    against independence — the a-priori support/lift primitive.
+
+    Scale shape: the self-join is scoped to the ORDER key, so pair
+    expansion is bounded by basket size squared (baskets are small by
+    construction of commerce), never |lineitem|²; marginals and the
+    1-row order count broadcast into the projection. NULL part keys
+    drop out of pairs by construction (NULL < x is never TRUE) and are
+    excluded from marginals to match.
+
+    Lift multiplies/divides exact counts as doubles in one expression —
+    identical IEEE operand order in both engines.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    op = cache.track(
+        spark.table("lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+        )
+        .distinct()
+        .persist()
+    )
+    a = op.select("okey", F.col("pkey").alias("p1"))
+    b = op.select("okey", F.col("pkey").alias("p2"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_together"))
+    )
+    marg = op.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_p")
+    )
+    n_orders = op.select("okey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("pkey").alias("p1"),
+                                    F.col("n_orders_p").alias("n_orders_p1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("pkey").alias("p2"),
+                                    F.col("n_orders_p").alias("n_orders_p2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_together",
+            "n_orders_p1",
+            "n_orders_p2",
+            (
+                (F.col("n_together").cast("double")
+                 * F.col("n_orders").cast("double"))
+                / (F.col("n_orders_p1").cast("double")
+                   * F.col("n_orders_p2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_together"), F.asc("p1"), F.asc("p2"))
+        .limit(20)
+    )
+
+
+ORACLE_ORDER_BASKET_PAIRS = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_together
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n_orders_p FROM op GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM op)
+SELECT p1, p2, n_together,
+       m1.n_orders_p AS n_orders_p1,
+       m2.n_orders_p AS n_orders_p2,
+       (CAST(n_together AS DOUBLE) * CAST(n_orders AS DOUBLE))
+         / (CAST(m1.n_orders_p AS DOUBLE) * CAST(m2.n_orders_p AS DOUBLE))
+         AS lift
+FROM pairs
+JOIN marg m1 ON p1 = m1.pkey
+JOIN marg m2 ON p2 = m2.pkey
+CROSS JOIN total
+ORDER BY n_together DESC, p1 ASC, p2 ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV rollup — mergeable-sketch pre-aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users estimated two ways: per-day KMV sketches MERGED
+    into one (the pre-aggregated-rollup pattern: sketch each partition
+    once, combine forever without re-touching data), and the direct
+    global sketch. The two are EXACTLY equal — the k smallest of a
+    union of per-day k-smallest sets is the global k smallest — so the
+    oracle checks the merge algebra bit-for-bit, alongside the exact
+    count the estimate approximates.
+
+    Scale shape: one (day, hash) dedup shuffle; the per-day window
+    ranks within day partitions; the merged pool is <= k×|days| rows
+    and both top-k reductions compile to TakeOrderedAndProject
+    (distributed partial top-k), never a single-partition sort.
+    Null contract: NULL user_id (COUNT DISTINCT parity) and NULL ts
+    (no day to roll into) drop at intake.
+    """
+    k = KMV_ROLLUP_K
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    hashes = cache.track(
+        ev.select(
+            F.to_date("ts").alias("day"),
+            h32(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    # per-day sketches: each day keeps its k smallest hashes
+    daily_rank = W.partitionBy("day").orderBy("h")
+    daily_kept = (
+        hashes.withColumn("rk", F.row_number().over(daily_rank))
+        .filter(F.col("rk") <= k)
+        .select("h")
+        .distinct()
+    )
+
+    def kmv_estimate(pool: DataFrame, est_col: str) -> DataFrame:
+        kept = pool.orderBy("h").limit(k)
+        return kept.agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+        ).select(
+            F.when(F.col("n") < k, F.col("n"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("kth")
+                )
+            )
+            .cast("bigint")
+            .alias(est_col)
+        )
+
+    merged = kmv_estimate(daily_kept, "merged_est_users")
+    direct = kmv_estimate(hashes.select("h").distinct(), "direct_est_users")
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    n_days = hashes.select("day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(n_days))
+    )
+
+
+def _oracle_sketch_kmv_rollup() -> str:
+    k = KMV_ROLLUP_K
+    h = duck_h32("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+hashes AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, {h} AS h FROM ev
+),
+daily_kept AS (
+  SELECT DISTINCT h FROM (
+    SELECT h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+    FROM hashes
+  ) WHERE rk <= {k}
+),
+merged AS (
+  SELECT CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+              ELSE floor({k - 1}.0 * 4294967296.0 / MAX(h)) END AS BIGINT)
+         AS merged_est_users
+  FROM (SELECT h FROM daily_kept ORDER BY h LIMIT {k})
+),
+direct AS (
+  SELECT CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+              ELSE floor({k - 1}.0 * 4294967296.0 / MAX(h)) END AS BIGINT)
+         AS direct_est_users
+  FROM (SELECT DISTINCT h FROM hashes ORDER BY h LIMIT {k})
+)
+SELECT merged_est_users, direct_est_users,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev) AS exact_users,
+       (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM ev)
+         AS n_days
+FROM merged CROSS JOIN direct
+"""
+
+
+def expansion2_specs() -> list:
+    from .queries import QuerySpec
+
+    return [
+        QuerySpec(
+            "text_ngram_novelty",
+            "Per-source 5-gram novelty fraction (duplication curve)",
+            q_text_ngram_novelty,
+            _oracle_text_ngram_novelty(),
+        ),
+        QuerySpec(
+            "source_overlap_matrix",
+            "Cross-source shingle contamination matrix",
+            q_source_overlap_matrix,
+            _oracle_source_overlap_matrix(),
+        ),
+        QuerySpec(
+            "event_path_counts",
+            "Top 3-step event paths per user-day (funnel discovery)",
+            q_event_path_counts,
+            ORACLE_EVENT_PATH_COUNTS,
+        ),
+        QuerySpec(
+            "order_basket_pairs",
+            "Market-basket part pairs with support and lift",
+            q_order_basket_pairs,
+            ORACLE_ORDER_BASKET_PAIRS,
+        ),
+        QuerySpec(
+            "sketch_kmv_rollup",
+            "Per-day KMV sketches merged vs direct (mergeable rollup)",
+            q_sketch_kmv_rollup,
+            _oracle_sketch_kmv_rollup(),
+        ),
+    ]

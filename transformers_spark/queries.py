@@ -440,12 +440,13 @@ HAVING COUNT(*) >= 1
 def _all_specs() -> list["QuerySpec"]:
     from .analytics import analytics_specs
     from .expansion import expansion_specs
+    from .expansion2 import expansion2_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
-    # expansion_specs stays LAST: the driver-cohort rotation orders
+    # newest expansion stays LAST: the driver-cohort rotation orders
     # never-checked queries by catalog position, and appending keeps
-    # every pre-existing query's position (and its r1-r3 driver rows)
+    # every pre-existing query's position (and its earlier driver rows)
     # stable.
     return (
         _CORE_SPECS
@@ -453,6 +454,7 @@ def _all_specs() -> list["QuerySpec"]:
         + analytics_specs()
         + streaming_specs()
         + expansion_specs()
+        + expansion2_specs()
     )
 
 
