@@ -148,6 +148,18 @@ PICKS = {
         "customer join stays a broadcast at dim scale and the ordered-set "
         "median is a keyed (per-segment) aggregate, never a global sort."
     ),
+    "text_ngram_novelty": (
+        "Corpus duplication curve — shingles shuffle ONCE on their 32-bit "
+        "hash; novelty is a min-over-window on that same partitioning (no "
+        "posting self-join); the rollup is an ordinary per-source hash "
+        "aggregate."
+    ),
+    "sketch_kmv_rollup": (
+        "Mergeable KMV rollup — one (day, hash) dedup shuffle; per-day "
+        "ranks stay day-partitioned; both k-min reductions compile to "
+        "TakeOrderedAndProject (distributed partial top-k), and the final "
+        "combine is 1-row broadcast cross joins."
+    ),
     "event_cooccurrence_lift": (
         "Event-pair lift — the distinct (user, type) frame is computed "
         "ONCE and persisted for its four consumers (pair join, two "
