@@ -166,6 +166,46 @@ def test_event_path_counts_ordering_and_threshold(spark, tmp_path):
     assert out == {"view>click>purchase": 1, "a_first>b_second>c_third": 1}
 
 
+def test_time_to_convert_semantics(spark, tmp_path):
+    """Only users whose first purchase FOLLOWS their first view count;
+    purchase-before-view and never-purchase users drop; the median is
+    an actual observed gap (percentile_disc)."""
+    import os
+    from datetime import datetime
+
+    from transformers_spark.expansion2 import q_time_to_convert_stats
+
+    t = lambda d, h: datetime(2024, 1, d, h)
+    rows = [
+        # user 1: view at 1h, purchase at 3h -> gap 2h
+        (1, 1, "view", t(1, 1), 1.0, "{}"),
+        (2, 1, "purchase", t(1, 3), 1.0, "{}"),
+        # user 2: view at 1h, purchase at 7h -> gap 6h (the later view
+        # at 5h and second purchase at 9h are ignored: FIRSTs only)
+        (3, 2, "view", t(1, 1), 1.0, "{}"),
+        (4, 2, "view", t(1, 5), 1.0, "{}"),
+        (5, 2, "purchase", t(1, 7), 1.0, "{}"),
+        (6, 2, "purchase", t(1, 9), 1.0, "{}"),
+        # user 3: purchase BEFORE view -> excluded
+        (7, 3, "purchase", t(1, 1), 1.0, "{}"),
+        (8, 3, "view", t(1, 2), 1.0, "{}"),
+        # user 4: view only -> excluded
+        (9, 4, "view", t(1, 1), 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    )
+    sf = str(tmp_path / "sfttc")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    row = q_time_to_convert_stats(spark, sf).collect()[0]
+    assert row["n_converting_users"] == 2
+    assert row["min_hours"] == 2.0
+    assert row["max_hours"] == 6.0
+    assert row["median_hours"] in (2.0, 6.0)  # disc percentile: a real gap
+    assert row["median_hours"] == 2.0  # n=2 -> lower member
+
+
 def test_expansion2_plan_shapes(spark):
     """Scale pins: no CartesianProduct anywhere; the top-k queries
     compile to TakeOrderedAndProject; novelty/overlap never plan a
