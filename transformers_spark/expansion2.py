@@ -493,6 +493,93 @@ FROM merged CROSS JOIN direct
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage curve — tokenizer budget planning
+# ---------------------------------------------------------------------------
+
+# Sized to the synthetic corpus (~31 distinct tokens) so three of the
+# four points genuinely truncate; a real corpus uses [8k, 32k, 64k,
+# 128k] — the operator is size-agnostic.
+VOCAB_CURVE_SIZES = [5, 10, 20, 50]
+
+
+def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV planning curve: for each candidate vocabulary size V, the
+    fraction of all token OCCURRENCES covered by the top-V tokens by
+    corpus frequency (ties broken by token text) — the curve that
+    decides a tokenizer's vocab budget.
+
+    Scale shape: one token-count aggregate (map-side combined), then
+    the scale-safe two-phase global ROW_NUMBER over the DISTINCT-token
+    frame (operators/ranking.global_row_number — no SinglePartition
+    sort however large the vocabulary), then ONE conditional aggregate
+    produces every curve point; stack() unpivots the single row
+    map-side. Exact integer sums; one double division per point.
+    """
+    from .operators.ranking import global_row_number
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    counts = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked, _total_vocab = global_row_number(
+        counts, [F.desc("c"), F.asc("tok")], out_col="rn"
+    )
+    one = ranked.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("rn") <= v, F.col("c")))
+            .cast("bigint")
+            .alias(f"cov_{v}")
+            for v in VOCAB_CURVE_SIZES
+        ],
+    )
+    stack_args = ", ".join(
+        f"{v}, cov_{v}" for v in VOCAB_CURVE_SIZES
+    )
+    return one.selectExpr(
+        f"stack({len(VOCAB_CURVE_SIZES)}, {stack_args})"
+        " AS (vocab_size, covered_tokens)",
+        "n_total AS total_tokens",
+    ).select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("covered_tokens"),
+        "total_tokens",
+        (
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def _oracle_text_vocab_coverage_curve() -> str:
+    points = " UNION ALL ".join(f"SELECT {v} AS vocab_size" for v in VOCAB_CURVE_SIZES)
+    return f"""
+WITH toks AS (
+  SELECT unnest({DUCK_TOKENS}) AS tok FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM counts
+),
+points AS ({points})
+SELECT CAST(vocab_size AS INT) AS vocab_size,
+       CAST(COALESCE(SUM(CASE WHEN rn <= vocab_size THEN c END), 0) AS BIGINT)
+         AS covered_tokens,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(CASE WHEN rn <= vocab_size THEN c END), 0) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS coverage
+FROM points CROSS JOIN ranked
+GROUP BY vocab_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # time to convert — funnel latency
 # ---------------------------------------------------------------------------
 
@@ -621,4 +708,28 @@ def expansion2_specs() -> list:
             q_time_to_convert_stats,
             ORACLE_TIME_TO_CONVERT_STATS,
         ),
+        QuerySpec(
+            "text_vocab_coverage_curve",
+            "Token-occurrence coverage per candidate vocab size (OOV curve)",
+            q_text_vocab_coverage_curve,
+            _oracle_text_vocab_coverage_curve(),
+        ),
+        QuerySpec(
+            "streaming_hopping_counts",
+            "Streaming HOPPING windows (1h/30min slide), availableNow drain",
+            _streaming_hopping_q(),
+            _streaming_hopping_oracle(),
+        ),
     ]
+
+
+def _streaming_hopping_q():
+    from .streaming.specs import q_streaming_hopping_counts
+
+    return q_streaming_hopping_counts
+
+
+def _streaming_hopping_oracle() -> str:
+    from .streaming.specs import ORACLE_STREAMING_HOPPING
+
+    return ORACLE_STREAMING_HOPPING

@@ -250,6 +250,44 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) streaming windows — 1 h width, 30 min slide:
+    each event contributes to exactly 2 windows; state is 2x the
+    tumbling case and still watermark-bounded. Registered in
+    expansion2_specs (round 5) so earlier catalog positions stay
+    stable; the batch oracle is the same window arithmetic
+    hopping_event_windows uses."""
+    source = _stream_source_dir(spark, sf_dir)
+    with shuffle_partitions(spark, 8):  # see hourly note
+        sdf = streaming_event_counts(
+            spark, source, window="1 hour", watermark="2 hours",
+            slide="30 minutes",
+        )
+        name = "stream_hopping_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_available_now(sdf, name, output_mode="complete")
+
+
+ORACLE_STREAMING_HOPPING = """
+WITH assigned AS (
+  SELECT
+    make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+                   - k * 1800000000) AS window_start,
+    event_type,
+    CAST(value AS DECIMAL(12,4)) AS val
+  FROM events, unnest([0, 1]) AS u(k)
+  -- Spark's window(ts, ...) drops NULL ts rows; mirror that here
+  WHERE ts IS NOT NULL
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(val) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
 def q_streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup drained with availableNow: the append
     output over exactly the dedup keys equals batch SELECT DISTINCT."""

@@ -76,14 +76,20 @@ def streaming_event_counts(
     source_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts over a file-streaming events
-    source. Late rows beyond the watermark are dropped (state is
-    bounded — the property that matters at scale)."""
+    """Watermarked windowed counts over a file-streaming events source.
+    Late rows beyond the watermark are dropped (state is bounded — the
+    property that matters at scale). ``slide`` < ``window`` switches to
+    HOPPING windows: each event lands in window/slide buckets and state
+    grows by the same constant factor (still watermark-bounded)."""
     events = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .groupBy(
+            F.window("ts", window, slide or window).alias("win"),
+            F.col("event_type"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # decimal sum: exact regardless of micro-batch arrival order
