@@ -17,6 +17,15 @@ DuckDB oracle (pandas-safe output types only — see
   with an EXACT oracle, because the k smallest of a union of per-day
   k-smallest sets is exactly the global k smallest (associativity of
   min-k), so merged == direct, bit for bit.
+* time to convert — first-view→first-purchase latency (funnel
+  latency: one keyed pass, portable percentile_disc rollup).
+* vocabulary coverage curve — OOV planning: occurrence share of the
+  top-V tokens per candidate vocab size, ranked by the scale-safe
+  two-phase global ROW_NUMBER.
+* streaming hopping counts — 1 h windows sliding every 30 min over
+  the streaming source (availableNow drain; batch window-arithmetic
+  oracle); defined in streaming/specs.py, registered here so earlier
+  catalog positions stay stable.
 
 Numeric determinism rules (same as queries.py): exact integer/decimal
 aggregates; at most ONE double division on identical exact operands per
