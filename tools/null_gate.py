@@ -78,6 +78,40 @@ KEY = {
 }
 
 
+def build_degenerate_text(dst_dir: str) -> None:
+    """documents.text variant: ~2% each of empty string, whitespace-only
+    and single-token text (n_chars kept consistent). A DISTINCT
+    divergence class from NULL injection: split('') yields [''] (one
+    empty token), not [] — tokenizer-adjacent operators that conflate
+    the two diverge here, not in the null waves."""
+    import duckdb
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for fname in sorted(os.listdir(SRC)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(SRC, fname)
+        dst = os.path.join(dst_dir, fname)
+        if fname != "documents.parquet":
+            shutil.copyfile(src, dst)
+            continue
+        duckdb.sql(f"""
+COPY (
+  SELECT doc_id,
+         CASE WHEN hash(doc_id) % 50 = 0 THEN ''
+              WHEN hash(doc_id) % 50 = 1 THEN '   '
+              WHEN hash(doc_id) % 50 = 2 THEN 'single'
+              ELSE text END AS text,
+         lang, source,
+         CASE WHEN hash(doc_id) % 50 IN (0, 1, 2) THEN length(
+           CASE WHEN hash(doc_id) % 50 = 0 THEN ''
+                WHEN hash(doc_id) % 50 = 1 THEN '   '
+                ELSE 'single' END) ELSE n_chars END AS n_chars
+  FROM read_parquet('{src}')
+) TO '{dst}' (FORMAT PARQUET)""")
+    print(f"built {dst_dir} (degenerate text)", file=sys.stderr)
+
+
 def build_nulldata(inject: dict | None = None, dst_dir: str | None = None) -> None:
     import duckdb
 
@@ -126,24 +160,39 @@ def main() -> None:
                     help="ALSO null-inject the TPC-H value + FK columns "
                          "(NOT IN / anti-join / null-group-key paths) on "
                          "top of the wave-1 columns")
+    ap.add_argument("--degenerate-text", action="store_true",
+                    help="INSTEAD of null injection, rewrite ~6%% of "
+                         "documents.text to empty/whitespace-only/"
+                         "single-token strings (split('') = [''] class)")
     args = ap.parse_args()
 
-    dst = DST
-    inject = dict(INJECT)
-    if args.wave2:
-        dst = DST + "-w2"
-        inject = {
-            t: sorted(set(inject.get(t, [])) | set(INJECT_WAVE2.get(t, [])))
-            for t in set(inject) | set(INJECT_WAVE2)
-        }
-    if args.wave3:
-        dst = DST + "-w3"
-        inject = {
-            t: sorted(set(inject.get(t, [])) | set(INJECT_WAVE3.get(t, [])))
-            for t in set(inject) | set(INJECT_WAVE3)
-        }
-    if not args.skip_build:
-        build_nulldata(inject, dst)
+    if args.degenerate_text:
+        # --degenerate-text replaces null injection entirely (its own
+        # dataset + builder); wave flags are ignored
+        dst = "/tmp/degentext_sf0.001"
+        inject = {"documents": ["text (degenerate strings, not NULL)"]}
+        if not args.skip_build:
+            build_degenerate_text(dst)
+    else:
+        dst = DST
+        inject = dict(INJECT)
+        if args.wave2:
+            inject = {
+                t: sorted(set(inject.get(t, [])) | set(INJECT_WAVE2.get(t, [])))
+                for t in set(inject) | set(INJECT_WAVE2)
+            }
+        if args.wave3:
+            inject = {
+                t: sorted(set(inject.get(t, [])) | set(INJECT_WAVE3.get(t, [])))
+                for t in set(inject) | set(INJECT_WAVE3)
+            }
+        # each flag COMBINATION gets its own dataset dir — the combined
+        # wave must never overwrite a single wave's data, or a later
+        # --skip-build run of that wave silently tests the wrong inject
+        suffix = ("-w2" if args.wave2 else "") + ("-w3" if args.wave3 else "")
+        dst = DST + suffix
+        if not args.skip_build:
+            build_nulldata(inject, dst)
 
     import __spark_entry__ as entry_mod
 
