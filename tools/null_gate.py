@@ -112,6 +112,35 @@ COPY (
     print(f"built {dst_dir} (degenerate text)", file=sys.stderr)
 
 
+def build_malformed_json(dst_dir: str) -> None:
+    """events.props variant: ~8% malformed JSON ('{', '', 'not json',
+    '[1,2'). Spark's get_json_object is LENIENT (NULL on malformed);
+    DuckDB's json_extract_string ERRORS — oracles must guard with
+    json_valid to state the lenient engine contract."""
+    import duckdb
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for fname in sorted(os.listdir(SRC)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(SRC, fname)
+        dst = os.path.join(dst_dir, fname)
+        if fname != "events.parquet":
+            shutil.copyfile(src, dst)
+            continue
+        duckdb.sql(f"""
+COPY (
+  SELECT event_id, user_id, event_type, ts, value,
+         CASE WHEN hash(event_id) % 50 = 0 THEN '{{'
+              WHEN hash(event_id) % 50 = 1 THEN ''
+              WHEN hash(event_id) % 50 = 2 THEN 'not json'
+              WHEN hash(event_id) % 50 = 3 THEN '[1,2'
+              ELSE props END AS props
+  FROM read_parquet('{src}')
+) TO '{dst}' (FORMAT PARQUET)""")
+    print(f"built {dst_dir} (malformed json)", file=sys.stderr)
+
+
 def build_nulldata(inject: dict | None = None, dst_dir: str | None = None) -> None:
     import duckdb
 
@@ -164,15 +193,24 @@ def main() -> None:
                     help="INSTEAD of null injection, rewrite ~6%% of "
                          "documents.text to empty/whitespace-only/"
                          "single-token strings (split('') = [''] class)")
+    ap.add_argument("--malformed-json", action="store_true",
+                    help="INSTEAD of null injection, rewrite ~8%% of "
+                         "events.props to malformed JSON (lenient-"
+                         "extraction contract: NULL, never an error)")
     args = ap.parse_args()
 
     if args.degenerate_text:
-        # --degenerate-text replaces null injection entirely (its own
-        # dataset + builder); wave flags are ignored
+        # the string-content waves replace null injection entirely
+        # (their own dataset + builder); wave flags are ignored
         dst = "/tmp/degentext_sf0.001"
         inject = {"documents": ["text (degenerate strings, not NULL)"]}
         if not args.skip_build:
             build_degenerate_text(dst)
+    elif args.malformed_json:
+        dst = "/tmp/badjson_sf0.001"
+        inject = {"events": ["props (malformed JSON, not NULL)"]}
+        if not args.skip_build:
+            build_malformed_json(dst)
     else:
         dst = DST
         inject = dict(INJECT)

@@ -492,7 +492,13 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
 
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: events.props is a JSON string; pull
-    ``$.k``, cast, aggregate. JVM-side get_json_object — no UDF."""
+    ``$.k``, cast, aggregate. JVM-side get_json_object — no UDF.
+
+    Engine contract: extraction is LENIENT — malformed JSON yields
+    NULL (Spark get_json_object / BigQuery SAFE.JSON_EXTRACT
+    semantics), never an error. The oracle mirrors it with a
+    json_valid guard, since DuckDB's json_extract_string ERRORS on
+    malformed input (found by the round-5 malformed-JSON gate)."""
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -509,12 +515,19 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_JSON_PROPS_STATS = """
+WITH ext AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
-  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-FROM events
+  COUNT(k) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS k_total,
+  MIN(k) AS k_min,
+  MAX(k) AS k_max
+FROM ext
 GROUP BY event_type
 """
 
