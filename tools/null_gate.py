@@ -112,6 +112,44 @@ COPY (
     print(f"built {dst_dir} (degenerate text)", file=sys.stderr)
 
 
+def build_unicode_text(dst_dir: str) -> None:
+    """documents.text variant: ~10% accented / CJK / emoji / RTL /
+    Turkish-İ strings. Case folding is the divergence class: Java/ICU
+    full folding (Spark) maps U+0130 to 'i' + U+0307 while DuckDB's
+    simple folding gives bare 'i' — oracles pre-replace İ to state the
+    Spark contract (found by this gate in round 5)."""
+    import duckdb
+
+    os.makedirs(dst_dir, exist_ok=True)
+    variants = [
+        "Éléphant CAFÉ Straße ärger ÜBER naïve",
+        "数据 处理 引擎 スパーク データ 処理",
+        "emoji 🚀 test 🎉 mixed ascii 🚀 tokens",
+        "مرحبا بالعالم نص عربي تجريبي هنا",
+        "Türkçe İstanbul ışık DOTTED İİ test",
+    ]
+    cases = " ".join(
+        f"WHEN hash(doc_id) %% 50 = {i} THEN '{v}'" for i, v in enumerate(variants)
+    ).replace("%%", "%")
+    for fname in sorted(os.listdir(SRC)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(SRC, fname)
+        dst = os.path.join(dst_dir, fname)
+        if fname != "documents.parquet":
+            shutil.copyfile(src, dst)
+            continue
+        duckdb.sql(f"""
+COPY (
+  SELECT doc_id,
+         CASE {cases} ELSE text END AS text,
+         lang, source,
+         length(CASE {cases} ELSE text END) AS n_chars
+  FROM read_parquet('{src}')
+) TO '{dst}' (FORMAT PARQUET)""")
+    print(f"built {dst_dir} (unicode text)", file=sys.stderr)
+
+
 def build_malformed_json(dst_dir: str) -> None:
     """events.props variant: ~8% malformed JSON ('{', '', 'not json',
     '[1,2'). Spark's get_json_object is LENIENT (NULL on malformed);
@@ -197,6 +235,10 @@ def main() -> None:
                     help="INSTEAD of null injection, rewrite ~8%% of "
                          "events.props to malformed JSON (lenient-"
                          "extraction contract: NULL, never an error)")
+    ap.add_argument("--unicode-text", action="store_true",
+                    help="INSTEAD of null injection, rewrite ~10%% of "
+                         "documents.text to accented/CJK/emoji/RTL/"
+                         "Turkish-dotted-I strings (case-folding class)")
     args = ap.parse_args()
 
     if args.degenerate_text:
@@ -211,6 +253,11 @@ def main() -> None:
         inject = {"events": ["props (malformed JSON, not NULL)"]}
         if not args.skip_build:
             build_malformed_json(dst)
+    elif args.unicode_text:
+        dst = "/tmp/unicode_sf0.001"
+        inject = {"documents": ["text (unicode case-folding class, not NULL)"]}
+        if not args.skip_build:
+            build_unicode_text(dst)
     else:
         dst = DST
         inject = dict(INJECT)

@@ -65,9 +65,15 @@ N_QUERY_VECS = 5  # embeddings with vec_id < 5 are the query set
 
 # --- DuckDB fragments shared across oracles ---------------------------
 
+# Oracle-side lowering is written lower(replace(text, 'İ', 'i̇'))
+# everywhere: Java/ICU full case folding (Spark = the engine contract)
+# maps U+0130 to 'i' + U+0307 while DuckDB's simple folding gives bare
+# 'i' — U+0130 is the ONLY non-locale codepoint whose lowercase
+# mapping lengthens, so this single pre-replace makes oracle lower()
+# match Spark on all inputs (found by the round-5 unicode-text gate).
 DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 DUCK_NORMALIZED = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    "trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
 
@@ -351,7 +357,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_lang_id() -> str:
     langs = sorted(STOPWORDS)
-    lower_toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    lower_toks = "regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')"
     scores = ",\n    ".join(
         "CAST(len(list_intersect({t}, [{words}])) AS BIGINT) AS score_{lang}".format(
             t=lower_toks,
@@ -766,7 +772,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TFIDF_TOP_TERMS = """
 WITH terms AS (
   SELECT doc_id AS doc,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS term
   FROM documents
 ),
 filt AS (SELECT doc, term FROM terms WHERE length(term) >= 3),
@@ -1110,7 +1116,7 @@ def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REPETITION_RATIOS = """
 WITH toked AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS t
   FROM documents
 ),
 filt AS (SELECT * FROM toked WHERE len(t) >= 5),
@@ -1386,8 +1392,8 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE_MERGE_CANDIDATES = f"""
 WITH toks AS (
-  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
-  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+  SELECT regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) >= 2
 ),
 pairs AS (
   SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
@@ -1529,7 +1535,7 @@ def q_unigram_frequency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UNIGRAM_FREQUENCY = """
 WITH toks AS (
   SELECT doc_id AS doc,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS tok
   FROM documents
   WHERE trim(text) <> ''
 ),
@@ -1562,7 +1568,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VOCAB_STATS = """
 WITH toks AS (
   SELECT source AS grp,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS tok
   FROM documents
   WHERE trim(text) <> ''
 ),
@@ -2167,7 +2173,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BIGRAM_LM = """
 WITH toks AS (
-  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM documents
+  SELECT regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS ts FROM documents
 ),
 pairs AS (
   SELECT ts[i] AS w1, ts[i+1] AS w2
@@ -2448,7 +2454,7 @@ WITH occ AS (
   SELECT doc_id AS doc, is_t, {duck_h32('tok')} % 1024 AS bucket
   FROM (
     SELECT doc_id, (lang = 'en') AS is_t,
-           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+           unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS tok
     FROM documents
   )
   -- empty docs tokenize to ['']: dropped on both engines (text.py rule)
@@ -2537,7 +2543,7 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_LM_QUALITY = """
 WITH toks AS (
-  SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+  SELECT doc_id AS doc, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS ts
   FROM documents
 ),
 pairs AS (
@@ -2624,7 +2630,7 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BM25_RETRIEVAL = """
 WITH post AS (
   SELECT doc_id AS doc, term, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS term
         FROM documents)
   WHERE length(term) >= 3
   GROUP BY 1, 2
@@ -2638,7 +2644,7 @@ stats AS (
 dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
 qterms AS (
   SELECT DISTINCT doc_id AS query_id, term
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS term
         FROM documents WHERE doc_id < 5)
   WHERE length(term) >= 3
 ),
