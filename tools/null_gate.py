@@ -150,6 +150,37 @@ COPY (
     print(f"built {dst_dir} (unicode text)", file=sys.stderr)
 
 
+def build_extreme_values(dst_dir: str) -> None:
+    """events.value variant: ~6% extreme doubles (±1e308, 1e-308).
+    Divergence class: with ANSI off, Spark CAST(1e308 AS DECIMAL(p,s))
+    yields NULL; DuckDB CAST raises a conversion error (TRY_CAST is
+    the lenient twin). This wave MEASURES which oracles still assume
+    plain CAST — a red row here is an oracle-portability finding, not
+    an engine bug."""
+    import duckdb
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for fname in sorted(os.listdir(SRC)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(SRC, fname)
+        dst = os.path.join(dst_dir, fname)
+        if fname != "events.parquet":
+            shutil.copyfile(src, dst)
+            continue
+        duckdb.sql(f"""
+COPY (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN hash(event_id) % 50 = 0 THEN 1e308
+              WHEN hash(event_id) % 50 = 1 THEN -1e308
+              WHEN hash(event_id) % 50 = 2 THEN 1e-308
+              ELSE value END AS value,
+         props
+  FROM read_parquet('{src}')
+) TO '{dst}' (FORMAT PARQUET)""")
+    print(f"built {dst_dir} (extreme values)", file=sys.stderr)
+
+
 def build_malformed_json(dst_dir: str) -> None:
     """events.props variant: ~8% malformed JSON ('{', '', 'not json',
     '[1,2'). Spark's get_json_object is LENIENT (NULL on malformed);
@@ -239,6 +270,10 @@ def main() -> None:
                     help="INSTEAD of null injection, rewrite ~10%% of "
                          "documents.text to accented/CJK/emoji/RTL/"
                          "Turkish-dotted-I strings (case-folding class)")
+    ap.add_argument("--extreme-values", action="store_true",
+                    help="INSTEAD of null injection, rewrite ~6%% of "
+                         "events.value to ±1e308/1e-308 (decimal-cast "
+                         "overflow: Spark NULL vs DuckDB CAST error)")
     args = ap.parse_args()
 
     if args.degenerate_text:
@@ -258,6 +293,11 @@ def main() -> None:
         inject = {"documents": ["text (unicode case-folding class, not NULL)"]}
         if not args.skip_build:
             build_unicode_text(dst)
+    elif args.extreme_values:
+        dst = "/tmp/extreme_sf0.001"
+        inject = {"events": ["value (extreme doubles, not NULL)"]}
+        if not args.skip_build:
+            build_extreme_values(dst)
     else:
         dst = DST
         inject = dict(INJECT)

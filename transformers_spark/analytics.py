@@ -101,7 +101,7 @@ def q_moving_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MOVING_WINDOW_VALUE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS event_date,
-         SUM(CAST(value AS DECIMAL(12,4))) AS day_value
+         SUM(TRY_CAST(value AS DECIMAL(12,4))) AS day_value
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, event_date,
@@ -917,12 +917,12 @@ ORACLE_EVENT_VALUE_MOMENTS = """
 WITH s AS (
   SELECT event_type,
          COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(12,4))) AS sx,
-         SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS sxx,
+         SUM(TRY_CAST(value AS DECIMAL(12,4))) AS sx,
+         SUM(TRY_CAST(value AS DECIMAL(12,4)) * TRY_CAST(value AS DECIMAL(12,4))) AS sxx,
          SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))) AS sy,
          SUM(CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))
              * CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))) AS syy,
-         SUM(CAST(value AS DECIMAL(12,4))
+         SUM(TRY_CAST(value AS DECIMAL(12,4))
              * CAST(EXTRACT(hour FROM ts) AS DECIMAL(12,4))) AS sxy
   FROM events GROUP BY event_type
 )
@@ -1049,7 +1049,7 @@ ORACLE_EVENT_VALUE_BARS = """
 WITH binned AS (
   SELECT event_type,
          make_timestamp(epoch_us(ts) // 21600000000 * 21600000000) AS bar_start,
-         ts, event_id, CAST(value AS DECIMAL(12,4)) AS val
+         ts, event_id, TRY_CAST(value AS DECIMAL(12,4)) AS val
   FROM events
   -- Spark's window(ts, ...) assigns NULL ts to no bucket (row dropped);
   -- without this filter the oracle would emit a NULL-bar group
@@ -1424,7 +1424,7 @@ WITH assigned AS (
     make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
                    - k * 1800000000) AS window_start,
     event_type,
-    CAST(value AS DECIMAL(12,4)) AS val
+    TRY_CAST(value AS DECIMAL(12,4)) AS val
   FROM events, unnest([0, 1]) AS u(k)
   -- Spark's window(ts, ...) drops NULL ts rows; mirror that here
   WHERE ts IS NOT NULL

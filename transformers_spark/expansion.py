@@ -107,7 +107,7 @@ def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_USER_LTV_DECILES = """
 WITH per_user AS (
-  SELECT user_id, SUM(CAST(value AS DECIMAL(12,4))) AS ltv_dec
+  SELECT user_id, SUM(TRY_CAST(value AS DECIMAL(12,4))) AS ltv_dec
   FROM events GROUP BY user_id
 ),
 ranked AS (
@@ -649,7 +649,7 @@ WITH unpivoted AS (
   SELECT 'retailprice', p_retailprice FROM part
 )
 SELECT metric, COUNT(*) AS n_values,
-       CAST(SUM(CAST(val AS DECIMAL(12,4))) AS DOUBLE) AS total,
+       CAST(SUM(TRY_CAST(val AS DECIMAL(12,4))) AS DOUBLE) AS total,
        MIN(val) AS min_val, MAX(val) AS max_val
 FROM unpivoted GROUP BY metric
 """

@@ -64,7 +64,7 @@ SELECT
   event_type,
   COUNT(*)                                           AS n_events,
   COUNT(DISTINCT user_id)                            AS n_users,
-  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)  AS total_value
+  CAST(SUM(TRY_CAST(value AS DECIMAL(12,4))) AS DOUBLE)  AS total_value
 FROM events
 WHERE ts >= '__dstart__' AND ts < '__dend__'
 GROUP BY CAST(ts AS DATE), event_type
@@ -242,7 +242,7 @@ SELECT
   CAST(DATE_TRUNC('week', ts) AS DATE)                AS week_start_date,
   COUNT(*)                                            AS purchase_count,
   COUNT(DISTINCT user_id)                             AS buyer_count,
-  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)   AS purchase_value
+  CAST(SUM(TRY_CAST(value AS DECIMAL(12,4))) AS DOUBLE)   AS purchase_value
 FROM events
 WHERE LOWER(event_type) = 'purchase'
 GROUP BY CAST(DATE_TRUNC('week', ts) AS DATE)

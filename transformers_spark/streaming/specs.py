@@ -241,7 +241,7 @@ SELECT
   date_trunc('hour', ts) + INTERVAL 1 HOUR  AS window_end,
   event_type,
   COUNT(*)                                  AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+  CAST(SUM(TRY_CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
 FROM events
 -- Spark's window(ts, ...) assigns NULL event times to no bucket (the
 -- row is dropped, matching the watermark contract); mirror that here
@@ -273,7 +273,7 @@ WITH assigned AS (
     make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
                    - k * 1800000000) AS window_start,
     event_type,
-    CAST(value AS DECIMAL(12,4)) AS val
+    TRY_CAST(value AS DECIMAL(12,4)) AS val
   FROM events, unnest([0, 1]) AS u(k)
   -- Spark's window(ts, ...) drops NULL ts rows; mirror that here
   WHERE ts IS NOT NULL
