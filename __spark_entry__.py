@@ -48,9 +48,16 @@ def _cohort_order(names: list[str]) -> list[str]:
 
     status: dict[str, str] = {}
     green_round: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    # "latest round wins" must follow the PARSED round number, not the
+    # filename sort: an unpadded CORRECTNESS_r5.json sorts after
+    # CORRECTNESS_r10.json lexicographically and would let round 5
+    # overwrite round 10's status. Non-matching names are skipped.
+    matched = []
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        if m:
+            matched.append((int(m.group(1)), path))
+    for rnd, path in sorted(matched):
         try:
             with open(path) as fh:
                 data = json.load(fh)

@@ -66,7 +66,16 @@ def main() -> None:
     timings = one_pass()  # cold pass: the headline, comparable to r01-r04
     total = round(sum(timings.values()), 4)
 
-    warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    raw_warm = os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")
+    try:
+        warm_runs = max(0, int(raw_warm))
+    except ValueError:
+        print(
+            f"bench: SPARK_GRAFT_WARM_RUNS={raw_warm!r} is not an integer; "
+            "using default 3",
+            file=sys.stderr,
+        )
+        warm_runs = 3
     warm_passes = [one_pass() for _ in range(warm_runs)]
     warm: dict[str, float] = {}
     if warm_passes:

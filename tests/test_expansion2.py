@@ -134,6 +134,47 @@ def test_basket_pairs_null_partkeys_excluded(spark, tmp_path):
     assert abs(r["lift"] - 1.5) < 1e-12
 
 
+def test_basket_pairs_cap_excludes_mega_basket(spark, tmp_path):
+    """The BASKET_CAP contract: an order with more distinct parts than
+    the cap contributes NOTHING (no pairs, no marginals, not counted in
+    n_orders) — the quadratic blowup is excluded, not materialized."""
+    import os
+    from datetime import datetime
+
+    from transformers_spark.expansion2 import BASKET_CAP, q_order_basket_pairs
+
+    rows = []
+    # degenerate order 99: BASKET_CAP + 1 distinct parts
+    for i in range(BASKET_CAP + 1):
+        rows.append(
+            (99, 1000 + i, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+             datetime(1995, 1, 1))
+        )
+    # normal orders: parts 10, 20 co-occur twice
+    for ok, day in [(1, 1), (2, 2)]:
+        rows.append((ok, 10, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                     datetime(1995, 1, day)))
+        rows.append((ok, 20, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                     datetime(1995, 1, day)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = str(tmp_path / "sfcap")
+    os.makedirs(sf, exist_ok=True)
+    li.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    out = q_order_basket_pairs(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p1"], r["p2"], r["n_together"]) == (10, 20, 2)
+    # n_orders counts only qualifying orders (2, not 3):
+    # lift = 2 * 2 / (2 * 2) = 1.0
+    assert abs(r["lift"] - 1.0) < 1e-12
+
+
 def test_event_path_counts_ordering_and_threshold(spark, tmp_path):
     """Paths use the first 3 events by (ts, event_id); user-days with
     fewer than 3 events don't qualify."""
@@ -301,3 +342,10 @@ def test_expansion2_plan_shapes(spark):
             assert "TakeOrderedAndProject" in plan, name
         if forbid_single:
             assert "SinglePartition" not in plan, name
+        if name == "event_path_counts":
+            # the r6 cardinality guard: the first-3 slice must stay the
+            # two-phase WindowGroupLimit (map-side partial top-k before
+            # the (user, day) exchange) — a plain Window+filter would
+            # ship whole bot user-days into the shuffle
+            assert "WindowGroupLimit" in plan, name
+            assert ", Partial" in plan and ", Final" in plan, name

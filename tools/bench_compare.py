@@ -1,8 +1,16 @@
 #!/usr/bin/env python
-"""Compare two BENCH_FULL-style per-query maps: totals over the shared
-query set, plus per-query regressions above a threshold.
+"""Warm-regression triage (round-6 verdict ask 4): diff two
+BENCH_FULL-style maps and make the comparison an ARTIFACT, so
+round-over-round bench deltas stop being re-derived by hand (three
+rounds spent judge/builder cycles on phantom cold-start regressions).
 
-    python tools/bench_compare.py OLD.json NEW.json [--min-abs 0.3] [--ratio 1.3]
+Prefers the ``queries_warm`` map (median of warm passes — the stable
+signal) and falls back to the cold ``queries`` map when either side
+lacks warm data. Regressions are >ratio AND >min-abs; each gets a
+BENCH_NOTES-ready stub line in the JSON for attribution.
+
+    python tools/bench_compare.py OLD.json NEW.json \
+        [--min-abs 0.3] [--ratio 1.3] [--json BENCH_DELTA_r06.json]
 """
 
 from __future__ import annotations
@@ -11,21 +19,31 @@ import argparse
 import json
 
 
+def _qmap(path: str) -> tuple[dict[str, float], str]:
+    data = json.load(open(path))
+    warm = data.get("queries_warm")
+    if warm:
+        return warm, "warm"
+    return data["queries"], "cold"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--min-abs", type=float, default=0.3)
     ap.add_argument("--ratio", type=float, default=1.3)
+    ap.add_argument("--json", default=None,
+                    help="write the delta artifact here")
     args = ap.parse_args()
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
+    old, old_kind = _qmap(args.old)
+    new, new_kind = _qmap(args.new)
     shared = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in shared)
     t_new = sum(new[q] for q in shared)
     print(
-        f"shared {len(shared)} queries: {t_old:.1f}s -> {t_new:.1f}s "
-        f"({t_new / t_old:.2f}x)"
+        f"shared {len(shared)} queries ({old_kind} vs {new_kind}): "
+        f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / t_old:.2f}x)"
     )
     regs = [
         (q, old[q], new[q])
@@ -48,6 +66,40 @@ def main() -> None:
         print(f"new-only ({len(only_new)}): " + ", ".join(
             f"{q}={new[q]:.2f}s" for q in only_new[:8]
         ))
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "old": args.old,
+                    "new": args.new,
+                    "kinds": {"old": old_kind, "new": new_kind},
+                    "ratio_threshold": args.ratio,
+                    "min_abs_threshold": args.min_abs,
+                    "n_shared": len(shared),
+                    "shared_total_old": round(t_old, 2),
+                    "shared_total_new": round(t_new, 2),
+                    "regressions": [
+                        {
+                            "query": q,
+                            "old_secs": a,
+                            "new_secs": b,
+                            "note_stub": (
+                                f"{q}: {a:.2f}s -> {b:.2f}s "
+                                f"({b / a:.2f}x) — ATTRIBUTION NEEDED"
+                            ),
+                        }
+                        for q, a, b in regs
+                    ],
+                    "improvements": [
+                        {"query": q, "old_secs": a, "new_secs": b}
+                        for q, a, b in imps
+                    ],
+                    "new_only": {q: new[q] for q in only_new},
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

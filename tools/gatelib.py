@@ -1,0 +1,102 @@
+"""Shared dual-engine compare loop for the robustness gates.
+
+Every gate (null waves, degenerate text, malformed JSON, unicode,
+extreme values, empty-input, duplicate-row, adversarial-skew) runs the
+same check: build a mutated copy of sf0.001, then run every catalog
+query on BOTH engines over it and demand equality. This module holds
+the one loop they all share so a fix lands everywhere at once.
+
+A loud ERROR can be a contract (operators like ntiles_wide reject
+null keys by design; codebook training rejects empty input) — gates
+pass an ``expected_errors`` map {query: exception-name} to pin WHICH
+queries legitimately error on a wave's data, and the loop greens them
+only when the raised type matches the pin.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+
+def compare_queries(
+    spark,
+    qs: dict,
+    names: list[str],
+    dst: str,
+    expected_errors: dict[str, str] | None = None,
+) -> dict[str, dict]:
+    """Run each query on Spark and its oracle on DuckDB over ``dst``;
+    return {name: {"status", "secs", ...}}. status is one of
+    green | green (expected <Exc>) | MISMATCH | ERROR (<Exc>)."""
+    from transformers_spark import cache
+    from transformers_spark.canon import (
+        duckdb_connect_views,
+        normalize_rows,
+        pandas_canon,
+    )
+    from transformers_spark.queries import oracle_for
+
+    expected_errors = expected_errors or {}
+    out: dict[str, dict] = {}
+    for i, name in enumerate(names):
+        sdf = None
+        t0 = time.perf_counter()
+        try:
+            oracle = oracle_for(name, dst)
+            if oracle is None:
+                continue
+            sdf = qs[name](spark, dst).persist()
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            con = duckdb_connect_views(dst)
+            res = con.execute(oracle)
+            duck_cols = [d[0].lower() for d in res.description]
+            duck_rows = res.fetchall()
+            ok = (
+                len(spark_rows) == len(duck_rows)
+                and sorted(spark_cols) == sorted(duck_cols)
+                and normalize_rows(spark_rows, spark_cols)
+                == normalize_rows(duck_rows, duck_cols)
+                and pandas_canon(sdf.toPandas())
+                == pandas_canon(con.execute(oracle).fetch_df())
+            )
+            row = {
+                "status": "green" if ok else "MISMATCH",
+                "rows": len(spark_rows),
+            }
+        except Exception as exc:
+            exc_name = type(exc).__name__
+            if expected_errors.get(name) == exc_name:
+                row = {"status": f"green (expected {exc_name})", "rows": None}
+            else:
+                row = {
+                    "status": f"ERROR ({exc_name})",
+                    "rows": None,
+                    "traceback": traceback.format_exc(limit=3),
+                }
+        finally:
+            if sdf is not None:
+                sdf.unpersist()
+            cache.release()
+        row["secs"] = round(time.perf_counter() - t0, 3)
+        out[name] = row
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {row['status']}"
+            f" ({row['secs']}s)",
+            file=sys.stderr,
+        )
+    return out
+
+
+def summarize(results: dict[str, dict]) -> dict:
+    greens = [n for n, r in results.items() if r["status"].startswith("green")]
+    mism = [n for n, r in results.items() if r["status"] == "MISMATCH"]
+    errs = [n for n, r in results.items() if r["status"].startswith("ERROR")]
+    return {
+        "n_checked": len(results),
+        "n_green": len(greens),
+        "mismatches": mism,
+        "errors": errs,
+    }

@@ -25,7 +25,6 @@ import argparse
 import os
 import shutil
 import sys
-import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -75,6 +74,8 @@ KEY = {
     "lineitem": "(l_orderkey * 8 + l_linenumber)",
     "part": "p_partkey",
     "supplier": "s_suppkey",
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
 }
 
 
@@ -210,6 +211,38 @@ COPY (
     print(f"built {dst_dir} (malformed json)", file=sys.stderr)
 
 
+def build_duplicate_rows(dst_dir: str) -> None:
+    """EVERY table gets ~1% exact duplicate rows (ids included) via a
+    deterministic hash-sample UNION ALL. Divergence class: the oracle
+    determinism convention breaks ties on id columns (event_id, doc_id,
+    ...) — with non-unique ids those ties become nondeterministic in
+    BOTH engines unless the tied rows are bit-identical (they are, by
+    construction here) or the query reduces them (DISTINCT / aggregate).
+    A red row here means a query's output ORDER or slice depends on
+    which physical duplicate won — a real contract hole."""
+    import duckdb
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for fname in sorted(os.listdir(SRC)):
+        if not fname.endswith(".parquet"):
+            continue
+        table = fname[: -len(".parquet")]
+        src = os.path.join(SRC, fname)
+        dst = os.path.join(dst_dir, fname)
+        key = KEY[table]
+        # tiny dimensions (region 5 / nation 25 rows) would rarely hit a
+        # 1% sample — duplicate every ~4th row there so the wave
+        # actually exercises duplicated dimension keys
+        mod = 100 if table not in ("region", "nation") else 4
+        duckdb.sql(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}')
+  UNION ALL
+  SELECT * FROM read_parquet('{src}') WHERE hash({key}) % {mod} = 0
+) TO '{dst}' (FORMAT PARQUET)""")
+    print(f"built {dst_dir} (duplicate rows)", file=sys.stderr)
+
+
 def build_nulldata(inject: dict | None = None, dst_dir: str | None = None) -> None:
     import duckdb
 
@@ -274,6 +307,11 @@ def main() -> None:
                     help="INSTEAD of null injection, rewrite ~6%% of "
                          "events.value to ±1e308/1e-308 (decimal-cast "
                          "overflow: Spark NULL vs DuckDB CAST error)")
+    ap.add_argument("--duplicate-rows", action="store_true",
+                    help="INSTEAD of null injection, UNION ALL a ~1%% "
+                         "exact-duplicate sample into EVERY table "
+                         "(duplicated ids: the id-tiebreak determinism "
+                         "class)")
     args = ap.parse_args()
 
     if args.degenerate_text:
@@ -298,6 +336,11 @@ def main() -> None:
         inject = {"events": ["value (extreme doubles, not NULL)"]}
         if not args.skip_build:
             build_extreme_values(dst)
+    elif args.duplicate_rows:
+        dst = "/tmp/duprows_sf0.001"
+        inject = {"*": ["~1% exact duplicate rows, ids included"]}
+        if not args.skip_build:
+            build_duplicate_rows(dst)
     else:
         dst = DST
         inject = dict(INJECT)
@@ -320,14 +363,8 @@ def main() -> None:
             build_nulldata(inject, dst)
 
     import __spark_entry__ as entry_mod
+    from gatelib import compare_queries, summarize
 
-    from transformers_spark import cache
-    from transformers_spark.canon import (
-        duckdb_connect_views,
-        normalize_rows,
-        pandas_canon,
-    )
-    from transformers_spark.queries import oracle_for
     from transformers_spark.session import get_spark
 
     qs = entry_mod.queries()
@@ -336,63 +373,23 @@ def main() -> None:
     spark = get_spark(app_name="null-robustness-gate")
     spark.sparkContext.setLogLevel("ERROR")
 
-    mismatches: list[str] = []
-    errors: list[tuple[str, str]] = []
-    for i, name in enumerate(names):
-        sdf = None
-        try:
-            oracle = oracle_for(name, dst)
-            if oracle is None:
-                continue
-            sdf = qs[name](spark, dst).persist()
-            spark_cols = [c.lower() for c in sdf.columns]
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            con = duckdb_connect_views(dst)
-            res = con.execute(oracle)
-            duck_cols = [d[0].lower() for d in res.description]
-            duck_rows = res.fetchall()
-            ok = (
-                len(spark_rows) == len(duck_rows)
-                and sorted(spark_cols) == sorted(duck_cols)
-                and normalize_rows(spark_rows, spark_cols)
-                == normalize_rows(duck_rows, duck_cols)
-                and pandas_canon(sdf.toPandas())
-                == pandas_canon(con.execute(oracle).fetch_df())
-            )
-            status = "green" if ok else "MISMATCH"
-            if not ok:
-                mismatches.append(name)
-        except Exception as exc:
-            status = f"ERROR ({type(exc).__name__})"
-            errors.append((name, traceback.format_exc(limit=3)))
-        finally:
-            if sdf is not None:
-                sdf.unpersist()
-            cache.release()
-        print(f"[{i + 1}/{len(names)}] {name}: {status}", file=sys.stderr)
+    results = compare_queries(spark, qs, names, dst)
+    summ = summarize(results)
 
     print("\n=== NULL-GATE SUMMARY ===")
-    print(f"checked: {len(names)}  mismatches: {len(mismatches)}  errors: {len(errors)}")
-    for n in mismatches:
+    print(
+        f"checked: {summ['n_checked']}  mismatches: "
+        f"{len(summ['mismatches'])}  errors: {len(summ['errors'])}"
+    )
+    for n in summ["mismatches"]:
         print("MISMATCH:", n)
-    for n, tb in errors:
-        print(f"--- ERROR {n} ---\n{tb}")
+    for n in summ["errors"]:
+        print(f"--- ERROR {n} ---\n{results[n].get('traceback', '')}")
     if args.json:
         import json
 
         with open(args.json, "w") as fh:
-            json.dump(
-                {
-                    "data": dst,
-                    "inject": inject,
-                    "n_checked": len(names),
-                    "n_green": len(names) - len(mismatches) - len(errors),
-                    "mismatches": mismatches,
-                    "errors": [n for n, _ in errors],
-                },
-                fh,
-                indent=1,
-            )
+            json.dump({"data": dst, "inject": inject, **summ}, fh, indent=1)
         print(f"wrote {args.json}")
     spark.stop()
 

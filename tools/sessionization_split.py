@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Round-6 verdict ask 7: split streaming_sessionization's headline
+cost into harness setup vs per-batch operator work, from the
+StreamingQuery's own progress metrics (not guesswork).
+
+Phases measured, over N repeats at the given sf (first repeat after a
+JVM warmup, so every number is warm):
+
+* source prep  — _stream_flush_source_dir (cache-hit path after run 1)
+* drain        — start() + awaitTermination(), split via
+                 recentProgress into addBatch (operator + sink) vs
+                 everything else (stream setup, offset log, planning)
+* readback     — the memory-table scan + sentinel filter + collect
+
+    python tools/sessionization_split.py [--sf-dir /root/testdata/sf0.1] [--n 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from transformers_spark.session import get_spark
+    from transformers_spark.streaming.specs import (
+        SENTINEL_USER,
+        _stream_flush_source_dir,
+    )
+    from transformers_spark.streaming.windows import (
+        sessionize,
+        shuffle_partitions,
+    )
+
+    spark = get_spark(app_name="sessionization-split")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM warmup (same as bench.py)
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    rows = []
+    for i in range(args.n):
+        t0 = time.perf_counter()
+        source = _stream_flush_source_dir(spark, args.sf_dir)
+        t_prep = time.perf_counter() - t0
+
+        with shuffle_partitions(spark, 8):
+            sdf = sessionize(
+                spark, source, timeout="event", max_files_per_trigger=1
+            )
+            name = (
+                "sess_split_"
+                + hashlib.md5(f"{args.sf_dir}:{i}".encode()).hexdigest()[:8]
+            )
+            t1 = time.perf_counter()
+            query = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+            t_drain = time.perf_counter() - t1
+            progress = [json.loads(p) for p in query.recentProgress]
+            t2 = time.perf_counter()
+            n_rows = (
+                spark.table(name)
+                .filter(F.col("user_id") != SENTINEL_USER)
+                .count()
+            )
+            t_read = time.perf_counter() - t2
+
+        add_batch_ms = sum(
+            p.get("durationMs", {}).get("addBatch", 0) for p in progress
+        )
+        total_trigger_ms = sum(
+            p.get("durationMs", {}).get("triggerExecution", 0)
+            for p in progress
+        )
+        rows.append(
+            {
+                "run": i,
+                "prep_s": round(t_prep, 3),
+                "drain_s": round(t_drain, 3),
+                "addBatch_s": round(add_batch_ms / 1000, 3),
+                "trigger_s": round(total_trigger_ms / 1000, 3),
+                "stream_overhead_s": round(t_drain - add_batch_ms / 1000, 3),
+                "readback_s": round(t_read, 3),
+                "n_batches": len(progress),
+                "rows": n_rows,
+            }
+        )
+        print(rows[-1], file=sys.stderr)
+
+    print(json.dumps({"sf_dir": args.sf_dir, "runs": rows}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

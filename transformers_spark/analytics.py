@@ -143,7 +143,14 @@ SELECT
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS volume
 FROM orders
 GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), o_orderstatus)
+HAVING COUNT(*) > 0
 """
+# HAVING COUNT(*) > 0 states the Spark grouping-sets contract on EMPTY
+# input: Spark expands grouping sets by duplicating input rows (Expand
+# operator), so zero input rows -> zero groups -> zero output, while
+# standard SQL's () grand-total set emits one count-0 row. On non-empty
+# input every group has >= 1 row, so the clause is a no-op. See
+# ORACLES.md (empty-input grouping sets).
 
 
 def q_grouping_sets_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +868,10 @@ SELECT
   CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """
+# HAVING: Spark Expand-based grouping sets emit NO grand-total row on
+# empty input (see ORACLE_ROLLUP_ORDER_VOLUME note / ORACLES.md).
 
 
 def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from . import cache
 from .operators.dedup import _word_ngrams
-from .operators.hashing import duck_h32, h32
+from .operators.hashing import duck_h32, duck_h60, h32, h60
 from .operators.specs import DUCK_TOKENS, _duck_grams
 from .sources.testdata import register_tables
 
@@ -61,6 +61,16 @@ __all__ = ["expansion2_specs"]
 NOVELTY_GRAM_N = 5
 KMV_ROLLUP_K = 64
 HASH_SPACE = 1 << 32
+# Pair mining is quadratic per basket: a basket of m parts emits
+# m(m-1)/2 pairs IN ONE JOIN KEY'S output. The cap bounds that at
+# ~32k pairs/order and EXCLUDES degenerate baskets from the metric
+# (a 10k-part bot order is noise for market-basket support, and its
+# 50M pairs would land on a single task). Enforced identically in the
+# oracle; TPC-H baskets max out at 7, so real data is never excluded.
+BASKET_CAP = 256
+# First-N path mining keeps only this many events per (user, day)
+# before any collect — WindowGroupLimit bounds the shuffle.
+PATH_STEPS = 3
 
 
 # ---------------------------------------------------------------------------
@@ -74,12 +84,16 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains them)? The standard corpus-duplication curve used to
     decide how aggressively to dedup before training.
 
-    Scale shape: shingles shuffle ONCE on their 32-bit hash (md5-h32,
+    Scale shape: shingles shuffle ONCE on their 60-bit hash (md5-h60,
     portable — the oracle collides identically, and hashing keeps the
     shuffle key 8 bytes instead of a ~25-char gram string); novelty is
     a min-over-window comparison on that same partitioning — no
     self-join, no second shuffle of the postings. The rollup is an
     ordinary per-source hash aggregate. Never |docs|² anywhere.
+    60 bits (not 32) because birthday collisions fold distinct grams
+    together and bias novelty DOWN by ~N²/2^33 at 32 bits — at 60 bits
+    the bias is N²/2^61, negligible to ~10^8 distinct shingles (the
+    residual is part of the metric's contract; see ORACLES.md).
     """
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
@@ -90,7 +104,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(_word_ngrams(F.col("toks"), NOVELTY_GRAM_N)).alias("gram"),
-    ).select("doc_id", "source", h32(F.col("gram")).alias("gh"))
+    ).select("doc_id", "source", h60(F.col("gram")).alias("gh"))
     first_doc = F.min("doc_id").over(W.partitionBy("gh"))
     tagged = grams.select(
         "doc_id",
@@ -115,7 +129,7 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, source,
-         {duck_h32(f"unnest({_duck_grams(NOVELTY_GRAM_N)})")} AS gh
+         {duck_h60(f"unnest({_duck_grams(NOVELTY_GRAM_N)})")} AS gh
   FROM toks
 ),
 tagged AS (
@@ -147,7 +161,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash) posting set — ONE dedup shuffle over the corpus. The pair
     expansion is a self-equi-join on the hash whose per-key fan-out is
     bounded by the number of SOURCES (a handful), never by posting
-    length; marginals are |sources| rows and broadcast.
+    length; marginals are |sources| rows and broadcast. Hashes are
+    60-bit md5-h60 (not 32): birthday collisions join unrelated grams
+    and bias overlap UP at 32 bits; 60 bits makes that N²/2^61
+    (contract in ORACLES.md).
     """
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
@@ -165,7 +182,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gram"
             ),
         )
-        .select("source", h32(F.col("gram")).alias("gh"))
+        .select("source", h60(F.col("gram")).alias("gh"))
         .distinct()
         .persist()
     )
@@ -202,7 +219,7 @@ WITH toks AS (
 ),
 sg AS (
   SELECT DISTINCT source,
-         {duck_h32(f"unnest({_duck_grams(NOVELTY_GRAM_N)})")} AS gh
+         {duck_h60(f"unnest({_duck_grams(NOVELTY_GRAM_N)})")} AS gh
   FROM toks
 ),
 common AS (
@@ -231,11 +248,18 @@ def q_event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind funnel mining. Only user-days with >= 3 events qualify, so
     every path has exactly 3 steps; ordering ties break on event_id.
 
-    Scale shape: ONE (user, day) keyed aggregate — collect_list is
-    safe because a user-day's event count is bounded by human behavior
-    (and the slice keeps 3); the path rollup is an ordinary hash
-    aggregate and the final top-10 is TakeOrderedAndProject
-    (distributed partial top-k), never a global sort.
+    Scale shape: events are rank-sliced to the first 3 PER (user, day)
+    BEFORE any collect — ``row_number() <= 3`` compiles to Spark's
+    two-phase ``WindowGroupLimit`` (map-side partial top-k before the
+    keyed exchange), so a degenerate 100k-event bot user-day ships at
+    most 3 rows into the aggregate instead of materializing a 100k
+    element collect_list (round-5 verdict: enforce the bound, don't
+    narrate it). The >=3 qualifier is "kept exactly 3 after the
+    slice" — equivalent to the old size(es) >= 3 but computed on the
+    bounded frame. Path rollup is an ordinary hash aggregate; the
+    final top-10 is TakeOrderedAndProject, never a global sort.
+    Skew-gated: tools/skew_gate.py injects a 50k-event user-day and
+    re-runs the dual compare (SKEWGATE_r06.json).
     """
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events").filter(
@@ -243,25 +267,34 @@ def q_event_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("user_id").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    per_day = (
+    w3 = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    first3 = (
         ev.select(
             "user_id",
             F.to_date("ts").alias("day"),
-            F.struct(
-                F.col("ts").alias("ts"),
-                F.col("event_id").alias("event_id"),
-                F.col("event_type").alias("event_type"),
-            ).alias("e"),
+            "ts",
+            "event_id",
+            "event_type",
         )
-        .groupBy("user_id", "day")
-        .agg(F.sort_array(F.collect_list("e")).alias("es"))
-        .filter(F.size("es") >= 3)
-        .select(
+        .withColumn("rk", F.row_number().over(w3))
+        .filter(F.col("rk") <= 3)
+    )
+    per_day = (
+        first3.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
             F.array_join(
-                F.transform(F.slice("es", 1, 3), lambda s: s["event_type"]),
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rk", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
                 ">",
-            ).alias("path")
+            ).alias("path"),
         )
+        .filter(F.col("n_kept") == 3)
+        .select("path")
     )
     return (
         per_day.groupBy("path")
@@ -300,8 +333,14 @@ def q_order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against independence — the a-priori support/lift primitive.
 
     Scale shape: the self-join is scoped to the ORDER key, so pair
-    expansion is bounded by basket size squared (baskets are small by
-    construction of commerce), never |lineitem|²; marginals and the
+    expansion is bounded by basket size squared — and the bound is
+    ENFORCED, not assumed: orders with more than BASKET_CAP distinct
+    parts are excluded from the metric (window count over the okey
+    partitioning the join reuses; the cap is part of the metric's
+    contract and mirrored in the oracle — degenerate mega-baskets are
+    noise for support/lift and would put m²/2 pairs on one join key's
+    task). Skew-gated: tools/skew_gate.py injects a 5k-part order and
+    re-runs the dual compare (SKEWGATE_r06.json). Marginals and the
     1-row order count broadcast into the projection. NULL part keys
     drop out of pairs by construction (NULL < x is never TRUE) and are
     excluded from marginals to match.
@@ -317,6 +356,9 @@ def q_order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
         )
         .distinct()
+        .withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("okey")))
+        .filter(F.col("bsz") <= BASKET_CAP)
+        .select("okey", "pkey")
         .persist()
     )
     a = op.select("okey", F.col("pkey").alias("p1"))
@@ -363,10 +405,15 @@ def q_order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ORDER_BASKET_PAIRS = """
-WITH op AS (
+ORACLE_ORDER_BASKET_PAIRS = f"""
+WITH op0 AS (
   SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
   FROM lineitem WHERE l_partkey IS NOT NULL
+),
+op AS (
+  SELECT okey, pkey FROM (
+    SELECT okey, pkey, COUNT(*) OVER (PARTITION BY okey) AS bsz FROM op0
+  ) WHERE bsz <= {BASKET_CAP}
 ),
 pairs AS (
   SELECT a.pkey AS p1, b.pkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_together
@@ -583,9 +630,14 @@ SELECT CAST(vocab_size AS INT) AS vocab_size,
        CAST(SUM(c) AS BIGINT) AS total_tokens,
        CAST(COALESCE(SUM(CASE WHEN rn <= vocab_size THEN c END), 0) AS DOUBLE)
          / CAST(SUM(c) AS DOUBLE) AS coverage
-FROM points CROSS JOIN ranked
+FROM points LEFT JOIN ranked ON TRUE
 GROUP BY vocab_size
 """
+# LEFT JOIN (not CROSS JOIN): on an EMPTY corpus the engine still
+# emits every curve point — Spark's ungrouped agg over zero rows
+# yields one all-NULL row, so the curve is (v, 0, NULL, NULL) per
+# point. A CROSS JOIN with an empty ranked frame would drop the
+# points entirely. Equivalent on non-empty input. See ORACLES.md.
 
 
 # ---------------------------------------------------------------------------

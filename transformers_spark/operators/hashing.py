@@ -42,6 +42,17 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def h60(col: Column) -> Column:
+    """60-bit integer hash via md5 (portable). 15 hex chars — NOT 16 —
+    so the value stays < 2^60 and is exact in a signed int64 in both
+    engines (16 chars can exceed 2^63-1 and overflow-diverge). Use for
+    shingle/identity keys where 32-bit birthday collisions (~N²/2^33)
+    would bias a metric at corpus scale (novelty down, overlap up);
+    at 60 bits the collision expectation is N²/2^61 — negligible for
+    N up to ~10^8 distinct shingles per hash domain."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def h32_fast(col: Column) -> Column:
     """32-bit hash via JVM xxhash64 folded into [0, 2^32) — cheaper
     than md5 (no digest + hex round-trip; ~25% on simhash at sf0.1,
@@ -70,6 +81,10 @@ def perm_hash(h: Column, a: int, b: int) -> Column:
 
 def duck_h32(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def duck_h60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def duck_perm_hash(h_expr: str, a: int, b: int) -> str:

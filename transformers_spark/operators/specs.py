@@ -911,11 +911,20 @@ def _multimodal_oracle(kind: str, docs_path: str = _MULTIMODAL_ORACLE_DOCS) -> "
         "audio": ("media_id", "duration_ms", "sample_rate", "rms_level", "n_bytes"),
         "resize": ("media_id", "resized_bytes", "width", "height", "n_sampled_frames"),
     }[kind]
-    values = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     select = ", ".join(
         c if c in ("media_id", "content_hash") else f"CAST({c} AS INT) AS {c}"
         for c in cols
     )
+    if not rows:
+        # zero documents (empty-input wave): the engine returns an
+        # empty frame with the full schema — emit a typed zero-row
+        # literal, not a bare `VALUES` (which is a parse error)
+        nulls = ", ".join("NULL" for _ in cols)
+        return (
+            f"SELECT {select} FROM (VALUES ({nulls})) "
+            f"AS t({', '.join(cols)}) WHERE 1 = 0"
+        )
+    values = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return (
         f"SELECT {select} FROM (VALUES {values}) AS t({', '.join(cols)})"
     )
@@ -1201,10 +1210,21 @@ sk2 AS (
   SELECT grp, CASE WHEN n < 64 THEN 4294967296.0 ELSE kth::DOUBLE END AS theta, hs
   FROM sk
 ),
+-- the (view, purchase) pair is a QUERY PARAMETER, not data: the
+-- engine reports zero estimates for the requested pair even when one
+-- or both sides have no rows (empty-input wave), so the pair row is a
+-- literal and the sketches LEFT JOIN onto it (missing side = empty
+-- sketch: theta 2^32, no retained hashes)
+pairs AS (SELECT 'view' AS group_a, 'purchase' AS group_b),
 j AS (
-  SELECT a.grp AS group_a, b.grp AS group_b,
-         least(a.theta, b.theta) AS th, a.hs AS ha, b.hs AS hb
-  FROM sk2 a, sk2 b WHERE a.grp = 'view' AND b.grp = 'purchase'
+  SELECT p.group_a, p.group_b,
+         least(coalesce(a.theta, 4294967296.0),
+               coalesce(b.theta, 4294967296.0)) AS th,
+         coalesce(a.hs, CAST([] AS BIGINT[])) AS ha,
+         coalesce(b.hs, CAST([] AS BIGINT[])) AS hb
+  FROM pairs p
+  LEFT JOIN sk2 a ON a.grp = p.group_a
+  LEFT JOIN sk2 b ON b.grp = p.group_b
 ),
 f AS (
   SELECT group_a, group_b, th,

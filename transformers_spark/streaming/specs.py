@@ -140,11 +140,18 @@ def _stream_flush_source_dir(spark: SparkSession, sf_dir: str) -> str:
             import pandas as pd
 
             max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-            max_ts_us = pd.Timestamp(max_ts).value // 1000
+            max_ts_us = (
+                None if max_ts is None else pd.Timestamp(max_ts).value // 1000
+            )
         else:
             max_ts_us = ev.agg(
                 F.max(F.unix_micros(F.col("ts"))).alias("m")
             ).collect()[0]["m"]
+        if max_ts_us is None:
+            # zero events (or all-NULL ts): no real sessions can exist,
+            # but the drain must still run and flush — anchor the
+            # sentinels at epoch so the watermark math stays valid
+            max_ts_us = 0
         n_files = 2
         (
             ev.repartitionByRange(n_files, "ts")
