@@ -1434,3 +1434,58 @@ def test_null_vector_and_event_time_contracts(spark):
         ev.write.parquet(os.path.join(d, "events.parquet"))
         out = q_batch_sessionization(spark, d).collect()
         assert len(out) == 1 and out[0]["n_events"] == 1
+
+
+def test_minhash_lsh_pairs_duplicate_rows_dont_inflate_bands(spark):
+    """Exact duplicate rows (ids included) must leave matching_bands
+    unchanged — the bucket-member array_distinct collapse (duplicate-
+    row gate r6, ORACLES.md #15)."""
+    from transformers_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta")]
+    clean = spark.createDataFrame(base, ["doc_id", "text"])
+    dirty = spark.createDataFrame(base + [base[0]], ["doc_id", "text"])
+    c = {(r["d1"], r["d2"]): r["matching_bands"]
+         for r in minhash_lsh_pairs(clean, num_perm=16, bands=4).collect()}
+    d = {(r["d1"], r["d2"]): r["matching_bands"]
+         for r in minhash_lsh_pairs(dirty, num_perm=16, bands=4).collect()}
+    assert c == d
+
+
+def test_ngram_jaccard_duplicate_rows_dont_inflate(spark):
+    """Duplicate rows must not push jaccard above 1 or change scores
+    — the posting-list array_distinct collapse (ORACLES.md #15)."""
+    from transformers_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = [(1, "a b c d e f"), (2, "a b c d e g")]
+    clean = spark.createDataFrame(base, ["doc_id", "text"])
+    dirty = spark.createDataFrame(base + [base[1]], ["doc_id", "text"])
+    c = {(r["d1"], r["d2"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(clean, n=3, threshold=0.1).collect()}
+    d = {(r["d1"], r["d2"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(dirty, n=3, threshold=0.1).collect()}
+    assert c == d
+    assert all(v <= 1.0 for v in d.values())
+
+
+def test_incremental_matches_duplicate_rows_dont_inflate(spark):
+    """countDistinct(band) keeps matching_bands stable under duplicate
+    rows on either index side (ORACLES.md #15)."""
+    from transformers_spark.operators.dedup import incremental_lsh_matches
+
+    corpus_rows = [(1, "alpha beta gamma delta epsilon")]
+    new_rows = [(10, "alpha beta gamma delta epsilon")]
+    clean = incremental_lsh_matches(
+        spark.createDataFrame(corpus_rows, ["doc_id", "text"]),
+        spark.createDataFrame(new_rows, ["doc_id", "text"]),
+        num_perm=16, bands=4,
+    ).collect()
+    dirty = incremental_lsh_matches(
+        spark.createDataFrame(corpus_rows * 2, ["doc_id", "text"]),
+        spark.createDataFrame(new_rows * 2, ["doc_id", "text"]),
+        num_perm=16, bands=4,
+    ).collect()
+    assert {(r["new_doc"], r["corpus_doc"], r["matching_bands"]) for r in clean} \
+        == {(r["new_doc"], r["corpus_doc"], r["matching_bands"]) for r in dirty}
+    assert clean and clean[0]["matching_bands"] == 4

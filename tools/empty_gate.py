@@ -82,7 +82,8 @@ def oracle_tables(oracle: str) -> set[str]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
-    ap.add_argument("--only", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to restrict to")
     ap.add_argument("--scenario", default=None,
                     help="run just one: 'all-empty' or a table name")
     args = ap.parse_args()
@@ -122,7 +123,8 @@ def main() -> None:
             t = empties[0]
             names = [n for n in qs if t in reads.get(n, set())]
         if args.only:
-            names = [n for n in names if n == args.only]
+            keep = set(args.only.split(","))
+            names = [n for n in names if n in keep]
         if not names:
             continue
         dst = f"/tmp/empty_{label.replace(':', '_').replace('-', '_')}_sf0.001"

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Run a set of queries (default: the newest catalog additions) across
+every already-built robustness-wave dataset in /tmp — the incremental
+companion to the full per-wave gates, so a mid-round catalog append
+gets wave coverage without re-running 163 queries x 9 waves.
+
+    python tools/newq_waves.py --json NEWQ_WAVES_r06.json q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WAVES = [
+    ("null-w1", "/tmp/nulldata_sf0.001"),
+    ("null-w2", "/tmp/nulldata_sf0.001-w2"),
+    ("null-w3", "/tmp/nulldata_sf0.001-w3"),
+    ("null-all", "/tmp/nulldata_sf0.001-w2-w3"),
+    ("degentext", "/tmp/degentext_sf0.001"),
+    ("badjson", "/tmp/badjson_sf0.001"),
+    ("unicode", "/tmp/unicode_sf0.001"),
+    ("extreme", "/tmp/extreme_sf0.001"),
+    ("duprows", "/tmp/duprows_sf0.001"),
+    ("skew", "/tmp/skew_sf0.001"),
+]
+
+DEFAULT_QUERIES = [
+    "token_rank_curve", "doc_length_buckets", "brand_top_parts",
+    "weekday_activity_matrix", "supplier_fulfillment_lag",
+    "embedding_dim_range", "segment_repeat_rate",
+    "nation_trade_balance", "monthly_revenue_cumshare",
+    "word_length_profile",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    names = args.queries or DEFAULT_QUERIES
+
+    import __spark_entry__ as entry_mod
+    from gatelib import compare_queries, summarize
+
+    from transformers_spark.session import get_spark
+
+    qs = entry_mod.queries()
+    spark = get_spark(app_name="newq-waves")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    artifact: dict[str, dict] = {}
+    bad = 0
+    for label, dst in WAVES:
+        if not os.path.isdir(dst):
+            print(f"skip {label}: {dst} not built", file=sys.stderr)
+            continue
+        print(f"=== wave {label} ===", file=sys.stderr)
+        results = compare_queries(spark, qs, names, dst)
+        summ = summarize(results)
+        artifact[label] = {"data": dst, **summ}
+        bad += len(summ["mismatches"]) + len(summ["errors"])
+
+    print("\n=== NEWQ-WAVES SUMMARY ===")
+    for label, row in artifact.items():
+        reds = row["mismatches"] + row["errors"]
+        print(f"  {label}: {row['n_green']}/{row['n_checked']}"
+              + (f"  RED: {reds}" if reds else ""))
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump({"queries": names, "waves": artifact}, fh, indent=1)
+        print(f"wrote {args.json}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

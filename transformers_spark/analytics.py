@@ -5,7 +5,8 @@ grouping sets, or subquery forms (SURVEY.md §2.B) — BigQuery has them,
 so a switching user expects them. Spark provides all of these
 natively; each entry here is a Spark-first plan paired with a DuckDB
 oracle, same determinism discipline as queries.py (decimal sums,
-explicit tie-breaks, ROUND before ranking).
+explicit tie-breaks, ROUND before ranking). Divergence-class contracts
+live in ORACLES.md (repo root) — cite, don't restate.
 """
 
 from __future__ import annotations
@@ -1724,12 +1725,18 @@ dominant AS (
            SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
     FROM per_ps
   ) WHERE CAST(qty AS DOUBLE) > 0.2 * CAST(part_total AS DOUBLE)
+),
+per_supp AS (
+  -- aggregate BEFORE the name join (the engine's order): a duplicated
+  -- supplier row must fan out into duplicate annotated rows, not
+  -- double the aggregate (duplicate-row gate; ORACLES.md #15)
+  SELECT l_suppkey, COUNT(*) AS n_dominant_parts,
+         CAST(SUM(qty) AS DOUBLE) AS dominant_qty
+  FROM dominant GROUP BY 1
 )
 SELECT s_suppkey AS suppkey, s_name AS supplier,
-       COUNT(*) AS n_dominant_parts,
-       CAST(SUM(qty) AS DOUBLE) AS dominant_qty
-FROM dominant JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY 1, 2
+       n_dominant_parts, dominant_qty
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
 """
 
 

@@ -14,6 +14,10 @@ lift, Bloom-filter membership sketch, per-doc top-terms, prefix-hash
 dedup, scalar-quantization error audit, video frame-sampling plans,
 mixture weights, and first-touch attribution.
 
+Engine↔oracle divergence classes and their portable idioms are
+consolidated in ORACLES.md (repo root) — docstrings here cite a class
+number instead of restating the contract.
+
 Numeric determinism rules (same as queries.py): never sum raw doubles —
 sum exact decimals and cast to DOUBLE at the end; division happens once
 on identical exact operands so both engines produce the same IEEE

@@ -214,9 +214,19 @@ def minhash_lsh_pairs(
     # (degenerate content, the skew hazard) are dropped wholesale, and
     # each surviving list expands to its (d1 < d2) pairs locally — no
     # bucket self-join, no window pass.
+    # array_distinct collapses duplicate doc_id INPUT ROWS inside each
+    # bucket (identical rows band identically) — without it a
+    # duplicated doc double-counts matching_bands for every pair it is
+    # in and emits d1 == d2 self-pairs (duplicate-row gate,
+    # ORACLES.md #15). Dedup happens AFTER the collect, inside the one
+    # existing shuffle — a frame-level distinct() would cost a second.
     members = (
         buckets.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("doc"))).alias(
+                "docs"
+            )
+        )
         .filter(F.size("docs").between(2, max_bucket_size))
     )
     pair_array = F.flatten(
@@ -289,9 +299,17 @@ def ngram_jaccard_pairs(
     # longer than max_doc_freq) are dropped wholesale, then each list
     # expands to its (d1 < d2) pairs locally — no gram self-join, and
     # skew is bounded by construction.
+    # array_distinct: duplicate doc_id input rows post identical
+    # (doc, sz) structs — without the collapse they inflate `shared`
+    # past the true intersection (jaccard > 1) and emit d1 == d2
+    # self-pairs (duplicate-row gate, ORACLES.md #15)
     postings = (
         grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "sz"))).alias("docs"))
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.collect_list(F.struct("doc", "sz")))
+            ).alias("docs")
+        )
         .filter(F.size("docs").between(2, max_doc_freq))
     )
     pair_array = F.flatten(
@@ -521,7 +539,12 @@ def incremental_matches_from_buckets(
         .join(new_side, ["band", "bucket"])
         .filter(F.col("corpus_doc") != F.col("new_doc"))
         .groupBy("new_doc", "corpus_doc")
-        .agg(F.count(F.lit(1)).alias("matching_bands"))
+        # countDistinct, not count: duplicate doc_id rows on either
+        # side (a dirty re-ingest, the duplicate-row gate's shape)
+        # would double-count a band; a unique pair matches each band
+        # at most once, so DISTINCT band is exactly "agreeing bands"
+        # while keeping both index sides map-only (ORACLES.md #15)
+        .agg(F.countDistinct("band").alias("matching_bands"))
     )
     return matched.filter(F.col("matching_bands") >= min_bands)
 

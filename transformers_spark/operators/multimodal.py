@@ -238,29 +238,41 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
     resizer: Callable[[bytes, int, int], bytes] | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched image resize via mapInPandas: binary in, binary
     out, constant (width, height) metadata attached. Bound per-batch
     memory with spark.sql.execution.arrow.maxRecordsPerBatch when
-    payloads are large."""
+    payloads are large.
+
+    ``passthrough`` names input columns carried to the output
+    UNCHANGED (schema copied from the input). Prefer it over joining
+    side columns back by id afterwards: the join costs a shuffle and
+    FANS OUT when ids are not unique (the duplicate-row gate caught
+    exactly that — 4 rows per duplicated media_id), while a
+    passthrough is row-for-row by construction."""
     resize = resizer or _real_resizer
+    out_schema = StructType(
+        list(RESIZED_SCHEMA.fields) + [df.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": batch[id_col].astype(str),
-                    "payload": batch[payload_col].map(
-                        lambda b: resize(bytes(b), target_w, target_h)
-                        if b is not None
-                        else None
-                    ),
-                    "width": target_w,
-                    "height": target_h,
-                }
-            )
+            out = {
+                "media_id": batch[id_col].astype(str),
+                "payload": batch[payload_col].map(
+                    lambda b: resize(bytes(b), target_w, target_h)
+                    if b is not None
+                    else None
+                ),
+                "width": target_w,
+                "height": target_h,
+            }
+            for c in passthrough:
+                out[c] = batch[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, RESIZED_SCHEMA)
+    return df.mapInPandas(run, out_schema)
 
 
 def frame_sample_plan(

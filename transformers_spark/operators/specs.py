@@ -8,6 +8,10 @@ SQL-expressible, but their stub codecs are deterministic — their
 oracles are VALUES-literal tables of the expected features computed in
 Python at the driver's correctness scale (``_multimodal_oracle``), so
 every spec gets the full rows/schema/hash gate.
+
+Engine↔oracle divergence classes (and the idiom each oracle must use)
+are consolidated in ORACLES.md at the repo root — docstrings cite a
+class number (e.g. "ORACLES.md #15") instead of restating contracts.
 """
 
 from __future__ import annotations
@@ -158,7 +162,14 @@ WITH toks AS (
   WHERE len({DUCK_TOKENS}) >= 3
 ),
 grams AS (
-  SELECT doc, unnest({_duck_grams(3)}) AS gram FROM toks
+  -- DISTINCT collapses duplicate doc_id input rows (identical rows
+  -- post identical postings; per-doc grams are already unique by the
+  -- distinct-token construction) — mirrors the engine's
+  -- array_distinct'ed posting lists (duplicate-row gate, ORACLES.md
+  -- #15). Without it `shared` double-counts and jaccard exceeds 1.
+  SELECT DISTINCT doc, gram FROM (
+    SELECT doc, unnest({_duck_grams(3)}) AS gram FROM toks
+  )
 ),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc),
 shared AS (
@@ -201,19 +212,26 @@ def _oracle_simhash() -> str:
         for bit in range(64)
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id AS doc, unnest({DUCK_TOKENS}) AS tok FROM documents
+WITH docs_r AS (
+  -- simhash is a MAP-ONLY per-row operator in the engine: duplicated
+  -- input rows emit duplicate fingerprints. Group votes by a
+  -- synthetic per-row id, not by doc_id, to mirror that multiset
+  -- (duplicate-row gate, ORACLES.md #15).
+  SELECT doc_id AS doc, row_number() OVER () AS rid, text FROM documents
+),
+toks AS (
+  SELECT doc, rid, unnest({DUCK_TOKENS}) AS tok FROM docs_r
 ),
 hashed AS (
-  SELECT doc,
+  SELECT doc, rid,
          {duck_h32("tok")} AS h_lo,
          ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi
   FROM toks
 ),
 votes AS (
-  SELECT doc,
+  SELECT doc, rid,
     {votes}
-  FROM hashed GROUP BY doc
+  FROM hashed GROUP BY doc, rid
 )
 SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
 """
@@ -256,31 +274,37 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IVF_ANN = f"""
--- null-vector contract: NULL embeddings are dropped at intake
-WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-              WHERE embedding IS NOT NULL),
+-- null-vector contract: NULL embeddings are dropped at intake.
+-- rid keys each PHYSICAL row: the engine's index contains what you
+-- put in it — a duplicated corpus vector is a separate candidate (and
+-- a duplicated codebook row a separate probe slot), so assignments
+-- partition by rid and `scored` keeps duplicates (no DISTINCT) —
+-- duplicate-row gate, ORACLES.md #15.
+WITH vecs AS (SELECT row_number() OVER () AS rid, vec_id,
+                     embedding::DOUBLE[] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
 cent AS (SELECT vec_id AS centroid_id, v AS centvec FROM vecs WHERE vec_id < 16),
 c_assign AS (
-  SELECT vec_id AS neighbor_id, v AS cvec, centroid_id AS cell
+  SELECT rid, vec_id AS neighbor_id, v AS cvec, centroid_id AS cell
   FROM vecs CROSS JOIN cent
   QUALIFY row_number() OVER (
-    PARTITION BY vec_id
+    PARTITION BY rid
     ORDER BY ROUND(list_dot_product(v, centvec)
              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centvec, centvec))), 6) DESC,
              centroid_id ASC) <= 1
 ),
 q_assign AS (
-  SELECT vec_id AS query_id, v AS qvec, centroid_id AS cell
+  SELECT rid, vec_id AS query_id, v AS qvec, centroid_id AS cell
   FROM vecs CROSS JOIN cent
   WHERE vec_id < {N_QUERY_VECS}
   QUALIFY row_number() OVER (
-    PARTITION BY vec_id
+    PARTITION BY rid
     ORDER BY ROUND(list_dot_product(v, centvec)
              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centvec, centvec))), 6) DESC,
              centroid_id ASC) <= 4
 ),
 scored AS (
-  SELECT DISTINCT query_id, neighbor_id,
+  SELECT query_id, neighbor_id,
     ROUND(list_dot_product(qvec, cvec)
           / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cosine
   FROM c_assign JOIN q_assign USING (cell)
@@ -682,9 +706,18 @@ def _oracle_curated() -> str:
     quality_sql = _oracle_quality().strip().rstrip(";")
     lang_sql = _oracle_lang_id().strip().rstrip(";")
     return f"""
-WITH verdicts AS ({dedup_sql}),
-quality AS ({quality_sql}),
-langs AS ({lang_sql})
+WITH verdicts0 AS ({dedup_sql}),
+quality0 AS ({quality_sql}),
+langs0 AS ({lang_sql}),
+-- the engine computes quality/lang as PER-ROW map expressions and
+-- anti-joins the dup-id set, so its output is one row per surviving
+-- PHYSICAL row; the id-keyed helper joins here must therefore be 1:1
+-- per doc_id (duplicated input rows carry identical verdicts/scores —
+-- DISTINCT collapses them; without it the joins fan out 2x2x2 per
+-- duplicated id: duplicate-row gate, ORACLES.md #15)
+verdicts AS (SELECT DISTINCT doc_id, is_duplicate FROM verdicts0),
+quality AS (SELECT DISTINCT doc_id, quality FROM quality0),
+langs AS (SELECT DISTINCT doc_id, predicted_lang, best_score FROM langs0)
 SELECT d.doc_id, d.source, d.n_chars, l.predicted_lang
 FROM documents d
 JOIN verdicts v ON v.doc_id = d.doc_id AND NOT v.is_duplicate
@@ -1023,15 +1056,23 @@ def q_range_next_day_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_RANGE_NEXT_DAY = """
+-- the engine annotates each view ROW (a duplicated view event stays
+-- two rows, each with its own count — ORACLES.md #15), so the oracle
+-- groups by a synthetic per-row id, not by (event_id, user_id) which
+-- would merge duplicates and double their counts
+WITH v AS (
+  SELECT *, row_number() OVER () AS rid
+  FROM events WHERE event_type = 'view'
+)
 SELECT v.event_id AS view_id,
        v.user_id AS user_id,
        CAST(count(p.ts) AS BIGINT) AS n_purchases
-FROM (SELECT * FROM events WHERE event_type = 'view') v
+FROM v
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON v.user_id = p.user_id
  AND p.ts > v.ts
  AND epoch_us(p.ts) <= epoch_us(v.ts) + 86400000000
-GROUP BY 1, 2
+GROUP BY v.rid, v.event_id, v.user_id
 """
 
 
@@ -1442,14 +1483,27 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         (F.col("n_chars") % 300 + 1).alias("duration_frames"),
     )
-    resized = resize_images(media, target_w=64, target_h=64, resizer=fake_resizer)
-    plan = frame_sample_plan(media, every_n_frames=30, max_frames=5)
-    return resized.join(plan.select("media_id", "sample_frames"), "media_id").select(
+    # frame plan first (a JVM-side withColumn), then the frame count
+    # rides through the resize as a PASSTHROUGH column — no join-back
+    # by media_id, so no shuffle and no fan-out on duplicated ids
+    # (duplicate-row gate class; see ORACLES.md #15)
+    planned = frame_sample_plan(media, every_n_frames=30, max_frames=5)
+    planned = planned.withColumn(
+        "n_sampled_frames", F.size("sample_frames")
+    ).drop("sample_frames")
+    resized = resize_images(
+        planned,
+        target_w=64,
+        target_h=64,
+        resizer=fake_resizer,
+        passthrough=("n_sampled_frames",),
+    )
+    return resized.select(
         "media_id",
         F.length("payload").alias("resized_bytes"),
         "width",
         "height",
-        F.size("sample_frames").alias("n_sampled_frames"),
+        "n_sampled_frames",
     )
 
 
@@ -2065,10 +2119,14 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_OUTLIERS = """
 WITH ex AS (
-  SELECT vec_id, label,
+  -- rid keys each PHYSICAL row: the engine computes sq_dist as a
+  -- per-row array fold, so duplicated vec_ids stay separate rows
+  -- (grouping by vec_id would merge copies and double their sq_dist:
+  -- duplicate-row gate, ORACLES.md #15)
+  SELECT rid, vec_id, label,
          generate_subscripts(embedding, 1) - 1 AS dim,
          unnest(embedding) AS v
-  FROM embeddings
+  FROM (SELECT *, row_number() OVER () AS rid FROM embeddings)
 ),
 cents AS (
   SELECT label, dim,
@@ -2077,12 +2135,12 @@ cents AS (
   FROM ex GROUP BY 1, 2
 ),
 dists AS (
-  SELECT e.vec_id AS vec, e.label,
+  SELECT e.rid, e.vec_id AS vec, e.label,
          ROUND(CAST(SUM(CAST(ROUND((CAST(e.v AS DOUBLE) - c.mean_v)
                                    * (CAST(e.v AS DOUBLE) - c.mean_v), 6)
                              AS DECIMAL(18,6))) AS DOUBLE), 6) AS sq_dist
   FROM ex e JOIN cents c USING (label, dim)
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ),
 m AS (
   SELECT label, COUNT(*) AS n,
@@ -2438,7 +2496,13 @@ def _oracle_quality_filter_sweep() -> str:
     quality_sql = _oracle_quality().strip().rstrip(";")
     thresholds = ", ".join(repr(t / 10.0) for t in range(10))
     return f"""
-WITH qscore AS ({quality_sql}),
+WITH qscore0 AS ({quality_sql}),
+-- the engine computes quality as a per-ROW map expression: one scored
+-- row per physical document row. The id-join back to documents must
+-- therefore be 1:1 per doc_id (duplicated rows carry identical
+-- scores; without DISTINCT the join fans out 2x2 per duplicated id —
+-- duplicate-row gate, ORACLES.md #15)
+qscore AS (SELECT DISTINCT doc_id, quality FROM qscore0),
 scored AS (
   SELECT qs.quality AS q, CAST(d.n_chars AS BIGINT) AS n_chars
   FROM qscore qs JOIN documents d USING (doc_id)
@@ -2513,9 +2577,9 @@ def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_CLUSTER_PROFILE = """
 WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+  SELECT rid, vec_id, generate_subscripts(embedding, 1) AS dim,
          unnest(embedding) AS v
-  FROM embeddings
+  FROM (SELECT *, row_number() OVER () AS rid FROM embeddings)
 ),
 sx AS (
   -- the 8 lowest-id NON-NULL vectors: kmeans_centroids drops NULL
@@ -2528,16 +2592,20 @@ sx AS (
         WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8) seeds
 ),
 pairs AS (
-  SELECT e.vec_id, s.cid,
+  -- rid keys each PHYSICAL row: the engine assigns every row to its
+  -- nearest centroid independently, so duplicated vec_ids stay
+  -- separate (a vec_id group would sum both copies' dims and double
+  -- sq: duplicate-row gate, ORACLES.md #15)
+  SELECT e.rid, e.vec_id, s.cid,
          ROUND(CAST(SUM(CAST(ROUND((CAST(e.v AS DOUBLE) - CAST(s.c AS DOUBLE))
                                    * (CAST(e.v AS DOUBLE) - CAST(s.c AS DOUBLE)), 6)
                              AS DECIMAL(18,6))) AS DOUBLE), 6) AS sq
   FROM ex e JOIN sx s USING (dim)
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ),
 assigned AS (
-  SELECT vec_id, cid, sq,
-         row_number() OVER (PARTITION BY vec_id ORDER BY sq ASC, cid ASC) AS rn
+  SELECT rid, vec_id, cid, sq,
+         row_number() OVER (PARTITION BY rid ORDER BY sq ASC, cid ASC) AS rn
   FROM pairs
 )
 SELECT cid AS centroid_id,

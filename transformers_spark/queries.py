@@ -12,6 +12,12 @@ Numeric stability for the oracle hash-compare: every floating-point
 aggregate is computed as an *exact decimal sum* (identical in Spark and
 DuckDB regardless of row order / partitioning) and only cast to DOUBLE
 at the end. Never sum raw doubles — that's order-dependent.
+
+All engine↔oracle divergence classes discovered by the robustness
+gates (null ordering, İ case folding, TRY_CAST, empty-input grouping
+sets, duplicate-row multiset semantics, ...) live in ORACLES.md at the
+repo root, one fix idiom per class — consult it before writing a new
+oracle.
 """
 
 from __future__ import annotations
@@ -441,6 +447,7 @@ def _all_specs() -> list["QuerySpec"]:
     from .analytics import analytics_specs
     from .expansion import expansion_specs
     from .expansion2 import expansion2_specs
+    from .expansion3 import expansion3_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
@@ -455,6 +462,7 @@ def _all_specs() -> list["QuerySpec"]:
         + streaming_specs()
         + expansion_specs()
         + expansion2_specs()
+        + expansion3_specs()
     )
 
 
