@@ -194,3 +194,85 @@ def test_expansion3_plan_shapes(spark):
             .toString()
         )
         assert "CartesianProduct" not in p, name
+
+
+def test_hll_rollup_merge_equals_direct_and_registers(spark, tmp_path):
+    """merged register sum == direct register sum (max is associative)
+    and the raw estimate tracks small cardinalities loosely while
+    exact_users is exact."""
+    from transformers_spark.expansion3 import q_sketch_hll_rollup
+
+    rows = [
+        (i, datetime(2024, 1, 1 + (i % 3), 10), 100 + (i % 7), "view", 1.0, "{}")
+        for i in range(50)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sfhll")
+    _write(ev, sf, "events")
+    r = q_sketch_hll_rollup(spark, sf).collect()[0]
+    assert r["merged_reg_sum"] == r["direct_reg_sum"]
+    assert r["exact_users"] == 7
+    assert r["n_days"] == 3
+    assert r["est_users"] > 0
+
+
+def test_session_conversion_rate_semantics(spark, tmp_path):
+    """A purchase inside a session converts it; a later gap-separated
+    session without one doesn't; the day is the session START day."""
+    from transformers_spark.expansion3 import q_session_conversion_rate
+
+    t = lambda d, h, m=0: datetime(2024, 1, d, h, m)
+    rows = [
+        # user 1, day 1: one session view->purchase (converts)
+        (1, t(1, 10), 1, "view", 1.0, "{}"),
+        (2, t(1, 10, 10), 1, "purchase", 1.0, "{}"),
+        # user 1, day 1: second session (>30min later), no purchase
+        (3, t(1, 12), 1, "view", 1.0, "{}"),
+        # user 2, day 2: single-event session, no purchase
+        (4, t(2, 9), 2, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sfconv")
+    _write(ev, sf, "events")
+    out = {str(r["day"]): (r["n_sessions"], r["n_converting"])
+           for r in q_session_conversion_rate(spark, sf).collect()}
+    assert out["2024-01-01"] == (2, 1)
+    assert out["2024-01-02"] == (1, 0)
+
+
+def test_char_class_profile_math(spark, tmp_path):
+    from transformers_spark.expansion3 import q_text_char_class_profile
+
+    docs = spark.createDataFrame(
+        [(1, "ab 12!", "en", "s1", 6)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sfchar")
+    _write(docs, sf, "documents")
+    r = q_text_char_class_profile(spark, sf).collect()[0]
+    assert r["n_chars"] == 6
+    assert abs(r["digit_frac"] - 2 / 6) < 1e-12
+    assert abs(r["space_frac"] - 1 / 6) < 1e-12
+    assert abs(r["punct_frac"] - 1 / 6) < 1e-12
+
+
+def test_embedding_norm_profile_buckets(spark, tmp_path):
+    from transformers_spark.expansion3 import q_embedding_norm_profile
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.0], 0),    # norm2 0.25 -> lt_0_5
+         (2, [1.0, 1.0], 0),    # norm2 2.0  -> ge_2
+         (3, None, 0)],         # dropped
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path / "sfnorm")
+    _write(emb, sf, "embeddings")
+    out = {r["norm_bucket"]: (r["n_vectors"], r["share"])
+           for r in q_embedding_norm_profile(spark, sf).collect()}
+    assert out == {"lt_0_5": (1, 0.5), "ge_2": (1, 0.5)}

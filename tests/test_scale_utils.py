@@ -713,7 +713,12 @@ def test_persisted_lsh_index_probe_shape_and_result(spark):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert exchange_count(probed) <= 1  # only the post-join pair count
+    # 2 exchanges since r6: countDistinct(band) (duplicate-row
+    # stability, ORACLES.md #15) plans as the two-level distinct
+    # aggregate — both exchanges move only the MATCHED pair frame
+    # (bounded by match count), never the index scan, which stays
+    # map-only through the broadcast join
+    assert exchange_count(probed) <= 2
     got = {(r["new_doc"], r["corpus_doc"]): r["matching_bands"] for r in probed.collect()}
     want = {
         (r["new_doc"], r["corpus_doc"]): r["matching_bands"]

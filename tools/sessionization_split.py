@@ -77,7 +77,10 @@ def main() -> None:
             )
             query.awaitTermination()
             t_drain = time.perf_counter() - t1
-            progress = [json.loads(p) for p in query.recentProgress]
+            progress = [
+                p if isinstance(p, dict) else json.loads(str(p))
+                for p in query.recentProgress
+            ]
             t2 = time.perf_counter()
             n_rows = (
                 spark.table(name)

@@ -1,5 +1,5 @@
-"""Round-6 catalog expansion: ten analytics/pipeline operators, each
-Spark-first with an exact DuckDB oracle.
+"""Round-6 catalog expansion: fifteen analytics/pipeline operators,
+each Spark-first with an exact DuckDB oracle.
 
 * token rank curve — top-20 tokens with CUMULATIVE occurrence share
   (the head of the Zipf curve; rank via the scale-safe two-phase
@@ -22,6 +22,17 @@ Spark-first with an exact DuckDB oracle.
 * word byte-length profile — token length histogram per language in
   BYTES (octet_length/strlen: byte semantics are identical across
   engines, unlike character counts under combining marks).
+* HLL register rollup — portable md5-based HyperLogLog registers:
+  per-day sketches merged register-wise == the direct global sketch,
+  bit-exact (max is associative) — the mergeable-rollup companion to
+  sketch_kmv_rollup, at the register level a 100 TB rollup stores.
+* session conversion rate — lag+cumsum sessionization composed with a
+  per-day funnel rollup.
+* char class profile — digit/whitespace/punctuation fractions per
+  source from length-difference projections (map-only).
+* embedding norm profile — norm² buckets per label (rounded fold,
+  decimal thresholds) — the normalization audit.
+* source dedup rate — dedup-pipeline verdicts rolled up by provenance.
 
 Numeric determinism rules (same as queries.py): exact integer/decimal
 aggregates; at most ONE double division on identical exact operands
@@ -787,4 +798,464 @@ def expansion3_specs() -> list:
             q_word_length_profile,
             ORACLE_WORD_LENGTH_PROFILE,
         ),
+        QuerySpec(
+            "sketch_hll_rollup",
+            "Portable HLL registers: per-day merge == direct, bit-exact",
+            q_sketch_hll_rollup,
+            _oracle_sketch_hll_rollup(),
+        ),
+        QuerySpec(
+            "session_conversion_rate",
+            "Per-day session conversion rate over lag+cumsum sessions",
+            q_session_conversion_rate,
+            ORACLE_SESSION_CONVERSION_RATE,
+        ),
+        QuerySpec(
+            "text_char_class_profile",
+            "Per-source digit/space/punct character-class fractions",
+            q_text_char_class_profile,
+            ORACLE_TEXT_CHAR_CLASS_PROFILE,
+        ),
+        QuerySpec(
+            "embedding_norm_profile",
+            "Per-label norm-squared bucket histogram (normalization audit)",
+            q_embedding_norm_profile,
+            ORACLE_EMBEDDING_NORM_PROFILE,
+        ),
+        QuerySpec(
+            "source_dedup_rate",
+            "Near-duplicate rate per source (dedup verdicts by provenance)",
+            q_source_dedup_rate,
+            _oracle_source_dedup_rate(),
+        ),
     ]
+
+
+# ---------------------------------------------------------------------------
+# HLL register rollup — mergeable-sketch algebra, portable registers
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709              # engine constant for m=64 (documented literal)
+
+
+def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users via PORTABLE HyperLogLog registers, two ways:
+    per-day register sketches MERGED (register-wise max) vs the direct
+    global sketch. Register max is associative, so merged == direct
+    BIT-EXACT — the oracle checks the merge algebra itself, alongside
+    the raw estimate and the exact count (the KMV-rollup companion;
+    sketch_hll_users covers Spark's built-in approx_count_distinct —
+    this one is the register-level algebra a 100 TB rollup table
+    stores).
+
+    ``est_users`` is the RAW HLL estimator — deliberately no
+    small-range (linear-counting) correction, because that correction
+    needs ln(), which is not bit-portable across engines (same reason
+    the catalog is log-free everywhere, ORACLES.md #11); the bias at
+    tiny cardinalities is documented contract, and ``exact_users``
+    rides alongside. Production pairs the registers with whatever
+    correction its serving layer wants — the REGISTERS (the thing a
+    rollup table stores and this query gates bit-exactly) are
+    correction-agnostic.
+
+    Portability: h = md5-h32(user), bucket = h % 64, rho = leading
+    zeros of the remaining 26 bits + 1 computed as 27 - length(bin(r))
+    — bin() emits the same minimal binary string in both engines.
+    2^-M terms are exact binary fractions (1.0 / (1 << M)), so their
+    64-term sum is EXACT in a double and order-independent; the one
+    estimate division happens on identical operands. Missing registers
+    come from a 64-row literal frame (ORACLES.md #13).
+
+    Scale shape: one (day, bucket) max-aggregate (map-side combined),
+    then a <= 64x|days| rollup — the pre-aggregate-once, merge-forever
+    pattern. Null contract: NULL user_id / NULL ts drop at intake.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    from .operators.hashing import h32
+
+    ev = spark.table("events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        h32(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.floor(F.col("h") / HLL_M).cast("long").alias("r"),
+    ).select(
+        "day",
+        "bucket",
+        F.when(F.col("r") == 0, F.lit(27))
+        .otherwise(F.lit(27) - F.length(F.bin("r")))
+        .cast("int")
+        .alias("rho"),
+    )
+    daily = base.groupBy("day", "bucket").agg(F.max("rho").alias("m_day"))
+    merged = daily.groupBy("bucket").agg(F.max("m_day").alias("m_merged"))
+    direct = base.groupBy("bucket").agg(F.max("rho").alias("m_direct"))
+    slots = spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    regs = (
+        slots.join(merged, "bucket", "left")
+        .join(direct, "bucket", "left")
+        .select(
+            F.coalesce(F.col("m_merged"), F.lit(0)).alias("mm"),
+            F.coalesce(F.col("m_direct"), F.lit(0)).alias("md"),
+        )
+    )
+    # shiftleft's python wrapper takes a literal int for numBits; the
+    # SQL form accepts a column — 1<<M is the exact binary fraction
+    # 2^-M's denominator (M <= 27, no precision concerns)
+    inv_mm = F.expr("1.0 / cast(shiftleft(1L, mm) as double)")
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        regs.agg(
+            F.sum("mm").cast("bigint").alias("merged_reg_sum"),
+            F.sum("md").cast("bigint").alias("direct_reg_sum"),
+            (
+                F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.sum(inv_mm)
+            ).alias("est_users"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(n_days))
+    )
+
+
+def _oracle_sketch_hll_rollup() -> str:
+    from .operators.hashing import duck_h32
+
+    h = duck_h32("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+base AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ({h}) % {HLL_M} AS bucket,
+         ({h}) // {HLL_M} AS r
+  FROM ev
+),
+rho AS (
+  SELECT day, bucket,
+         CASE WHEN r = 0 THEN 27 ELSE 27 - length(bin(r)) END AS rho
+  FROM base
+),
+daily AS (SELECT day, bucket, MAX(rho) AS m_day FROM rho GROUP BY 1, 2),
+merged AS (SELECT bucket, MAX(m_day) AS m_merged FROM daily GROUP BY 1),
+direct AS (SELECT bucket, MAX(rho) AS m_direct FROM rho GROUP BY 1),
+slots AS (SELECT unnest(range(0, {HLL_M})) AS bucket),
+regs AS (
+  SELECT COALESCE(m_merged, 0) AS mm, COALESCE(m_direct, 0) AS md
+  FROM slots LEFT JOIN merged USING (bucket) LEFT JOIN direct USING (bucket)
+)
+SELECT CAST(SUM(mm) AS BIGINT) AS merged_reg_sum,
+       CAST(SUM(md) AS BIGINT) AS direct_reg_sum,
+       {HLL_ALPHA * HLL_M * HLL_M!r} / SUM(1.0 / CAST(1 << mm AS DOUBLE))
+         AS est_users,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev)
+         AS exact_users,
+       (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM ev)
+         AS n_days
+FROM regs
+"""
+
+
+# ---------------------------------------------------------------------------
+# session conversion rate — sessionization composed with a funnel rollup
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US_BATCH = 30 * 60 * 1_000_000
+
+
+def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day (of session start): sessions, converting sessions (those
+    containing a purchase), and the conversion rate — the rollup a
+    growth dashboard runs on top of sessionization.
+
+    Scale shape: the lag+cumsum sessionization is ONE (user) window
+    pass on exact integer microseconds (same discipline as
+    batch_sessionization; ties in ts produce gap 0 so session ids are
+    tie-order-independent); the per-session reduce and per-day rollup
+    are ordinary hash aggregates. Exact ints; one double division.
+    Null contract: NULL ts / user_id / event_type drop at intake
+    (ORACLES.md #1, #7).
+    """
+    register_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    brk = (
+        micros - F.lag(micros).over(order) > SESSION_GAP_US_BATCH
+    ).cast("int")
+    sess = ev.withColumn(
+        "sid",
+        F.sum(F.coalesce(brk, F.lit(0))).over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min(F.to_date("ts")).alias("day"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("conv").cast("bigint").alias("n_converting"),
+        (
+            F.sum("conv").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
+ORACLE_SESSION_CONVERSION_RATE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_US_BATCH} THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM sess GROUP BY 1, 2
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converting,
+       CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS conversion_rate
+FROM per_session GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# char class profile — byte-exact composition diagnostics
+# ---------------------------------------------------------------------------
+
+
+def q_text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: character-class composition (digit / whitespace /
+    sentence-punctuation fractions of all characters) — the cheap
+    first-pass signal for boilerplate, tables-as-text, and code-vs-
+    prose separation.
+
+    Scale shape: class counts are map-side length-difference
+    projections (length(text) - length(regexp_replace(...))) — no
+    explode, no shuffle beyond the per-source rollup. Exact int sums;
+    one double division per fraction. NULL text drops; NULL source is
+    its own group.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").filter(F.col("text").isNotNull())
+    cls = lambda pat: F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), pat, "")
+    )
+    per = docs.select(
+        "source",
+        F.length("text").alias("n"),
+        cls(r"[0-9]").alias("nd"),
+        cls(r"\s").alias("nw"),
+        cls(r"[.,;:!?]").alias("np"),
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.sum("nd").cast("bigint").alias("n_digits"),
+        F.sum("nw").cast("bigint").alias("n_spaces"),
+        F.sum("np").cast("bigint").alias("n_punct"),
+    )
+    frac = lambda c: F.when(
+        F.col("n_chars") > 0,
+        F.col(c).cast("double") / F.col("n_chars").cast("double"),
+    )
+    return agg.select(
+        "source", "n_chars",
+        frac("n_digits").alias("digit_frac"),
+        frac("n_spaces").alias("space_frac"),
+        frac("n_punct").alias("punct_frac"),
+    )
+
+
+ORACLE_TEXT_CHAR_CLASS_PROFILE = """
+WITH per AS (
+  SELECT source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS nw,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_chars,
+         CAST(SUM(nd) AS BIGINT) AS n_digits,
+         CAST(SUM(nw) AS BIGINT) AS n_spaces,
+         CAST(SUM(np) AS BIGINT) AS n_punct
+  FROM per GROUP BY source
+)
+SELECT source, n_chars,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS digit_frac,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS space_frac,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+         AS punct_frac
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding norm profile — bucketed L2 envelope per label
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (label, norm²-bucket): vector counts and share-of-label —
+    the normalization audit (un-normalized batches and zero vectors
+    land in distinct buckets).
+
+    Determinism: norm² is the SAME sequential left-to-right float fold
+    in both engines (F.aggregate ↔ list_dot_product — the established
+    cosine convention), rounded to 6 before bucketing so a last-ulp
+    wobble cannot flip a bucket edge; thresholds are exact decimal
+    literals. NULL embeddings drop at intake (ORACLES.md #7); exact
+    int counts, one division.
+    """
+    from .operators.similarity import _dot
+
+    register_tables(spark, sf_dir, ("embeddings",))
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    n2 = F.round(_dot(F.col("embedding"), F.col("embedding")), 6)
+    bucket = (
+        F.when(n2 < 0.5, "lt_0_5")
+        .when(n2 < 1.0, "0_5_1")
+        .when(n2 < 2.0, "1_2")
+        .otherwise("ge_2")
+    )
+    b = emb.select("label", bucket.alias("norm_bucket"))
+    counts = b.groupBy("label", "norm_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    totals = b.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label_vectors")
+    )
+    return counts.join(
+        F.broadcast(totals), counts.label.eqNullSafe(totals.label)
+    ).select(
+        counts.label.alias("label"),
+        "norm_bucket",
+        "n_vectors",
+        "n_label_vectors",
+        (
+            F.col("n_vectors").cast("double")
+            / F.col("n_label_vectors").cast("double")
+        ).alias("share"),
+    )
+
+
+ORACLE_EMBEDDING_NORM_PROFILE = """
+WITH n AS (
+  SELECT label,
+         ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6)
+           AS n2
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT label,
+         CASE WHEN n2 < 0.5 THEN 'lt_0_5'
+              WHEN n2 < 1.0 THEN '0_5_1'
+              WHEN n2 < 2.0 THEN '1_2'
+              ELSE 'ge_2' END AS norm_bucket
+  FROM n
+),
+counts AS (
+  SELECT label, norm_bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM b GROUP BY 1, 2
+),
+totals AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label_vectors
+  FROM b GROUP BY 1
+)
+SELECT c.label, c.norm_bucket, c.n_vectors, t.n_label_vectors,
+       CAST(c.n_vectors AS DOUBLE) / CAST(t.n_label_vectors AS DOUBLE)
+         AS share
+FROM counts c JOIN totals t ON c.label IS NOT DISTINCT FROM t.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# source dedup rate — pipeline verdicts rolled up by provenance
+# ---------------------------------------------------------------------------
+
+
+def q_source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: documents, near-duplicates (dedup-pipeline verdict),
+    and the dup rate — the provenance-level duplication report that
+    decides which sources get aggressive dedup before mixing.
+
+    Scale shape: the verdict set is the dedup pipeline's OUTPUT
+    (bounded by the duplicate count, not the corpus); the rollup joins
+    it to documents on doc_id and hash-aggregates per source. Verdict
+    frame is DISTINCT per doc_id, so duplicated physical rows fan out
+    row-for-row, never multiplicatively (ORACLES.md #15). Exact ints;
+    one division.
+    """
+    from .operators.dedup import dedup_pipeline
+    from .operators.specs import DEMO_BANDS, DEMO_NUM_PERM
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    verdicts = dedup_pipeline(
+        docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
+    ).select("doc_id", "is_duplicate").distinct()
+    joined = docs.select("doc_id", "source").join(verdicts, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_duplicate").cast("bigint"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_duplicates"),
+        (
+            F.sum(F.coalesce(F.col("is_duplicate").cast("bigint"), F.lit(0)))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+def _oracle_source_dedup_rate() -> str:
+    from .operators.specs import _oracle_dedup_pipeline
+
+    verdicts = _oracle_dedup_pipeline().strip().rstrip(";")
+    return f"""
+WITH verdicts0 AS ({verdicts}),
+verdicts AS (SELECT DISTINCT doc_id, is_duplicate FROM verdicts0)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN v.is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicates,
+       CAST(SUM(CASE WHEN v.is_duplicate THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents d LEFT JOIN verdicts v ON d.doc_id = v.doc_id
+GROUP BY d.source
+"""

@@ -2292,7 +2292,12 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     cand = minhash_lsh_pairs(docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS)
     exact = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
-    joined = cand.join(exact, ["d1", "d2"], "left").select(
+    # merge hint: the exact pair set is DATA-SIZED (every gram-sharing
+    # pair) and the planner's post-aggregation estimate undercounts it
+    # badly enough to pick a broadcast — at the 10x soak scale that
+    # broadcast collect blew spark.driver.maxResultSize (r6 finding).
+    # Sort-merge keeps both sides distributed at any corpus size.
+    joined = cand.join(exact.hint("merge"), ["d1", "d2"], "left").select(
         "matching_bands", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("j")
     )
     return joined.groupBy("matching_bands").agg(
@@ -2415,7 +2420,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then sweep cutoffs over that tiny histogram — the cutoff expand
     # must not multiply the (potentially huge) true-pair set
     hist = (
-        true_pairs.join(cand, ["d1", "d2"], "left")
+        # merge hint: both pair sets are data-sized; a planner
+        # misestimate must not broadcast either (see q_lsh_precision)
+        true_pairs.join(cand.hint("merge"), ["d1", "d2"], "left")
         .select(F.coalesce(F.col("matching_bands"), F.lit(0)).alias("mb"))
         .groupBy("mb")
         .agg(F.count(F.lit(1)).alias("cnt"))

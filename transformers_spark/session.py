@@ -71,6 +71,18 @@ def get_spark(
     if hive:
         builder = builder.enableHiveSupport()
     conf = dict(ENGINE_CONF)
+    # Heap: Spark's 1g driver default is NOT a local-mode setting — in
+    # local[N] the one JVM is driver AND all N executors, so 32 task
+    # threads contend for a 1 GiB heap (the r6 sf1 soak OOMed exactly
+    # there, at 10x documents in dedup_lsh_precision's exact-jaccard
+    # leg). Size it to the machine unless the caller already chose:
+    # SPARK_GRAFT_DRIVER_MEM overrides; static conf, so it only takes
+    # effect for sessions whose JVM this builder launches (the driver
+    # harness's own session keeps its own setting — apply_engine_conf
+    # deliberately can't touch a static conf).
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    )
     # On local[N] there is no cluster to absorb a wide shuffle: width =
     # cores. 2x over-partitioning (the classic straggler hedge) only
     # buys scheduling overhead on a single JVM now that AQE splits
