@@ -149,7 +149,7 @@ PICKS = {
         "median is a keyed (per-segment) aggregate, never a global sort."
     ),
     "text_ngram_novelty": (
-        "Corpus duplication curve — shingles shuffle ONCE on their 32-bit "
+        "Corpus duplication curve — shingles shuffle ONCE on their 60-bit "
         "hash; novelty is a min-over-window on that same partitioning (no "
         "posting self-join); the rollup is an ordinary per-source hash "
         "aggregate."
@@ -166,6 +166,37 @@ PICKS = {
         "marginals, total); pair candidates come from a per-user "
         "self-join on the deduped frame, never a row-level cross join; "
         "1-row totals broadcast into the final projection."
+    ),
+    "event_path_counts": (
+        "Funnel path discovery with the r6 cardinality guard — the "
+        "first-3 slice MUST show the two-phase WindowGroupLimit "
+        "(Partial before the (user, day) exchange, Final after), so a "
+        "bot user-day ships 3 rows, never its whole history; the final "
+        "top-10 is TakeOrderedAndProject."
+    ),
+    "order_basket_pairs": (
+        "Market-basket pairs with the r6 BASKET_CAP guard — the window "
+        "count rides the SAME okey partitioning the self-join uses "
+        "(one exchange serves both); marginals and the 1-row order "
+        "count broadcast; final top-20 is TakeOrderedAndProject."
+    ),
+    "brand_top_parts": (
+        "Grouped top-k (r6) — part dim broadcasts into the lineitem "
+        "scan; the per-brand rank slice compiles to the two-phase "
+        "WindowGroupLimit; ranking compares the EXACT decimal, casting "
+        "to double only in the final projection."
+    ),
+    "sketch_hll_rollup": (
+        "Portable HLL register rollup (r6) — register extraction is "
+        "map-side; the (day, bucket) max-aggregate partial-combines "
+        "before its exchange; the merge level is <= 64x|days| rows and "
+        "the 64-slot literal frame joins are broadcast."
+    ),
+    "supplier_fulfillment_lag": (
+        "Fulfillment SLA rollup (r6) — orders⋈lineitem is the ONE big "
+        "exchange (both sides hash on orderkey, AQE-sized); supplier "
+        "and nation stay BroadcastHashJoin; lag math is exact integer "
+        "days with a single double division in the rollup."
     ),
 }
 
