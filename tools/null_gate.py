@@ -211,7 +211,7 @@ COPY (
     print(f"built {dst_dir} (malformed json)", file=sys.stderr)
 
 
-def build_duplicate_rows(dst_dir: str) -> None:
+def build_duplicate_rows(dst_dir: str, src_dir: str = SRC) -> None:
     """EVERY table gets ~1% exact duplicate rows (ids included) via a
     deterministic hash-sample UNION ALL. Divergence class: the oracle
     determinism convention breaks ties on id columns (event_id, doc_id,
@@ -219,15 +219,20 @@ def build_duplicate_rows(dst_dir: str) -> None:
     BOTH engines unless the tied rows are bit-identical (they are, by
     construction here) or the query reduces them (DISTINCT / aggregate).
     A red row here means a query's output ORDER or slice depends on
-    which physical duplicate won — a real contract hole."""
+    which physical duplicate won — a real contract hole.
+
+    ``src_dir`` lets the wave COMPOSE: pointing it at a null-injected
+    copy duplicates null-BEARING rows (ids included), probing the
+    dup×null interaction (NULL group keys duplicated, eqNullSafe
+    partitions with physical copies, NULL-id tie-breaks)."""
     import duckdb
 
     os.makedirs(dst_dir, exist_ok=True)
-    for fname in sorted(os.listdir(SRC)):
+    for fname in sorted(os.listdir(src_dir)):
         if not fname.endswith(".parquet"):
             continue
         table = fname[: -len(".parquet")]
-        src = os.path.join(SRC, fname)
+        src = os.path.join(src_dir, fname)
         dst = os.path.join(dst_dir, fname)
         key = KEY[table]
         # tiny dimensions (region 5 / nation 25 rows) would rarely hit a
@@ -312,6 +317,11 @@ def main() -> None:
                          "exact-duplicate sample into EVERY table "
                          "(duplicated ids: the id-tiebreak determinism "
                          "class)")
+    ap.add_argument("--dup-on-nulls", action="store_true",
+                    help="COMPOSED wave: duplicate ~1%% of rows of the "
+                         "combined all-columns NULL dataset (w2+w3) — "
+                         "duplicated null-bearing rows probe the "
+                         "dup x null interaction")
     args = ap.parse_args()
 
     if args.degenerate_text:
@@ -341,6 +351,22 @@ def main() -> None:
         inject = {"*": ["~1% exact duplicate rows, ids included"]}
         if not args.skip_build:
             build_duplicate_rows(dst)
+    elif args.dup_on_nulls:
+        dst = "/tmp/dupnulls_sf0.001"
+        inject = {"*": ["~1% duplicates OF the w2+w3 null-injected rows"]}
+        if not args.skip_build:
+            base = DST + "-w2-w3"
+            if not os.path.isdir(base):
+                combined = {
+                    t: sorted(
+                        set(INJECT.get(t, []))
+                        | set(INJECT_WAVE2.get(t, []))
+                        | set(INJECT_WAVE3.get(t, []))
+                    )
+                    for t in set(INJECT) | set(INJECT_WAVE2) | set(INJECT_WAVE3)
+                }
+                build_nulldata(combined, base)
+            build_duplicate_rows(dst, src_dir=base)
     else:
         dst = DST
         inject = dict(INJECT)
