@@ -41,10 +41,19 @@ def main() -> None:
     shared = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in shared)
     t_new = sum(new[q] for q in shared)
-    print(
-        f"shared {len(shared)} queries ({old_kind} vs {new_kind}): "
-        f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / t_old:.2f}x)"
-    )
+    if shared and t_old > 0:
+        print(
+            f"shared {len(shared)} queries ({old_kind} vs {new_kind}): "
+            f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / t_old:.2f}x)"
+        )
+    else:
+        # differently-keyed artifacts (or all-zero timings): nothing to
+        # ratio — report the key mismatch instead of dividing by zero
+        print(
+            f"no comparable queries ({old_kind} vs {new_kind}): "
+            f"{len(old)} old-only keys, {len(new)} new-only keys; "
+            f"e.g. old={sorted(old)[:3]} new={sorted(new)[:3]}"
+        )
     regs = [
         (q, old[q], new[q])
         for q in shared

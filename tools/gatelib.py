@@ -47,9 +47,31 @@ def compare_queries(
             oracle = oracle_for(name, dst)
             if oracle is None:
                 continue
-            sdf = qs[name](spark, dst).persist()
-            spark_cols = [c.lower() for c in sdf.columns]
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            # the expected_errors pin documents an ENGINE-side contract
+            # (e.g. "empty training set"), so only the engine build +
+            # collect may satisfy it — an exception of the same type
+            # from the DuckDB oracle or the comparison below must stay
+            # a loud ERROR, not a silent green
+            try:
+                sdf = qs[name](spark, dst).persist()
+                spark_cols = [c.lower() for c in sdf.columns]
+                spark_rows = [tuple(r) for r in sdf.collect()]
+            except Exception as exc:
+                exc_name = type(exc).__name__
+                if expected_errors.get(name) == exc_name:
+                    row = {
+                        "status": f"green (expected {exc_name})",
+                        "rows": None,
+                    }
+                    row["secs"] = round(time.perf_counter() - t0, 3)
+                    out[name] = row
+                    print(
+                        f"[{i + 1}/{len(names)}] {name}: {row['status']}"
+                        f" ({row['secs']}s)",
+                        file=sys.stderr,
+                    )
+                    continue
+                raise
             con = duckdb_connect_views(dst)
             res = con.execute(oracle)
             duck_cols = [d[0].lower() for d in res.description]
@@ -67,15 +89,11 @@ def compare_queries(
                 "rows": len(spark_rows),
             }
         except Exception as exc:
-            exc_name = type(exc).__name__
-            if expected_errors.get(name) == exc_name:
-                row = {"status": f"green (expected {exc_name})", "rows": None}
-            else:
-                row = {
-                    "status": f"ERROR ({exc_name})",
-                    "rows": None,
-                    "traceback": traceback.format_exc(limit=3),
-                }
+            row = {
+                "status": f"ERROR ({type(exc).__name__})",
+                "rows": None,
+                "traceback": traceback.format_exc(limit=3),
+            }
         finally:
             if sdf is not None:
                 sdf.unpersist()

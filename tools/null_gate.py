@@ -102,11 +102,15 @@ COPY (
          CASE WHEN hash(doc_id) % 50 = 0 THEN ''
               WHEN hash(doc_id) % 50 = 1 THEN '   '
               WHEN hash(doc_id) % 50 = 2 THEN 'single'
+              -- exotic-whitespace case: vertical tab + form feed, the
+              -- Java-\s-vs-RE2-\s divergence probe (ORACLES.md class 16)
+              WHEN hash(doc_id) % 50 = 3 THEN 'a' || chr(11) || 'b' || chr(12) || 'c'
               ELSE text END AS text,
          lang, source,
-         CASE WHEN hash(doc_id) % 50 IN (0, 1, 2) THEN length(
+         CASE WHEN hash(doc_id) % 50 IN (0, 1, 2, 3) THEN length(
            CASE WHEN hash(doc_id) % 50 = 0 THEN ''
                 WHEN hash(doc_id) % 50 = 1 THEN '   '
+                WHEN hash(doc_id) % 50 = 3 THEN 'a' || chr(11) || 'b' || chr(12) || 'c'
                 ELSE 'single' END) ELSE n_chars END AS n_chars
   FROM read_parquet('{src}')
 ) TO '{dst}' (FORMAT PARQUET)""")

@@ -1073,7 +1073,10 @@ def q_text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.length("text").alias("n"),
         cls(r"[0-9]").alias("nd"),
-        cls(r"\s").alias("nw"),
+        # explicit class, NOT \s: Java regex \s is [ \t\n\x0B\f\r] while
+        # DuckDB's RE2 \s adds no \x0B — a vertical tab would silently
+        # diverge engine vs oracle (ORACLES.md class 16)
+        cls(r"[ \t\n\x0B\f\r]").alias("nw"),
         cls(r"[.,;:!?]").alias("np"),
     )
     agg = per.groupBy("source").agg(
@@ -1099,7 +1102,7 @@ WITH per AS (
   SELECT source,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
-         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS nw,
+         length(text) - length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS nw,
          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
   FROM documents WHERE text IS NOT NULL
 ),

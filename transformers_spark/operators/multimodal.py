@@ -252,6 +252,14 @@ def resize_images(
     exactly that — 4 rows per duplicated media_id), while a
     passthrough is row-for-row by construction."""
     resize = resizer or _real_resizer
+    reserved = set(RESIZED_SCHEMA.fieldNames())
+    collisions = [c for c in passthrough if c in reserved]
+    if collisions:
+        raise ValueError(
+            "passthrough columns collide with resize output fields "
+            f"{sorted(reserved)}: {collisions} — rename them upstream "
+            "(.withColumnRenamed) before resize_images"
+        )
     out_schema = StructType(
         list(RESIZED_SCHEMA.fields) + [df.schema[c] for c in passthrough]
     )

@@ -75,10 +75,10 @@ N_QUERY_VECS = 5  # embeddings with vec_id < 5 are the query set
 # 'i' — U+0130 is the ONLY non-locale codepoint whose lowercase
 # mapping lengthens, so this single pre-replace makes oracle lower()
 # match Spark on all inputs (found by the round-5 unicode-text gate).
-DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+DUCK_TOKENS = "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
 DUCK_NORMALIZED = (
-    "trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '[^a-z0-9\\s]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'),"
+    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 )
 
 
@@ -352,7 +352,7 @@ WITH base AS (
     CAST(len({DUCK_TOKENS}) AS DOUBLE) AS n_tokens,
     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
       AS digit_chars,
-    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+    CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
       AS punct_chars,
     CAST(len(list_intersect({DUCK_TOKENS}, [{en}])) AS DOUBLE) AS stop_hits
   FROM documents
@@ -381,7 +381,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_lang_id() -> str:
     langs = sorted(STOPWORDS)
-    lower_toks = "regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')"
+    lower_toks = "regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')"
     scores = ",\n    ".join(
         "CAST(len(list_intersect({t}, [{words}])) AS BIGINT) AS score_{lang}".format(
             t=lower_toks,
@@ -805,7 +805,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TFIDF_TOP_TERMS = """
 WITH terms AS (
   SELECT doc_id AS doc,
-         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS term
+         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) AS term
   FROM documents
 ),
 filt AS (SELECT doc, term FROM terms WHERE length(term) >= 3),
@@ -1166,7 +1166,7 @@ def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REPETITION_RATIOS = """
 WITH toked AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ),
 filt AS (SELECT * FROM toked WHERE len(t) >= 5),
@@ -1453,8 +1453,8 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE_MERGE_CANDIDATES = f"""
 WITH toks AS (
-  SELECT regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS t FROM documents
-  WHERE len(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) >= 2
+  SELECT regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) >= 2
 ),
 pairs AS (
   SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pair
@@ -1609,7 +1609,7 @@ def q_unigram_frequency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UNIGRAM_FREQUENCY = """
 WITH toks AS (
   SELECT doc_id AS doc,
-         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS tok
+         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
   FROM documents
   WHERE trim(text) <> ''
 ),
@@ -1642,7 +1642,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VOCAB_STATS = """
 WITH toks AS (
   SELECT source AS grp,
-         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS tok
+         unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
   FROM documents
   WHERE trim(text) <> ''
 ),
@@ -2251,7 +2251,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BIGRAM_LM = """
 WITH toks AS (
-  SELECT regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS ts FROM documents
+  SELECT regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+') AS ts FROM documents
 ),
 pairs AS (
   SELECT ts[i] AS w1, ts[i+1] AS w2
@@ -2545,7 +2545,7 @@ WITH occ AS (
   SELECT doc_id AS doc, is_t, {duck_h32('tok')} % 1024 AS bucket
   FROM (
     SELECT doc_id, (lang = 'en') AS is_t,
-           unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS tok
+           unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
     FROM documents
   )
   -- empty docs tokenize to ['']: dropped on both engines (text.py rule)
@@ -2638,7 +2638,7 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_LM_QUALITY = """
 WITH toks AS (
-  SELECT doc_id AS doc, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+') AS ts
+  SELECT doc_id AS doc, regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+') AS ts
   FROM documents
 ),
 pairs AS (
@@ -2725,7 +2725,7 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BM25_RETRIEVAL = """
 WITH post AS (
   SELECT doc_id AS doc, term, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) AS term
         FROM documents)
   WHERE length(term) >= 3
   GROUP BY 1, 2
@@ -2739,7 +2739,7 @@ stats AS (
 dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
 qterms AS (
   SELECT DISTINCT doc_id AS query_id, term
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '\\s+')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(replace(text, 'İ', 'i̇'))), '[ \\t\\n\\x0B\\f\\r]+')) AS term
         FROM documents WHERE doc_id < 5)
   WHERE length(term) >= 3
 ),

@@ -44,12 +44,20 @@ __all__ = [
     "STOPWORDS",
 ]
 
+# NO cross-engine pattern may say \s: Java regex \s is
+# [ \t\n\x0B\f\r] while RE2 (the DuckDB oracle) \s lacks \x0B, so a
+# vertical tab in text silently diverges tokenization between engine
+# and oracle (ORACLES.md class 16; caught by the degenerate-text
+# wave's VT probe). WS_CLASS spells out Java's \s — Spark behavior is
+# byte-identical to before; oracles interpolate the same class.
+WS_CLASS = " \\t\\n\\x0B\\f\\r"
+
 # BPE-ish pre-tokenizer classes (GPT-2-style, ASCII-simplified so the
 # same pattern runs in Spark (Java regex) and DuckDB (RE2)): letter
 # runs, digit runs, and single punctuation marks each become one token.
-BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+BPE_TOKEN_RE = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS_CLASS}]"
 
-WHITESPACE = r"\s+"
+WHITESPACE = f"[{WS_CLASS}]+"
 
 
 def tokens(col: Column) -> Column:
@@ -59,8 +67,8 @@ def tokens(col: Column) -> Column:
 def normalized_text(col: Column) -> Column:
     """Lowercase, strip non-alphanumerics, collapse whitespace — the
     canonical form used for exact-dedup fingerprints."""
-    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")
-    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    cleaned = F.regexp_replace(F.lower(col), f"[^a-z0-9{WS_CLASS}]", " ")
+    return F.trim(F.regexp_replace(cleaned, WHITESPACE, " "))
 
 
 def doc_fingerprint(col: Column) -> Column:

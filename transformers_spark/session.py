@@ -51,6 +51,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default derived from physical RAM, not hard-coded:
+    ~half of physical memory, clamped to [2g, 24g]. Half leaves room
+    for Python workers (Arrow batches live in both processes), the OS
+    page cache the parquet scans rely on, and off-heap JVM overhead;
+    the clamp keeps the JVM launchable on small hosts and avoids a
+    pointlessly huge heap (GC pauses) on big ones. Callers that know
+    better set SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        phys_gib = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(2, min(24, int(phys_gib / 2)))}g"
+
+
 def get_spark(
     app_name: str = "transformers-spark",
     master: str | None = None,
@@ -81,7 +98,8 @@ def get_spark(
     # harness's own session keeps its own setting — apply_engine_conf
     # deliberately can't touch a static conf).
     conf.setdefault(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     )
     # On local[N] there is no cluster to absorb a wide shuffle: width =
     # cores. 2x over-partitioning (the classic straggler hedge) only
