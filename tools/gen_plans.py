@@ -192,6 +192,19 @@ PICKS = {
         "before its exchange; the merge level is <= 64x|days| rows and "
         "the 64-slot literal frame joins are broadcast."
     ),
+    "dedup_lsh_precision": (
+        "LSH eval pair join (r6 soak fix) — the exact-pair ⋈ lsh-pair "
+        "comparison joins two DATA-SIZED frames and must stay a "
+        "SortMergeJoin (hint('merge')): the r6 10× soak proved the "
+        "post-aggregation size misestimate otherwise broadcasts a "
+        "data-sized side and blows maxResultSize."
+    ),
+    "source_overlap_matrix": (
+        "Cross-source fingerprint overlap — ONE dedup shuffle over "
+        "(fingerprint, source) postings; the source-pair expansion is "
+        "local to each posting list (never a corpus self-join) and the "
+        "matrix rollup is an ordinary keyed aggregate."
+    ),
     "supplier_fulfillment_lag": (
         "Fulfillment SLA rollup (r6) — orders⋈lineitem is the ONE big "
         "exchange (both sides hash on orderkey, AQE-sized); supplier "
