@@ -282,7 +282,18 @@ def _session_fn(
         # the session's gap boundary — deterministic given the data.
         # GroupState timeouts are ms-granular: round UP so the timeout
         # never fires before the true us-precision gap boundary.
-        state.setTimeoutTimestamp(-(-last_us // 1000) + SESSION_GAP_MS)
+        # CLAMP to watermark+1: a within-watermark late event (legal —
+        # the watermark delay exceeds the session gap) can leave
+        # last_ts + gap BEHIND the current watermark, and registering
+        # a timeout in the past kills the whole query with
+        # INVALID_TIMEOUT_TIMESTAMP. The clamped session is already
+        # closeable (the watermark passed its gap boundary), so
+        # watermark+1 closes it at the next trigger — same output,
+        # one batch later, instead of a crashed stream. (Found by the
+        # r7 10x streaming soak's 34-batch layout.)
+        boundary = -(-last_us // 1000) + SESSION_GAP_MS
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(boundary, wm + 1))
     if rows:
         yield pd.DataFrame(
             {
