@@ -192,6 +192,17 @@ PICKS = {
         "before its exchange; the merge level is <= 64x|days| rows and "
         "the 64-slot literal frame joins are broadcast."
     ),
+    "watermark_late_arrivals": (
+        "Late-arrival accounting (r7) — the running max over arrival "
+        "order is the two-phase prefix max: per-range-partition window "
+        "plus a broadcast partition-offset join; NO SinglePartition "
+        "window over the events."
+    ),
+    "lsh_band_bucket_skew": (
+        "LSH bucket-size profile (r7) — one (band, bucket) distinct-"
+        "count aggregate feeds the per-band rollup; pair-slots is exact "
+        "integer arithmetic inside the same aggregate, no second pass."
+    ),
     "dedup_lsh_precision": (
         "LSH eval pair join (r6 soak fix) — the exact-pair ⋈ lsh-pair "
         "comparison joins two DATA-SIZED frames and must stay a "

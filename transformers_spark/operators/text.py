@@ -195,7 +195,7 @@ def quality_expr(text_col: Column) -> Column:
     n_chars = F.length(text_col).cast("double")
     n_tokens = F.size(toks).cast("double")
     digit_chars = n_chars - F.length(F.regexp_replace(text_col, r"[0-9]", ""))
-    punct_chars = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(text_col, f"[^\\w{WS_CLASS}]", ""))
     stop_hits = _stopword_hits(toks, STOPWORDS["en"]).cast("double")
     length_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
     stop_score = F.least(stop_hits / F.lit(4.0), F.lit(1.0))
@@ -217,7 +217,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     toks = tokens(col)
     n_chars = F.length(col).cast("double")
     digit_chars = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
-    punct_chars = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(col, f"[^\\w{WS_CLASS}]", ""))
     stop_hits = _stopword_hits(toks, STOPWORDS["en"]).cast("double")
     return df.select(
         F.col(id_col),

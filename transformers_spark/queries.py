@@ -448,6 +448,7 @@ def _all_specs() -> list["QuerySpec"]:
     from .expansion import expansion_specs
     from .expansion2 import expansion2_specs
     from .expansion3 import expansion3_specs
+    from .expansion4 import expansion4_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
@@ -463,6 +464,7 @@ def _all_specs() -> list["QuerySpec"]:
         + expansion_specs()
         + expansion2_specs()
         + expansion3_specs()
+        + expansion4_specs()
     )
 
 
