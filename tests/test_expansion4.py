@@ -177,3 +177,70 @@ def test_session_timeout_clamped_to_watermark():
     state2 = _FakeState(0)
     list(_session_fn((1,), [batch], state2, timeout="event"))
     assert state2.set_to == int(late_ts.value // 1_000_000) + SESSION_GAP_MS
+
+
+def test_session_drain_survives_behind_watermark_event(spark, tmp_path):
+    """End-to-end twin of the clamp unit test: a file layout where a
+    later file carries an event BEHIND the already-advanced watermark
+    (Spark does NOT auto-drop late rows for applyInPandasWithState).
+    Pre-clamp code registered a past timeout and the whole drain died
+    with INVALID_TIMEOUT_TIMESTAMP; now it must complete and emit the
+    user's session under the documented merge-into-newest contract."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from transformers_spark.streaming.windows import (
+        sessionize,
+        shuffle_partitions,
+    )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    hour_us = 3_600_000_000
+    t0 = 1_704_100_000_000_000  # 2024-01-01-ish, micros
+    files = [
+        # f1: user 1 at t0
+        [(-1, t0, 1)],
+        # f2: user 2 far ahead — advances the watermark past
+        # t0 + gap (watermark = T - 2h, T = t0 + 12h)
+        [(-2, t0 + 12 * hour_us, 2)],
+        # f3: user 1 again at t0+10min — BEHIND the watermark now;
+        # its gap boundary t0+40min is also behind the watermark
+        [(-3, t0 + 600_000_000, 1)],
+        # f4: sentinel far past everything so all sessions flush
+        [(-4, t0 + 48 * hour_us, 3)],
+    ]
+    base = time.time()
+    for i, rows in enumerate(files):
+        table = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+        })
+        dest = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(table, dest)
+        os.utime(dest, (base + i, base + i))
+
+    with shuffle_partitions(spark, 4):
+        sdf = sessionize(spark, src, timeout="event",
+                         max_files_per_trigger=1)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("late_clamp_e2e")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # pre-clamp: StreamingQueryException here
+        out = spark.table("late_clamp_e2e")
+        rows = {r["user_id"]: r for r in out.collect()}
+    # user 1's late event merged into the open session (bounded-state
+    # contract): one session spanning t0 .. t0+10min with 2 events
+    assert rows[1]["n_events"] == 2
+    assert rows[2]["n_events"] == 1
