@@ -136,6 +136,19 @@ def test_resize_passthrough_collision_raises(spark):
         resize_images(df, passthrough=("width",))
 
 
+def test_resize_passthrough_collision_case_insensitive(spark):
+    """ADVICE r7: Spark resolves columns case-insensitively by default,
+    so passthrough=('WIDTH',) is just as ambiguous as ('width',) and
+    must raise too."""
+    from transformers_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(b"x", "m1", 7)], "payload binary, media_id string, WIDTH long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        resize_images(df, passthrough=("WIDTH",))
+
+
 class _FakeState:
     """Minimal GroupState stand-in for the timeout-clamp contract."""
 

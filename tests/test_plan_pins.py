@@ -36,6 +36,7 @@ SF = "/root/testdata/sf0.01"
 
 PINNED = [
     "dedup_lsh_precision",
+    "minhash_jaccard_error",
     "order_basket_pairs",
     "similarity_pq_adc",
     "source_overlap_matrix",
@@ -59,6 +60,11 @@ PROPERTIES = {
     "source_overlap_matrix": ([], ["CartesianProduct",
                                    "BroadcastNestedLoopJoin"]),
     "windowed_daily_events": (["PushedFilters: [IsNotNull(ts)"], []),
+    # candidates must come from the banded index's LOCAL pair expansion
+    # (Generate over the bucket member array) — never an all-pairs or
+    # nested-loop stage (r7 verdict ask 3)
+    "minhash_jaccard_error": (["Generate"], ["CartesianProduct",
+                                             "BroadcastNestedLoopJoin"]),
 }
 
 
@@ -130,3 +136,26 @@ def test_plan_properties(name, live_plans):
         assert frag in plan, f"{name}: expected '{frag}' in live plan"
     for frag in must_not:
         assert frag not in plan, f"{name}: scale-killer '{frag}' in plan"
+
+
+def test_merge_plan_properties(spark):
+    """dedup_cdc_merge's returned frame is a post-merge scan, so pin
+    the MERGE executor's OWN plan (dml.build_merge_plan on the CDC
+    fixture, r7 verdict ask 3): the pass-through must stay a row-id
+    anti-join (only ids shuffle), the duplicate-match guard must stay
+    in-plan (raise_error), and no cartesian stage may appear."""
+    from transformers_spark import cache
+    from transformers_spark.dml import build_merge_plan
+    from transformers_spark.expansion4 import _cdc_merge_setup
+
+    cat, writer, stmt, fqn = _cdc_merge_setup(spark, SF)
+    df = build_merge_plan(spark, cat, writer, stmt, fqn)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    cache.release()
+    assert "LeftAnti" in plan, "row-id pass-through anti-join lost"
+    assert "raise_error" in plan, "in-plan duplicate-match guard lost"
+    for frag in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert frag not in plan, f"scale-killer '{frag}' in MERGE plan"

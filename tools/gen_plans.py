@@ -216,6 +216,14 @@ PICKS = {
         "local to each posting list (never a corpus self-join) and the "
         "matrix rollup is an ordinary keyed aggregate."
     ),
+    "minhash_jaccard_error": (
+        "MinHash estimator audit (r7) — candidates come from the banded "
+        "bucket index (local pair expansion via Generate, never an "
+        "all-pairs join); signature/gram frames persist once and join "
+        "per-doc; no cartesian stage. At sf0.01 the persisted sides "
+        "broadcast (AQE sizes them from materialized InMemoryRelation "
+        "stats, so data-sized sides fall back to shuffle joins at scale)."
+    ),
     "supplier_fulfillment_lag": (
         "Fulfillment SLA rollup (r6) — orders⋈lineitem is the ONE big "
         "exchange (both sides hash on orderkey, AQE-sized); supplier "
@@ -268,6 +276,36 @@ def main() -> None:
         if len(lines) > 48:
             out.append(f"... ({len(lines) - 48} more plan lines)")
         out.append("```\n")
+
+    # The CDC query's returned frame is just a post-merge scan+rollup,
+    # so the load-bearing evidence is the MERGE executor's own plan
+    # (round-7 verdict ask 3): row-id pass-through anti-join, in-plan
+    # duplicate-match guard, no cartesian. Documented here; the live
+    # assertions run in tests/test_plan_pins.py::test_merge_plan_properties.
+    from transformers_spark.dml import build_merge_plan
+    from transformers_spark.expansion4 import _cdc_merge_setup
+
+    cat, writer, stmt, fqn = _cdc_merge_setup(spark, sf)
+    df = build_merge_plan(spark, cat, writer, stmt, fqn)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    lines = skeleton(buf.getvalue())
+    out.append("## dedup_cdc_merge__merge_plan\n")
+    out.append(
+        "MERGE executor plan for dedup_cdc_merge (dml.build_merge_plan on "
+        "the CDC fixture) — the pass-through is a row-id LeftAnti join "
+        "(only ids shuffle), the multi-match guard is an in-plan "
+        "raise_error over a window count, and there is no cartesian "
+        "stage. Properties asserted live in tests/test_plan_pins.py; "
+        "the skeleton below is evidence, not a freshness pin (AQE stage "
+        "markers in it depend on which setup stages already ran).\n"
+    )
+    out.append("```")
+    out.extend(lines[:48])
+    if len(lines) > 48:
+        out.append(f"... ({len(lines) - 48} more plan lines)")
+    out.append("```\n")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as fh:

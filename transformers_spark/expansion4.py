@@ -122,33 +122,14 @@ buckets AS ({band_selects})"""
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-shaped incremental dedup: upsert the NEW batch's LSH
-    band-bucket signatures into the persisted standing index with the
-    engine's general MERGE path (dml.py — the same executor the A8
-    reference samples run through), then roll the post-merge index up
-    per band. The post-merge state must equal the fresh full-corpus
-    index — which is exactly what the oracle computes, so this query
-    gates the MERGE executor's matched-UPDATE and not-matched-INSERT
-    clauses against data-sized inputs, not 3-row fixtures.
-
-    Setup (deterministic): docs with doc_id >= max*4/5 are the "new
-    batch"; the standing table holds the older docs' index rows PLUS a
-    deliberately STALE row ('stale' bucket) for every even-id new doc
-    that has signatures — MERGE must overwrite every stale row (UPDATE)
-    and add the odd-id ones (INSERT).
-
-    Scale shape: the index build is the map-only signature pipeline +
-    one DISTINCT shuffle (the index's (doc, band) primary key —
-    REQUIRED, because MERGE correctly errors when two source rows hit
-    one target row, so a dirty re-ingest must collapse inside the
-    index build; ORACLES.md #15). The MERGE itself is the executor's
-    row-id join rewrite — target and source are both data-sized, no
-    driver materialization. Cites reference semantics:
-    bumblebee/query.py:6-62 (delete+insert MERGE templates).
-    """
+def _cdc_merge_setup(spark: SparkSession, sf_dir: str):
+    """Materialize the CDC fixture (standing index table with stale
+    rows + new-batch view) and parse the MERGE; returns
+    ``(catalog, writer, stmt, fqn)``. Shared by ``q_dedup_cdc_merge``
+    and the plan-pin test, which explains ``dml.build_merge_plan`` on
+    exactly this statement instead of re-deriving the fixture."""
     from .catalog import Catalog
-    from .dml import execute_merge, parse_merge
+    from .dml import parse_merge
     from .loaders import Writer
     from .operators.dedup import minhash_band_buckets
 
@@ -193,6 +174,37 @@ ON T.doc = N.doc AND T.band = N.band
 WHEN MATCHED THEN UPDATE SET bucket = N.bucket
 WHEN NOT MATCHED THEN INSERT (doc, band, bucket) VALUES (N.doc, N.band, N.bucket)"""
     )
+    return cat, writer, stmt, fqn
+
+
+def q_dedup_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped incremental dedup: upsert the NEW batch's LSH
+    band-bucket signatures into the persisted standing index with the
+    engine's general MERGE path (dml.py — the same executor the A8
+    reference samples run through), then roll the post-merge index up
+    per band. The post-merge state must equal the fresh full-corpus
+    index — which is exactly what the oracle computes, so this query
+    gates the MERGE executor's matched-UPDATE and not-matched-INSERT
+    clauses against data-sized inputs, not 3-row fixtures.
+
+    Setup (deterministic): docs with doc_id >= max*4/5 are the "new
+    batch"; the standing table holds the older docs' index rows PLUS a
+    deliberately STALE row ('stale' bucket) for every even-id new doc
+    that has signatures — MERGE must overwrite every stale row (UPDATE)
+    and add the odd-id ones (INSERT).
+
+    Scale shape: the index build is the map-only signature pipeline +
+    one DISTINCT shuffle (the index's (doc, band) primary key —
+    REQUIRED, because MERGE correctly errors when two source rows hit
+    one target row, so a dirty re-ingest must collapse inside the
+    index build; ORACLES.md #15). The MERGE itself is the executor's
+    row-id join rewrite — target and source are both data-sized, no
+    driver materialization. Cites reference semantics:
+    bumblebee/query.py:6-62 (delete+insert MERGE templates).
+    """
+    from .dml import execute_merge
+
+    cat, writer, stmt, fqn = _cdc_merge_setup(spark, sf_dir)
     execute_merge(spark, cat, writer, stmt, fqn)
     merged = cat.read(fqn)
     return merged.groupBy(F.col("band").cast("int").alias("band")).agg(
@@ -496,7 +508,9 @@ def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide dedup trusts it.
 
     Scale shape: candidates come from the banded bucket join (never
-    all-pairs — operators/dedup.minhash_lsh_pairs, skew-capped);
+    all-pairs — operators/dedup.minhash_lsh_pairs, skew-capped; the
+    oracle mirrors the same max_bucket_size=1000 cap via its `kept`
+    CTE, so a degenerate bucket over the cap drops from BOTH sides);
     per-pair estimate and exact Jaccard both join on doc ids against
     the persisted signature/gram frames. Errors are exact rationals
     cast to double ONCE per pair and ROUNDED, and the rollup uses
@@ -599,10 +613,21 @@ gsets AS (
            AS gs
   FROM toks GROUP BY doc
 ),
+kept AS (
+  -- mirror the engine's max_bucket_size skew cap (dedup.py
+  -- minhash_lsh_pairs, default 1000): a degenerate/boilerplate
+  -- bucket over 1000 docs is dropped WHOLESALE on both sides, so
+  -- the pair sets stay identical on exactly the skewed corpora this
+  -- audit exists for (ADVICE r7)
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket
+  HAVING COUNT(DISTINCT doc) BETWEEN 2 AND 1000
+),
 cands AS (
   SELECT a.doc AS d1, b.doc AS d2, COUNT(DISTINCT a.band) AS matching_bands
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+  JOIN kept k ON a.band = k.band AND a.bucket = k.bucket
   GROUP BY 1, 2
 ),
 err AS (

@@ -252,8 +252,11 @@ def resize_images(
     exactly that — 4 rows per duplicated media_id), while a
     passthrough is row-for-row by construction."""
     resize = resizer or _real_resizer
-    reserved = set(RESIZED_SCHEMA.fieldNames())
-    collisions = [c for c in passthrough if c in reserved]
+    # lowercase compare: Spark resolves columns case-insensitively by
+    # default, so passthrough=('WIDTH',) is just as ambiguous as
+    # ('width',) at analysis time (ADVICE r7)
+    reserved = {f.lower() for f in RESIZED_SCHEMA.fieldNames()}
+    collisions = [c for c in passthrough if c.lower() in reserved]
     if collisions:
         raise ValueError(
             "passthrough columns collide with resize output fields "

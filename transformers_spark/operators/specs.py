@@ -143,9 +143,22 @@ sigs AS (
     {sig_exprs}
   FROM grams GROUP BY doc
 ),
-buckets AS ({band_selects})
+buckets AS ({band_selects}),
+kept AS (
+  -- mirror the engine's max_bucket_size skew cap (dedup.py
+  -- minhash_lsh_pairs, default 1000): oversized degenerate buckets
+  -- are dropped WHOLESALE before pairing on both sides, so a
+  -- boilerplate bucket over 1000 docs cannot diverge the gate
+  -- (ADVICE r7). COUNT(DISTINCT doc) matches the engine's
+  -- array_distinct'ed member list.
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket
+  HAVING COUNT(DISTINCT doc) BETWEEN 2 AND 1000
+)
 SELECT a.doc AS d1, b.doc AS d2, COUNT(DISTINCT a.band) AS matching_bands
-FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+JOIN kept k ON a.band = k.band AND a.bucket = k.bucket
 WHERE a.doc < b.doc
 GROUP BY 1, 2
 """
