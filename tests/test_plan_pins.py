@@ -35,7 +35,10 @@ PLANS = os.path.join(REPO, "PLANS.md")
 SF = "/root/testdata/sf0.01"
 
 PINNED = [
+    "crosslingual_near_dup",
+    "dedup_degree_profile",
     "dedup_lsh_precision",
+    "embedding_decontamination",
     "minhash_jaccard_error",
     "order_basket_pairs",
     "similarity_pq_adc",
@@ -65,6 +68,16 @@ PROPERTIES = {
     # nested-loop stage (r7 verdict ask 3)
     "minhash_jaccard_error": (["Generate"], ["CartesianProduct",
                                              "BroadcastNestedLoopJoin"]),
+    # r8 shapes: the 4-gram inverted-index pair join and the banded
+    # degree count must never degrade to a nested-loop / all-pairs
+    # stage; decontamination's BNLJ instances are ONLY the 2-row
+    # threshold literal + 1-row scalar frame, so CartesianProduct is
+    # the forbidden marker there
+    "crosslingual_near_dup": ([], ["CartesianProduct",
+                                   "BroadcastNestedLoopJoin"]),
+    "dedup_degree_profile": (["Generate"], ["CartesianProduct",
+                                            "BroadcastNestedLoopJoin"]),
+    "embedding_decontamination": ([], ["CartesianProduct"]),
 }
 
 

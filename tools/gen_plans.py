@@ -224,6 +224,25 @@ PICKS = {
         "broadcast (AQE sizes them from materialized InMemoryRelation "
         "stats, so data-sized sides fall back to shuffle joins at scale)."
     ),
+    "crosslingual_near_dup": (
+        "Cross-lingual shared-shingle candidates (r8) — 4-gram postings "
+        "shuffle once; the ONLY quadratic site is the per-gram self-join "
+        "and the df cap (2..50) bounds each gram's pair slots; lang "
+        "collapses to MIN per doc so duplicate rows cannot fan pairs."
+    ),
+    "dedup_degree_profile": (
+        "Candidate-graph degree histogram (r8) — pairs come from the "
+        "skew-capped banded index (local pair expansion, never an "
+        "all-pairs join); degree is one doc-keyed aggregate and the "
+        "zero-degree universe arrives via a LEFT join, not a second "
+        "signature pass."
+    ),
+    "embedding_decontamination": (
+        "Embedding decontamination (r8) — the hash-mod split is map-only; "
+        "candidates come from the hyperplane-bucket equi-join (work "
+        "follows bucket sizes, never |eval| x |train|); the threshold "
+        "fan-out joins a 2-row broadcast literal frame."
+    ),
     "supplier_fulfillment_lag": (
         "Fulfillment SLA rollup (r6) — orders⋈lineitem is the ONE big "
         "exchange (both sides hash on orderkey, AQE-sized); supplier "

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--first", type=int, default=None,
                     help="check only the first N cohort entries (driver style)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="check only these query names (dev iteration)")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -57,6 +59,11 @@ def main() -> None:
     names = list(qs)
     if args.first:
         names = names[: args.first]
+    if args.only:
+        unknown = [n for n in args.only if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = [n for n in names if n in set(args.only)]
 
     spark = get_spark(app_name="local-correctness-gate")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,7 +118,12 @@ def main() -> None:
         print(f"[{i + 1}/{len(names)}] {name}: {'green' if ok else 'NOT GREEN'}",
               file=sys.stderr)
 
-    out_path = os.path.join(REPO, f"CORRECTNESS_LOCAL_r{args.round:02d}.json")
+    # --only is a dev-iteration subset: never clobber the round's real
+    # full-catalog artifact with a partial one
+    suffix = "_dev" if args.only else ""
+    out_path = os.path.join(
+        REPO, f"CORRECTNESS_LOCAL_r{args.round:02d}{suffix}.json"
+    )
     with open(out_path, "w") as fh:
         json.dump(
             {

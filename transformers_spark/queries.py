@@ -449,6 +449,7 @@ def _all_specs() -> list["QuerySpec"]:
     from .expansion2 import expansion2_specs
     from .expansion3 import expansion3_specs
     from .expansion4 import expansion4_specs
+    from .expansion5 import expansion5_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
@@ -465,6 +466,7 @@ def _all_specs() -> list["QuerySpec"]:
         + expansion2_specs()
         + expansion3_specs()
         + expansion4_specs()
+        + expansion5_specs()
     )
 
 
