@@ -29,8 +29,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _buffcache_mb() -> int | None:
+    """Page-cache state (Buffers + Cached, MB) from /proc/meminfo —
+    recorded in every bench artifact so a degraded epoch (e.g. a /tmp
+    wipe dropping the page cache, BENCH_NOTES round 7) is machine-
+    detectable instead of diary-detectable."""
+    try:
+        kb = 0
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith(("Buffers:", "Cached:")):
+                    kb += int(line.split()[1])
+        return kb // 1024
+    except OSError:  # non-Linux or restricted /proc
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    buffcache_start_mb = _buffcache_mb()
     match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
 
@@ -104,6 +121,8 @@ def main() -> None:
                 "warm_runs": warm_runs,
                 "sf": sf,
                 "n_queries": len(timings),
+                "buffcache_start_mb": buffcache_start_mb,
+                "buffcache_end_mb": _buffcache_mb(),
             },
             fh,
             indent=1,
@@ -131,6 +150,8 @@ def main() -> None:
         if warm_total is not None:
             payload["warm_total"] = warm_total
             payload["warm_runs"] = warm_runs
+        if buffcache_start_mb is not None:
+            payload["buffcache_start_mb"] = buffcache_start_mb
         return json.dumps(payload, separators=(",", ":"))
 
     while len(line_for(kept, len(timings) - len(kept))) > budget and kept:

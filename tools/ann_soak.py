@@ -3,7 +3,8 @@
 
 The ANN family's scaling evidence was `similarity_ivf_kmeans` only
 (r5, ~3.2x at 10x). This measures the other two production shapes at
-10x embeddings (the /tmp/sf1_soak jittered copies), with the MEASURED
+10x embeddings (the sf1_soak jittered copies under tools/scratch.py's
+root), with the MEASURED
 workload unit alongside wall time (the lesson from dedup_lsh's
 "12.6x wall is 109x pair-slots"):
 

@@ -34,6 +34,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import scratch
+
 SRC = "/root/testdata/sf0.001"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -127,7 +129,7 @@ def main() -> None:
             names = [n for n in names if n in keep]
         if not names:
             continue
-        dst = f"/tmp/empty_{label.replace(':', '_').replace('-', '_')}_sf0.001"
+        dst = scratch.scratch_path(f"empty_{label.replace(':', '_').replace('-', '_')}_sf0.001")
         build_empty(dst, empties)
         print(f"=== scenario {label}: {len(names)} queries ===",
               file=sys.stderr)

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Run a set of queries (default: the newest catalog additions) across
-every already-built robustness-wave dataset in /tmp — the incremental
+every already-built robustness-wave dataset under the scratch root
+(tools/scratch.py) — the incremental
 companion to the full per-wave gates, so a mid-round catalog append
 gets wave coverage without re-running 163 queries x 9 waves.
 
@@ -17,17 +18,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import scratch
+
 WAVES = [
-    ("null-w1", "/tmp/nulldata_sf0.001"),
-    ("null-w2", "/tmp/nulldata_sf0.001-w2"),
-    ("null-w3", "/tmp/nulldata_sf0.001-w3"),
-    ("null-all", "/tmp/nulldata_sf0.001-w2-w3"),
-    ("degentext", "/tmp/degentext_sf0.001"),
-    ("badjson", "/tmp/badjson_sf0.001"),
-    ("unicode", "/tmp/unicode_sf0.001"),
-    ("extreme", "/tmp/extreme_sf0.001"),
-    ("duprows", "/tmp/duprows_sf0.001"),
-    ("skew", "/tmp/skew_sf0.001"),
+    ("null-w1", scratch.scratch_path("nulldata_sf0.001")),
+    ("null-w2", scratch.scratch_path("nulldata_sf0.001-w2")),
+    ("null-w3", scratch.scratch_path("nulldata_sf0.001-w3")),
+    ("null-all", scratch.scratch_path("nulldata_sf0.001-w2-w3")),
+    ("degentext", scratch.scratch_path("degentext_sf0.001")),
+    ("badjson", scratch.scratch_path("badjson_sf0.001")),
+    ("unicode", scratch.scratch_path("unicode_sf0.001")),
+    ("extreme", scratch.scratch_path("extreme_sf0.001")),
+    ("duprows", scratch.scratch_path("duprows_sf0.001")),
+    ("skew", scratch.scratch_path("skew_sf0.001")),
 ]
 
 DEFAULT_QUERIES = [

@@ -10,7 +10,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DST = "/tmp/nulldata_sf0.001"
+import scratch
+
+DST = scratch.scratch_path("nulldata_sf0.001")
 
 
 def main() -> None:

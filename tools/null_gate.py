@@ -29,8 +29,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import scratch
+
 SRC = "/root/testdata/sf0.001"
-DST = "/tmp/nulldata_sf0.001"
+DST = scratch.scratch_path("nulldata_sf0.001")
 
 # table -> columns to null-inject (deterministic ~2% by id-hash)
 INJECT = {
@@ -331,32 +333,32 @@ def main() -> None:
     if args.degenerate_text:
         # the string-content waves replace null injection entirely
         # (their own dataset + builder); wave flags are ignored
-        dst = "/tmp/degentext_sf0.001"
+        dst = scratch.scratch_path("degentext_sf0.001")
         inject = {"documents": ["text (degenerate strings, not NULL)"]}
         if not args.skip_build:
             build_degenerate_text(dst)
     elif args.malformed_json:
-        dst = "/tmp/badjson_sf0.001"
+        dst = scratch.scratch_path("badjson_sf0.001")
         inject = {"events": ["props (malformed JSON, not NULL)"]}
         if not args.skip_build:
             build_malformed_json(dst)
     elif args.unicode_text:
-        dst = "/tmp/unicode_sf0.001"
+        dst = scratch.scratch_path("unicode_sf0.001")
         inject = {"documents": ["text (unicode case-folding class, not NULL)"]}
         if not args.skip_build:
             build_unicode_text(dst)
     elif args.extreme_values:
-        dst = "/tmp/extreme_sf0.001"
+        dst = scratch.scratch_path("extreme_sf0.001")
         inject = {"events": ["value (extreme doubles, not NULL)"]}
         if not args.skip_build:
             build_extreme_values(dst)
     elif args.duplicate_rows:
-        dst = "/tmp/duprows_sf0.001"
+        dst = scratch.scratch_path("duprows_sf0.001")
         inject = {"*": ["~1% exact duplicate rows, ids included"]}
         if not args.skip_build:
             build_duplicate_rows(dst)
     elif args.dup_on_nulls:
-        dst = "/tmp/dupnulls_sf0.001"
+        dst = scratch.scratch_path("dupnulls_sf0.001")
         inject = {"*": ["~1% duplicates OF the w2+w3 null-injected rows"]}
         if not args.skip_build:
             base = DST + "-w2-w3"

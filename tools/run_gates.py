@@ -39,6 +39,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import scratch
+
 import empty_gate
 import null_gate
 import skew_gate
@@ -64,7 +66,7 @@ def mutation_waves() -> list[dict]:
     w2 = _null_inject(ng.INJECT, ng.INJECT_WAVE2)
     w3 = _null_inject(ng.INJECT, ng.INJECT_WAVE3)
     wall = _null_inject(ng.INJECT, ng.INJECT_WAVE2, ng.INJECT_WAVE3)
-    nulldir = "/tmp/nulldata_sf0.001"
+    nulldir = scratch.scratch_path("nulldata_sf0.001")
     return [
         _w("null-w1", nulldir,
            lambda d: ng.build_nulldata(w1, d)),
@@ -74,20 +76,20 @@ def mutation_waves() -> list[dict]:
            lambda d: ng.build_nulldata(w3, d)),
         _w("null-all", nulldir + "-w2-w3",
            lambda d: ng.build_nulldata(wall, d)),
-        _w("degentext", "/tmp/degentext_sf0.001", ng.build_degenerate_text),
-        _w("badjson", "/tmp/badjson_sf0.001", ng.build_malformed_json),
-        _w("unicode", "/tmp/unicode_sf0.001", ng.build_unicode_text),
-        _w("extreme", "/tmp/extreme_sf0.001", ng.build_extreme_values),
-        _w("duprows", "/tmp/duprows_sf0.001", ng.build_duplicate_rows),
-        _w("dupnulls", "/tmp/dupnulls_sf0.001",
+        _w("degentext", scratch.scratch_path("degentext_sf0.001"), ng.build_degenerate_text),
+        _w("badjson", scratch.scratch_path("badjson_sf0.001"), ng.build_malformed_json),
+        _w("unicode", scratch.scratch_path("unicode_sf0.001"), ng.build_unicode_text),
+        _w("extreme", scratch.scratch_path("extreme_sf0.001"), ng.build_extreme_values),
+        _w("duprows", scratch.scratch_path("duprows_sf0.001"), ng.build_duplicate_rows),
+        _w("dupnulls", scratch.scratch_path("dupnulls_sf0.001"),
            lambda d: ng.build_duplicate_rows(
                d, src_dir=_ensure_nullall(wall))),
-        _w("skew", "/tmp/skew_sf0.001", skew_gate.build_skewdata),
+        _w("skew", scratch.scratch_path("skew_sf0.001"), skew_gate.build_skewdata),
     ]
 
 
 def _ensure_nullall(inject: dict) -> str:
-    base = "/tmp/nulldata_sf0.001-w2-w3"
+    base = scratch.scratch_path("nulldata_sf0.001-w2-w3")
     if not os.path.isdir(base):
         null_gate.build_nulldata(inject, base)
     return base
@@ -103,7 +105,7 @@ def main() -> None:
                     help="comma-separated query names (newq-replay mode; "
                          "artifact is marked restricted)")
     ap.add_argument("--skip-build", action="store_true",
-                    help="reuse existing /tmp wave datasets")
+                    help="reuse existing scratch wave datasets")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -167,7 +169,7 @@ def main() -> None:
             skipped = [n for n in names if t not in reads.get(n, set())]
         if not run_names:
             continue
-        dst = f"/tmp/empty_{label.replace(':', '_').replace('-', '_')}_sf0.001"
+        dst = scratch.scratch_path(f"empty_{label.replace(':', '_').replace('-', '_')}_sf0.001")
         if not args.skip_build or not os.path.isdir(dst):
             empty_gate.build_empty(dst, empties)
         expected = {

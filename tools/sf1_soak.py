@@ -2,7 +2,7 @@
 """sf1 soak harness (round-5 verdict ask 8, extended by round-6 ask 5).
 
 /root/testdata has no sf1, so a bench-only 10× extension of sf0.1 is
-built in /tmp/sf1_soak:
+built under the scratch root (tools/scratch.py) as sf1_soak:
 
 * documents — 10 id-offset copies with per-copy salt tokens (so
   near-dup structure SCALES instead of collapsing into exact cliques);
@@ -32,8 +32,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import scratch
+
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_soak"
+DST = scratch.scratch_path("sf1_soak")
 COPIES = 10
 
 

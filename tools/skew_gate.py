@@ -32,8 +32,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import scratch
+
 SRC = "/root/testdata/sf0.001"
-DST = "/tmp/skew_sf0.001"
+DST = scratch.scratch_path("skew_sf0.001")
 
 MEGA_BASKET_PARTS = 5_000
 BOT_DAY_EVENTS = 50_000

@@ -4,7 +4,7 @@
 Two measurements the batch soak (`tools/sf1_soak.py`) never made:
 
 1. **Scale**: drain `streaming_sessionization` and
-   `streaming_view_purchase_join` at 10x events (the /tmp/sf1_soak
+   `streaming_view_purchase_join` at 10x events (the sf1_soak
    dataset) and compare against their sf0.1 drain times — sub-linear
    or attributed.
 
@@ -36,9 +36,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import scratch
+
 import sf1_soak
 
-SOAK = sf1_soak.DST  # /tmp/sf1_soak
+SOAK = sf1_soak.DST  # <scratch>/sf1_soak
 SF01 = "/root/testdata/sf0.1"
 
 
@@ -53,7 +55,7 @@ def build_flush_variant(spark, events_parquet: str, n_files: int) -> str:
     from transformers_spark.streaming.specs import SENTINEL_USER
     from transformers_spark.streaming.windows import SESSION_GAP_US
 
-    out = f"/tmp/streamsoak_flush_f{n_files}"
+    out = scratch.scratch_path(f"streamsoak_flush_f{n_files}")
     marker = os.path.join(out, "_FLUSH_READY")
     if os.path.exists(marker):
         return out
