@@ -127,7 +127,8 @@ FROM (SELECT user_id, sid, COUNT(*) AS c
     return int(row[0]), int(row[1])
 
 
-def drain_sessionization(spark, source: str, name: str) -> dict:
+def drain_sessionization(spark, source: str, name: str,
+                         collect_state_metrics: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from transformers_spark.streaming.specs import SENTINEL_USER
@@ -152,6 +153,19 @@ def drain_sessionization(spark, source: str, name: str) -> dict:
             (p.durationMs or {}).get("addBatch", 0)
             for p in query.recentProgress
         )
+        state = {}
+        if collect_state_metrics:
+            # peak state across micro-batches: the number a production
+            # deployment sizes the store for
+            for p in query.recentProgress:
+                for op in p.stateOperators or []:
+                    state["max_state_rows"] = max(
+                        state.get("max_state_rows", 0), op.numRowsTotal
+                    )
+                    state["max_state_mem_mb"] = max(
+                        state.get("max_state_mem_mb", 0),
+                        round(op.memoryUsedBytes / 1e6, 1),
+                    )
         out = spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
         n_rows = out.count()
     secs = time.perf_counter() - t0
@@ -160,7 +174,52 @@ def drain_sessionization(spark, source: str, name: str) -> dict:
         "n_batches": n_batches,
         "add_batch_s": round(add_batch_ms / 1000, 2),
         "rows": n_rows,
+        **state,
     }
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def state_store_compare(spark, ev10: str, expected) -> list[dict]:
+    """Drain the arbitrary-state sessionization (the heaviest state op
+    in the catalog) under the default HDFS-backed in-memory provider
+    and under RocksDB, same data, same oracle (round-7 verdict ask 6):
+    at 100 TB the state store is the first thing that pages, and this
+    measures what switching costs/buys BEFORE a deployment finds out
+    in production. One warmup + one measured drain per provider;
+    output must bit-match the batch oracle under both."""
+    src = build_flush_variant(spark, ev10, 8)
+    default_provider = spark.conf.get(_PROVIDER_CONF)
+    rows = []
+    for label, provider in (
+        ("default_hdfs", None),
+        ("rocksdb", ROCKSDB_PROVIDER),
+    ):
+        if provider is not None:
+            spark.conf.set(_PROVIDER_CONF, provider)
+        try:
+            meas = []
+            for rep in range(2):
+                r = drain_sessionization(
+                    spark, src, f"soak_ss_{label}_r{rep}",
+                    collect_state_metrics=True,
+                )
+                meas.append(r)
+                print(f"state-store {label} rep{rep}: {r}",
+                      file=sys.stderr)
+            row = {"provider": label, **meas[-1],
+                   "cold_secs": meas[0]["secs"]}
+            if expected is not None:
+                row["rows_match_oracle"] = meas[-1]["rows"] == expected[0]
+            rows.append(row)
+        finally:
+            spark.conf.set(_PROVIDER_CONF, default_provider)
+    return rows
 
 
 def main() -> None:
@@ -172,6 +231,9 @@ def main() -> None:
                     help="skip the 1x-vs-10x query timings")
     ap.add_argument("--skip-batch-sizing", action="store_true",
                     help="skip the drain-vs-batch-count measurement")
+    ap.add_argument("--state-store-compare", action="store_true",
+                    help="drain sessionization under the default and "
+                         "RocksDB state store providers (r8)")
     args = ap.parse_args()
 
     sf1_soak.build_missing()
@@ -207,6 +269,14 @@ def main() -> None:
         rows["warm_ratio_10x"] = round(
             rows["10x"]["warm_median"] / rows["sf0.1"]["warm_median"], 2)
         result[qname] = rows
+
+    # --- 1b. state-store provider comparison at 10x (r8) -------------
+    if args.state_store_compare:
+        ev10 = os.path.join(SOAK, "events.parquet")
+        expected = (None if args.skip_10x_oracle
+                    else oracle_session_counts(ev10))
+        result["state_store_10x"] = state_store_compare(
+            spark, ev10, expected)
 
     # --- 2. drain-time vs batch count at fixed 10x data --------------
     if args.skip_batch_sizing:
