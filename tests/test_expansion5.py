@@ -155,6 +155,48 @@ def test_hist_quantile_error_exact_construction(spark, tmp_path):
     assert out[0.9]["exact_value"] == pytest.approx(85.0)
 
 
+def test_hist_quantile_saturates_out_of_domain_values(spark, tmp_path):
+    """Values outside the sketch domain [0, 1000) saturate into the
+    overflow/underflow buckets instead of overflowing the bin id (the
+    extreme-values gate found 1e307 breaking the raw FLOOR): five
+    zeros + five 1e307 put p90 (rank ceil(0.9*10)=9) in the overflow
+    bucket, whose estimate reads as the domain edge 1000.0, while the
+    exact quantile keeps the raw value — the audit SHOWS the
+    saturation error."""
+    from datetime import datetime
+
+    from transformers_spark.expansion5 import q_sketch_hist_quantile_error
+
+    vals = [0.0] * 5 + [1e307] * 5
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sfhistsat")
+    _write(ev, sf, "events")
+    out = {r["q"]: r for r in
+           q_sketch_hist_quantile_error(spark, sf).collect()}
+    assert out[0.5]["est_value"] == pytest.approx(0.0)
+    assert out[0.9]["est_value"] == pytest.approx(1000.0)  # overflow bin
+    assert out[0.9]["exact_value"] == pytest.approx(1e307)
+
+
+def test_ivf_probe_empty_corpus_raises_codebook_contract(spark, tmp_path):
+    """An empty corpus cannot train/collect a codebook: the IVF probe
+    curve must refuse loudly (the EMPTY_ERROR_CONTRACTS pin), never
+    emit a fake zero-recall row."""
+    from transformers_spark.expansion5 import q_ivf_probe_recall_curve
+
+    sf = str(tmp_path / "sfivf0")
+    _write(_embs(spark, []), sf, "embeddings")
+    with pytest.raises(ValueError):
+        q_ivf_probe_recall_curve(spark, sf).collect()
+
+
 def test_ivf_probe_recall_is_monotone(spark, tmp_path):
     """More probes can only widen the candidate set, so recall@5 must
     be non-decreasing in n_probe, and slots equal the distinct exact

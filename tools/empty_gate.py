@@ -54,6 +54,10 @@ EMPTY_ERROR_CONTRACTS: dict[str, str] = {
     "similarity_ivf_ann": "ValueError",
     "similarity_ivf_kmeans": "ValueError",
     "embedding_cluster_profile": "ValueError",
+    # r8: the IVF probe curve shares the codebook-collection contract —
+    # no codebook exists over an empty corpus, so it must refuse loudly
+    # rather than emit a fake zero-recall row
+    "ivf_probe_recall_curve": "ValueError",
 }
 
 

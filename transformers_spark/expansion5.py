@@ -591,17 +591,33 @@ def q_sketch_hist_quantile_error(
     Scale shape: ONE map-side-combined (type, bin) count aggregate;
     the cumulative window runs over bins-per-type rows (~50), never
     data-sized. 0.5 is a power of two, so q*n is exact there; 0.9*n
-    is the same IEEE double in both engines."""
+    is the same IEEE double in both engines.
+
+    Bounded-domain contract (the extreme-values gate caught both
+    halves): NaN/±inf cannot be binned at all and are excluded from
+    sketch AND exact sides in BOTH engines; finite values outside the
+    sketch domain [0, 1000) — e.g. the wave's 1e307, whose raw bin id
+    overflows int64 — saturate into an underflow bucket (bin -1, all
+    negatives) or an overflow bucket (bin 100), exactly like a real
+    bounded histogram sketch. A saturated estimate reads as the
+    domain edge, and the audit then SHOWS the large error — which is
+    the point of an estimator-error query."""
     register_tables(spark, sf_dir, ("events",))
     ev = spark.table("events").filter(
-        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs(F.col("value")) != F.lit(float("inf")))
     )
     ev.createOrReplaceTempView("hist_events_v")
     return spark.sql(
         f"""
         WITH h AS (
           SELECT event_type,
-                 CAST(FLOOR(value / {HIST_BIN_W}D) AS BIGINT) AS bin,
+                 CASE WHEN value < 0D THEN CAST(-1 AS BIGINT)
+                      WHEN value >= 1000D THEN CAST(100 AS BIGINT)
+                      ELSE CAST(FLOOR(value / {HIST_BIN_W}D) AS BIGINT)
+                 END AS bin,
                  COUNT(*) AS n
           FROM hist_events_v GROUP BY 1, 2
         ),
@@ -640,11 +656,14 @@ def q_sketch_hist_quantile_error(
 ORACLE_SKETCH_HIST_QUANTILE_ERROR = f"""
 WITH v AS (
   SELECT event_type, value FROM events
-  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)
 ),
 h AS (
   SELECT event_type,
-         CAST(FLOOR(value / CAST({HIST_BIN_W} AS DOUBLE)) AS BIGINT) AS bin,
+         CASE WHEN value < CAST(0 AS DOUBLE) THEN CAST(-1 AS BIGINT)
+              WHEN value >= CAST(1000 AS DOUBLE) THEN CAST(100 AS BIGINT)
+              ELSE CAST(FLOOR(value / CAST({HIST_BIN_W} AS DOUBLE)) AS BIGINT)
+         END AS bin,
          COUNT(*) AS n
   FROM v GROUP BY 1, 2
 ),
@@ -689,9 +708,11 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of IVF ANN (default id<16 codebook, as
     similarity_ivf_ann) as a function of n_probe — the probe-budget /
     recall trade-off curve, parameter-keyed so both rows survive an
-    empty corpus (ORACLES.md #13). Complements embedding_recall_curve
-    (which pins the LSH family) so BOTH ANN index families carry a
-    standing quality gate.
+    empty RESULT (ORACLES.md #13). An empty CORPUS rejects codebook
+    collection with a loud ValueError — the same contract as every
+    IVF/PQ sibling (empty_gate.EMPTY_ERROR_CONTRACTS). Complements
+    embedding_recall_curve (which pins the LSH family) so BOTH ANN
+    index families carry a standing quality gate.
 
     Hit/slot sets are DISTINCT (query, neighbor) pairs on both sides —
     a duplicated corpus vector occupies two rank slots but one
