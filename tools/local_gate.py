@@ -119,11 +119,21 @@ def main() -> None:
               file=sys.stderr)
 
     # --only is a dev-iteration subset: never clobber the round's real
-    # full-catalog artifact with a partial one
-    suffix = "_dev" if args.only else ""
-    out_path = os.path.join(
-        REPO, f"CORRECTNESS_LOCAL_r{args.round:02d}{suffix}.json"
-    )
+    # full-catalog artifact, and keep the partial artifact OUT of the
+    # repo root — a root *_rNN*.json would trip the artifact-tracking
+    # guard (tests/test_artifact_tracking.py) for a file that is
+    # scratch, not round evidence
+    if args.only:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import scratch
+
+        out_path = scratch.scratch_path(
+            f"CORRECTNESS_LOCAL_r{args.round:02d}_dev.json"
+        )
+    else:
+        out_path = os.path.join(
+            REPO, f"CORRECTNESS_LOCAL_r{args.round:02d}.json"
+        )
     with open(out_path, "w") as fh:
         json.dump(
             {
