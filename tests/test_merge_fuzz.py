@@ -220,6 +220,142 @@ def test_merge_matches_reference(spark, target, source, tidx):
         assert _canon(got) == _canon(expected)
 
 
+# --- ingestion-day arm: dt retention under randomized workloads ---------
+
+ING_FQN = "g-project.playground.merge_fuzz_ing"
+ING_DATES = ("2020-05-05", "2020-06-06")  # target rows split by parity
+
+
+def _ref_merge_ingestion(target, source, template, load_day):
+    """Reference MERGE over an INGESTION_DAY table: rows carry dt;
+    updated and kept rows RETAIN it, inserts stamp ``load_day``. Same
+    walk as ``_ref_merge`` with dt carried through."""
+    matched, inserts, by_source = template
+
+    def key_match(t, s):
+        return (
+            t["k"] is not None and s["k"] is not None and t["k"] == s["k"]
+        )
+
+    out = []
+    for t in target:
+        matches = [s for s in source if key_match(t, s)]
+        affecting = []
+        for s in matches:
+            for kind, pred, setk in matched:
+                if M_PREDS[pred][1](t, s):
+                    affecting.append((kind, setk, s))
+                    break
+        if len(affecting) > 1:
+            return None
+        if affecting:
+            kind, setk, s = affecting[0]
+            if kind == "update":
+                out.append(
+                    {"k": t["k"], "v": SETS[setk][1](t, s), "dt": t["dt"]}
+                )
+        elif not matches and by_source:
+            for (pred,) in by_source:
+                if B_PREDS[pred][1](t):
+                    break
+            else:
+                out.append(dict(t))
+        else:
+            out.append(dict(t))
+    for s in source:
+        if not any(key_match(t, s) for t in target):
+            for pred, insk in inserts:
+                if I_PREDS[pred][1](s):
+                    row = INSERTS[insk][1](s)
+                    out.append({**row, "dt": load_day})
+                    break
+    return out
+
+
+def _run_spark_merge_ingestion(spark, target, source, template):
+    from transformers_spark.catalog import (
+        Catalog,
+        PartitionKind,
+        PartitionSpec,
+    )
+    from transformers_spark.dml import execute_merge, parse_merge
+    from transformers_spark.loaders import Writer
+
+    cat = Catalog(spark)
+    writer = Writer(spark, cat)
+    sname = cat.spark_name(ING_FQN)
+    spark.sql(f"DROP TABLE IF EXISTS {sname}")
+    cat.create_table(
+        ING_FQN,
+        [("k", "bigint"), ("v", "bigint")],
+        PartitionSpec(kind=PartitionKind.INGESTION_DAY),
+    )
+    schema = "k long, v long"
+    for dt, rows in zip(
+        ING_DATES,
+        (
+            [r for i, r in enumerate(target) if i % 2 == 0],
+            [r for i, r in enumerate(target) if i % 2 == 1],
+        ),
+    ):
+        tdf = spark.createDataFrame([(r["k"], r["v"]) for r in rows], schema)
+        tdf.createOrReplaceTempView("merge_fuzz_ing_target_v")
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {sname} PARTITION (dt = '{dt}') "
+            "SELECT k, v FROM merge_fuzz_ing_target_v"
+        )
+    sdf = spark.createDataFrame([(r["k"], r["v"]) for r in source], schema)
+    sdf.createOrReplaceTempView("merge_fuzz_source_v")
+    stmt = parse_merge(_merge_sql(sname, template))
+    execute_merge(spark, cat, writer, stmt, ING_FQN)
+    return [
+        {"k": r["k"], "v": r["v"], "dt": str(r["dt"])}
+        for r in cat.read(ING_FQN, include_partition_col=True).collect()
+    ]
+
+
+def _canon_dt(rows) -> list[tuple]:
+    return sorted(
+        (
+            ("n" if r["k"] is None else f"i{r['k']}"),
+            ("n" if r["v"] is None else f"i{r['v']}"),
+            str(r["dt"]),
+        )
+        for r in rows
+    )
+
+
+@given(
+    target=st.lists(_row, max_size=5),
+    source=st.lists(_row, max_size=5),
+    tidx=st.integers(min_value=0, max_value=len(TEMPLATES) - 1),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ingestion_merge_matches_reference(spark, target, source, tidx):
+    """INGESTION_DAY tables under the same randomized workloads: every
+    kept/updated row retains its original dt partition, every insert
+    stamps the load day — checked on (k, v, dt) multisets."""
+    template = TEMPLATES[tidx]
+    # seed dt by position parity, matching _run_spark_merge_ingestion
+    target = [
+        {**r, "dt": ING_DATES[i % 2]} for i, r in enumerate(target)
+    ]
+    load_day = str(
+        spark.sql("SELECT current_date() AS d").collect()[0]["d"]
+    )
+    expected = _ref_merge_ingestion(target, source, template, load_day)
+    if expected is None:
+        with pytest.raises(Exception, match="matched more than one source"):
+            _run_spark_merge_ingestion(spark, target, source, template)
+    else:
+        got = _run_spark_merge_ingestion(spark, target, source, template)
+        assert _canon_dt(got) == _canon_dt(expected)
+
+
 # --- pinned verdict scenarios (named, not shrunk) ------------------------
 
 

@@ -34,11 +34,12 @@ WAVES = [
 ]
 
 DEFAULT_QUERIES = [
-    "token_rank_curve", "doc_length_buckets", "brand_top_parts",
-    "weekday_activity_matrix", "supplier_fulfillment_lag",
-    "embedding_dim_range", "segment_repeat_rate",
-    "nation_trade_balance", "monthly_revenue_cumshare",
-    "word_length_profile",
+    # the round-8 additions (expansion5): the usual mid-round replay
+    # targets until the next catalog append
+    "embedding_decontamination", "retrieval_rrf_fusion",
+    "crosslingual_near_dup", "curation_shard_skew",
+    "sketch_hist_quantile_error", "ivf_probe_recall_curve",
+    "dedup_degree_profile", "curation_epoch_shuffle",
 ]
 
 
