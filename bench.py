@@ -41,7 +41,9 @@ def _buffcache_mb() -> int | None:
                 if line.startswith(("Buffers:", "Cached:")):
                     kb += int(line.split()[1])
         return kb // 1024
-    except OSError:  # non-Linux or restricted /proc
+    except (OSError, ValueError, IndexError):
+        # non-Linux, restricted /proc, or a malformed meminfo line —
+        # optional telemetry must never abort a bench epoch.
         return None
 
 

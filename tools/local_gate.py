@@ -57,13 +57,17 @@ def main() -> None:
         for name in entry_mod.oracle_sql()
     }
     names = list(qs)
-    if args.first:
-        names = names[: args.first]
+    # --only narrows BEFORE --first slices: otherwise a query named in
+    # --only but outside the first N passed the unknown-name check yet
+    # was silently dropped, so the dev artifact could claim a subset
+    # that never ran (r8 ADVICE).
     if args.only:
         unknown = [n for n in args.only if n not in qs]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
         names = [n for n in names if n in set(args.only)]
+    if args.first:
+        names = names[: args.first]
 
     spark = get_spark(app_name="local-correctness-gate")
     spark.sparkContext.setLogLevel("ERROR")

@@ -49,6 +49,18 @@ def build_missing() -> None:
         dst = os.path.join(DST, f"{table}.parquet")
         if os.path.exists(dst):
             continue
+        # Copies are offset by a fixed 1e6 stride; a base corpus with ids
+        # at or above the stride would silently collide with its copies
+        # and corrupt the workload-unit measurements (r8 ADVICE).
+        id_col = "doc_id" if table == "documents" else "vec_id"
+        max_id = duckdb.sql(
+            f"SELECT max({id_col}) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        if max_id is not None and max_id >= 1_000_000:
+            raise SystemExit(
+                f"{table}: max {id_col}={max_id} >= 1e6 stride; "
+                "raise the copy stride before probing"
+            )
         if table == "documents":
             copies = " UNION ALL ".join(
                 f"SELECT doc_id + {i} * 1000000 AS doc_id, "

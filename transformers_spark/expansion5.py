@@ -148,8 +148,12 @@ def q_embedding_decontamination(
     ks = literal_frame(
         spark, [(t,) for t in DECON_THRESHOLDS], [("threshold", "double")]
     )
+    # Inner non-equi join against the broadcast literal frame: thresholds
+    # with zero matches are restored by the final left join + coalesce(0),
+    # so the outer join type here bought nothing except BNLJ's slower
+    # default-join path on the big side.
     flagged = (
-        ks.join(pairs, F.col("cosine") >= F.col("threshold"), "left")
+        pairs.join(F.broadcast(ks), F.col("cosine") >= F.col("threshold"))
         .groupBy("threshold")
         .agg(F.countDistinct("eid").alias("__f"))
     )
@@ -220,6 +224,49 @@ FROM ks LEFT JOIN fl USING (threshold) CROSS JOIN ne
 # ---------------------------------------------------------------------------
 
 
+def _rrf_fusion_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-checkpointed RRF frame — the real logical plan, exposed so
+    tests/test_plan_pins.py can assert plan properties (the public
+    query eagerly localCheckpoints, which materializes the plan into a
+    `Scan ExistingRDD` that a pin can't see through)."""
+    from .operators.text import bm25_topk
+
+    register_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    bm = (
+        bm25_topk(docs, docs.filter(F.col("doc_id") < N_QUERY_VECS), top_k=5)
+        .groupBy("query_id", F.col("doc_id").alias("cand"))
+        .agg(F.min("rank").alias("br"))
+    )
+    cs = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5)
+        .groupBy("query_id", F.col("neighbor_id").alias("cand"))
+        .agg(F.min("rank").alias("cr"))
+    )
+    fused = bm.join(cs, ["query_id", "cand"], "full").select(
+        "query_id",
+        "cand",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("br")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("cr")), F.lit(0.0)
+            )
+        ).alias("score"),
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(win))
+        .filter(F.col("fused_rank") <= 3)
+        .select(
+            "query_id",
+            F.col("cand").alias("doc_id"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            F.round(F.col("score"), 6).alias("rrf_score"),
+        )
+    )
+
+
 def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of BM25 top-5 (lexical,
     operators/text.bm25_topk) and exact-cosine top-5 (dense,
@@ -240,52 +287,12 @@ def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan; the fusion join touches <= 2 x |q| x 5 rows.
     Narrow shuffles, so the 8-wide clamp + eager checkpoint from
     q_bm25_retrieval applies (see that docstring for the measured
-    rationale)."""
-    from .operators.text import bm25_topk
+    rationale). The logical plan lives in ``_rrf_fusion_frame`` so the
+    plan-pin tests can see past the eager checkpoint."""
     from .streaming.windows import shuffle_partitions
 
-    register_tables(spark, sf_dir, ("documents", "embeddings"))
-    docs = spark.table("documents")
-    emb = spark.table("embeddings")
     with shuffle_partitions(spark, 8):
-        bm = (
-            bm25_topk(docs, docs.filter(F.col("doc_id") < N_QUERY_VECS), top_k=5)
-            .groupBy("query_id", F.col("doc_id").alias("cand"))
-            .agg(F.min("rank").alias("br"))
-        )
-        cs = (
-            cosine_topk(
-                emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=5
-            )
-            .groupBy("query_id", F.col("neighbor_id").alias("cand"))
-            .agg(F.min("rank").alias("cr"))
-        )
-        fused = bm.join(cs, ["query_id", "cand"], "full").select(
-            "query_id",
-            "cand",
-            (
-                F.coalesce(
-                    F.lit(1.0) / (F.lit(RRF_K) + F.col("br")), F.lit(0.0)
-                )
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(RRF_K) + F.col("cr")), F.lit(0.0)
-                )
-            ).alias("score"),
-        )
-        win = W.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("cand")
-        )
-        return (
-            fused.withColumn("fused_rank", F.row_number().over(win))
-            .filter(F.col("fused_rank") <= 3)
-            .select(
-                "query_id",
-                F.col("cand").alias("doc_id"),
-                F.col("fused_rank").cast("int").alias("fused_rank"),
-                F.round(F.col("score"), 6).alias("rrf_score"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return _rrf_fusion_frame(spark, sf_dir).localCheckpoint(eager=True)
 
 
 # float discipline mirrors ORACLE_BM25_RETRIEVAL exactly (its comment
