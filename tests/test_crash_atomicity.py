@@ -1,0 +1,164 @@
+"""Crash-atomicity fault injection on the staged-overwrite paths
+(round-8 verdict ask 5).
+
+The staged load methods are write-then-swap: materialize the result
+into a uuid-suffixed staging table, then INSERT OVERWRITE the
+destination from it. The load-bearing claim is that a process killed
+BETWEEN the stage write and the swap leaves the destination intact
+and a re-run converges — and that claim cannot be tested in-process,
+because an in-process exception runs the ``finally`` cleanup a real
+kill never reaches. So: a child process (embedded Hive metastore for
+cross-process catalog persistence) patches ``insertInto`` to
+``os._exit(137)`` AFTER seeding the table, runs the staged load, and
+dies mid-operation; a second process then proves the contract
+documented in transformers_spark/loaders.py:
+
+* destination readable, ORIGINAL rows intact;
+* exactly the orphan ``__stage_`` table(s) left behind, and
+  ``Writer.recover_orphan_stages`` drops them;
+* re-running the same load converges to the correct final state.
+
+Both staged paths are covered: the whole-table stage
+(``overwrite_table(reads_destination=True)`` →
+``_overwrite_via_stage``) and the partition-scoped stage
+(``delete_insert`` on a COLUMN_DAY table →
+``_replace_affected_partitions``).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_COMMON = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from transformers_spark.session import get_spark
+from transformers_spark.catalog import Catalog, PartitionKind, PartitionSpec
+from transformers_spark.loaders import Writer
+
+spark = get_spark(
+    app_name={app!r}, hive=True, warehouse_dir={wh!r},
+    master="local[4]", shuffle_partitions=4,
+    extra_conf={{
+        "spark.ui.enabled": "false",
+        "spark.driver.host": "127.0.0.1",
+    }},
+)
+spark.sparkContext.setLogLevel("ERROR")
+cat = Catalog(spark)
+writer = Writer(spark, cat)
+FQN = "crashproj.crashds.t"
+"""
+
+_CRASH = _COMMON + """
+mode = {mode!r}
+if mode == "whole_table":
+    cat.create_table(FQN, [("id", "bigint"), ("v", "string")])
+    writer.append(FQN, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"))
+else:
+    cat.create_table(
+        FQN, [("id", "bigint"), ("d", "date")],
+        partition=PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="d"),
+    )
+    writer.append(FQN, spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id bigint, d string"
+    ).selectExpr("id", "CAST(d AS DATE) AS d"))
+
+# kill for real between stage write and swap: a patched insertInto is
+# the swap's first instruction, and os._exit skips every finally
+from pyspark.sql.readwriter import DataFrameWriter
+def _killed(self, *a, **k):
+    sys.stdout.write("STAGE_WRITTEN\\n"); sys.stdout.flush()
+    os._exit(137)
+DataFrameWriter.insertInto = _killed
+
+meta = cat.get_table(FQN)
+if mode == "whole_table":
+    writer.overwrite_table(
+        FQN,
+        spark.table(meta.spark_name).selectExpr("id + 10 AS id", "v"),
+        reads_destination=True,
+    )
+else:
+    writer.delete_insert(
+        FQN,
+        spark.createDataFrame([(102, "2024-01-02")], "id bigint, d string"
+                              ).selectExpr("id", "CAST(d AS DATE) AS d"),
+        "dt = DATE'2024-01-02'",
+    )
+raise SystemExit("unreachable: the swap should have killed us")
+"""
+
+_RECOVER = _COMMON + """
+mode = {mode!r}
+meta = cat.get_table(FQN)
+
+# 1. destination intact: the crashed swap must not have touched it
+rows = sorted(r[0] for r in spark.table(meta.spark_name).select("id").collect())
+assert rows == [1, 2], f"destination corrupted by crashed swap: {{rows}}"
+
+# 2. exactly the orphan stage(s) left behind; recovery drops them
+orphans = writer.recover_orphan_stages()
+assert orphans and all("__stage_" in o for o in orphans), orphans
+assert not writer.recover_orphan_stages(), "recovery not idempotent"
+
+# 3. re-run the same load to completion; state converges
+if mode == "whole_table":
+    writer.overwrite_table(
+        FQN,
+        spark.table(meta.spark_name).selectExpr("id + 10 AS id", "v"),
+        reads_destination=True,
+    )
+    rows = sorted(r[0] for r in
+                  spark.table(meta.spark_name).select("id").collect())
+    assert rows == [11, 12], rows
+else:
+    writer.delete_insert(
+        FQN,
+        spark.createDataFrame([(102, "2024-01-02")], "id bigint, d string"
+                              ).selectExpr("id", "CAST(d AS DATE) AS d"),
+        "dt = DATE'2024-01-02'",
+    )
+    rows = sorted(r[0] for r in
+                  spark.table(meta.spark_name).select("id").collect())
+    assert rows == [1, 102], rows
+print("RECOVERY_OK")
+"""
+
+
+def _run(script: str, cwd: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env.pop("TRANSFORMERS_SPARK_HIVE", None)
+    return subprocess.run(
+        [sys.executable, "-c", script], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+
+
+@pytest.mark.parametrize("mode", ["whole_table", "partitioned"])
+def test_kill_between_stage_and_swap_then_recover(mode, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    fmt = dict(repo=REPO, wh=wh, mode=mode)
+
+    crash = _run(_CRASH.format(app=f"crash-{mode}", **fmt), str(tmp_path))
+    assert crash.returncode == 137, (
+        f"expected the injected kill (137), got {crash.returncode}\n"
+        f"stdout: {crash.stdout[-2000:]}\nstderr: {crash.stderr[-2000:]}"
+    )
+    assert "STAGE_WRITTEN" in crash.stdout, (
+        "process died before the stage write finished — the injection "
+        "point moved; this test no longer covers the intended window"
+    )
+
+    rec = _run(_RECOVER.format(app=f"recover-{mode}", **fmt), str(tmp_path))
+    assert rec.returncode == 0 and "RECOVERY_OK" in rec.stdout, (
+        f"recovery failed (rc={rec.returncode})\n"
+        f"stdout: {rec.stdout[-2000:]}\nstderr: {rec.stderr[-3000:]}"
+    )

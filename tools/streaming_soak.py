@@ -44,7 +44,37 @@ SOAK = sf1_soak.DST  # <scratch>/sf1_soak
 SF01 = "/root/testdata/sf0.1"
 
 
-def build_flush_variant(spark, events_parquet: str, n_files: int) -> str:
+def build_events_100x() -> str:
+    """100x events slice (round-8 verdict ask 4): same salted-copy
+    technique as sf100_probe — event_id/user_id offset by a stride
+    DERIVED from the data (max+1), so copies can never collide with
+    originals. 100x users means 100x live sessionization state, which
+    is the axis the state-store comparison needs."""
+    import duckdb
+
+    out = scratch.scratch_path("sf100_events")
+    dst = os.path.join(out, "events.parquet")
+    if os.path.exists(dst):
+        return dst
+    os.makedirs(out, exist_ok=True)
+    src = os.path.join(SF01, "events.parquet")
+    max_eid, max_uid = duckdb.sql(
+        f"SELECT max(event_id), max(user_id) FROM read_parquet('{src}')"
+    ).fetchone()
+    e_stride, u_stride = int(max_eid) + 1, int(max_uid) + 1
+    copies = " UNION ALL ".join(
+        f"SELECT event_id + {i * e_stride} AS event_id, ts, "
+        f"user_id + {i * u_stride} AS user_id, event_type, value "
+        f"FROM read_parquet('{src}')"
+        for i in range(100)
+    )
+    duckdb.sql(f"COPY ({copies}) TO '{dst}' (FORMAT PARQUET)")
+    print("built 100x events", file=sys.stderr)
+    return dst
+
+
+def build_flush_variant(spark, events_parquet: str, n_files: int,
+                        tag: str = "") -> str:
     """Time-ordered flush source (same contract as
     specs._stream_flush_source_dir) with a configurable real-file
     count; 2 sentinel files follow, mtime-ordered last."""
@@ -55,7 +85,7 @@ def build_flush_variant(spark, events_parquet: str, n_files: int) -> str:
     from transformers_spark.streaming.specs import SENTINEL_USER
     from transformers_spark.streaming.windows import SESSION_GAP_US
 
-    out = scratch.scratch_path(f"streamsoak_flush_f{n_files}")
+    out = scratch.scratch_path(f"streamsoak_flush{tag}_f{n_files}")
     marker = os.path.join(out, "_FLUSH_READY")
     if os.path.exists(marker):
         return out
@@ -185,7 +215,8 @@ ROCKSDB_PROVIDER = (
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
 
-def state_store_compare(spark, ev10: str, expected) -> list[dict]:
+def state_store_compare(spark, ev10: str, expected, reps: int = 2,
+                        tag: str = "") -> list[dict]:
     """Drain the arbitrary-state sessionization (the heaviest state op
     in the catalog) under the default HDFS-backed in-memory provider
     and under RocksDB, same data, same oracle (round-7 verdict ask 6):
@@ -193,7 +224,7 @@ def state_store_compare(spark, ev10: str, expected) -> list[dict]:
     measures what switching costs/buys BEFORE a deployment finds out
     in production. One warmup + one measured drain per provider;
     output must bit-match the batch oracle under both."""
-    src = build_flush_variant(spark, ev10, 8)
+    src = build_flush_variant(spark, ev10, 8, tag=tag)
     default_provider = spark.conf.get(_PROVIDER_CONF)
     rows = []
     for label, provider in (
@@ -204,13 +235,13 @@ def state_store_compare(spark, ev10: str, expected) -> list[dict]:
             spark.conf.set(_PROVIDER_CONF, provider)
         try:
             meas = []
-            for rep in range(2):
+            for rep in range(reps):
                 r = drain_sessionization(
-                    spark, src, f"soak_ss_{label}_r{rep}",
+                    spark, src, f"soak_ss{tag}_{label}_r{rep}",
                     collect_state_metrics=True,
                 )
                 meas.append(r)
-                print(f"state-store {label} rep{rep}: {r}",
+                print(f"state-store{tag} {label} rep{rep}: {r}",
                       file=sys.stderr)
             row = {"provider": label, **meas[-1],
                    "cold_secs": meas[0]["secs"]}
@@ -234,6 +265,10 @@ def main() -> None:
     ap.add_argument("--state-store-compare", action="store_true",
                     help="drain sessionization under the default and "
                          "RocksDB state store providers (r8)")
+    ap.add_argument("--state-store-100x", action="store_true",
+                    help="same comparison on a 100x events slice "
+                         "(100x users = 100x live state; r8 verdict "
+                         "ask 4). One measured drain per provider.")
     args = ap.parse_args()
 
     sf1_soak.build_missing()
@@ -277,6 +312,17 @@ def main() -> None:
                     else oracle_session_counts(ev10))
         result["state_store_10x"] = state_store_compare(
             spark, ev10, expected)
+
+    # --- 1c. state-store comparison at 100x (r9) ---------------------
+    if args.state_store_100x:
+        ev100 = build_events_100x()
+        expected = (None if args.skip_10x_oracle
+                    else oracle_session_counts(ev100))
+        if expected is not None:
+            print(f"oracle sessions at 100x: {expected[0]}",
+                  file=sys.stderr)
+        result["state_store_100x"] = state_store_compare(
+            spark, ev100, expected, reps=1, tag="100x")
 
     # --- 2. drain-time vs batch count at fixed 10x data --------------
     if args.skip_batch_sizing:

@@ -21,6 +21,31 @@ Re-expresses the reference's loaders + write dispositions
 Writes that must read the destination first (delete_insert, DML
 emulation) go through a staging table: Parquet can't be overwritten
 by a plan that scans it.
+
+Crash/recovery contract for the staged paths (write-then-swap):
+
+* killed DURING the stage write — destination untouched; Spark's
+  commit protocol leaves at most a ``_temporary`` dir under the
+  half-written stage table, plus possibly the stage table itself.
+* killed BETWEEN stage write and swap — destination untouched and
+  fully readable; a committed ``<table>__stage_<hex8>`` orphan
+  remains (a real kill never reaches the ``finally`` DROP).
+* killed DURING the ``INSERT OVERWRITE`` swap — Parquet overwrite is
+  NOT crash-atomic (SURVEY §7): the Hive commit narrows the exposure
+  to the final delete+rename window, but a kill inside it can leave
+  the destination partially rewritten.
+
+Recovery, in order: (1) re-run the load — every load method rebuilds
+its output from the source query, so a re-run converges regardless of
+which window the crash hit; (2) call ``Writer.recover_orphan_stages``
+to drop leftover ``__stage_`` tables (pure garbage: unique-suffix
+names mean a re-run never collides with an orphan). Fault-injection
+coverage: tests/test_crash_atomicity.py kills a real process between
+stage and swap on both the non-partitioned and the partitioned path,
+then proves old data intact + re-run convergence. Where true swap
+atomicity is required, use a transactional table format for the
+destination (the engine's write surface is format-agnostic by
+design).
 """
 
 from __future__ import annotations
@@ -36,6 +61,10 @@ from .catalog import PARTITION_COL, Catalog, PartitionKind, TableMeta
 
 # "bigint NOT NULL" → constraint recognized in catalog type strings
 _NOT_NULL_RE = re.compile(r"\s+not\s+null\s*$", re.IGNORECASE)
+
+# uuid-suffixed staging tables (see _overwrite_via_stage /
+# _replace_affected_partitions); recover_orphan_stages matches on this
+_STAGE_RE = re.compile(r"__stage_[0-9a-f]{8}$")
 
 __all__ = ["Writer"]
 
@@ -511,6 +540,25 @@ class Writer:
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
         self._refresh(meta)
+
+    def recover_orphan_stages(self) -> list[str]:
+        """Drop committed ``<table>__stage_<hex8>`` tables left behind
+        by a process killed between a stage write and its swap (see the
+        module docstring's crash/recovery contract). Safe to run any
+        time: stage names are uuid-suffixed, so nothing live ever
+        matches, and in-flight loads in THIS process hold their stage
+        only inside a try/finally that drops it themselves. Returns the
+        dropped names."""
+        dropped: list[str] = []
+        for db in self.spark.catalog.listDatabases():
+            for tbl in self.spark.catalog.listTables(db.name):
+                if tbl.isTemporary:
+                    continue
+                if _STAGE_RE.search(tbl.name):
+                    full = f"{db.name}.{tbl.name}"
+                    self.spark.sql(f"DROP TABLE IF EXISTS {_q(full)}")
+                    dropped.append(full)
+        return dropped
 
     def overwrite_from_plan_reading_destination(self, fqn: str, df: DataFrame) -> None:
         """Full overwrite where df's plan scans the destination (DML
