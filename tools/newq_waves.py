@@ -34,12 +34,12 @@ WAVES = [
 ]
 
 DEFAULT_QUERIES = [
-    # the round-8 additions (expansion5): the usual mid-round replay
+    # the round-9 additions (expansion6): the usual mid-round replay
     # targets until the next catalog append
-    "embedding_decontamination", "retrieval_rrf_fusion",
-    "crosslingual_near_dup", "curation_shard_skew",
-    "sketch_hist_quantile_error", "ivf_probe_recall_curve",
-    "dedup_degree_profile", "curation_epoch_shuffle",
+    "similarity_hard_negatives", "split_leakage_exact",
+    "dedup_token_savings", "source_language_gini",
+    "dedup_quality_by_cluster_size", "curation_yield_report",
+    "text_char_bigram_diversity", "lsh_scurve_calibration",
 ]
 
 

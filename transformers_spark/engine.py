@@ -231,7 +231,14 @@ class Engine:
             # concurrent per-partition BQ jobs; in Spark a single union
             # job scans the source once and parallelizes internally, so
             # CONCURRENCY maps to executor parallelism, not driver
-            # threads).
+            # threads). Orchestrator-level concurrency (a scheduler
+            # running N transforms at once against one table) requires
+            # engine-per-spark.newSession(): the loaders toggle
+            # session-global confs (partitionOverwriteMode) around every
+            # staged swap, so sharing one session across threads could
+            # flip a concurrent overwrite's mode mid-write. Soaked in
+            # tools/concurrency_soak.py; regression in
+            # tests/test_concurrency.py.
             day_dfs: dict[date, DataFrame] = {}
             for i, day in enumerate(days):
                 day_window = CustomWindow(day, day + timedelta(days=1))

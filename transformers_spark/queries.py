@@ -450,6 +450,7 @@ def _all_specs() -> list["QuerySpec"]:
     from .expansion3 import expansion3_specs
     from .expansion4 import expansion4_specs
     from .expansion5 import expansion5_specs
+    from .expansion6 import expansion6_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
@@ -467,6 +468,7 @@ def _all_specs() -> list["QuerySpec"]:
         + expansion3_specs()
         + expansion4_specs()
         + expansion5_specs()
+        + expansion6_specs()
     )
 
 
