@@ -30,6 +30,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _stage(p):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gatelib
+    gatelib.stage_artifact(p)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", required=True)
@@ -88,6 +94,7 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(result, fh, indent=1)
+        _stage(args.json)
     spark.stop()
 
 

@@ -28,6 +28,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _stage(p):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gatelib
+    gatelib.stage_artifact(p)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import sf1_soak
@@ -128,6 +134,7 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(result, fh, indent=1)
+        _stage(args.json)
     spark.stop()
 
 

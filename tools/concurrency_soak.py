@@ -42,6 +42,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import sf1_soak
 
+
+def _stage(p):
+    import gatelib
+    gatelib.stage_artifact(p)
+
 SRC_FQN = "g-project.playground.conc_events_src"
 DEST_FQN = "g-project.playground.conc_replace_dest"
 N_WORKERS = 8
@@ -203,6 +208,7 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(result, fh, indent=1)
+        _stage(args.json)
     spark.stop()
     if not result["all_ok"]:
         raise SystemExit(1)

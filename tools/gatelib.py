@@ -118,3 +118,22 @@ def summarize(results: dict[str, dict]) -> dict:
         "mismatches": mism,
         "errors": errs,
     }
+
+
+def stage_artifact(path: str) -> None:
+    """``git add`` a round-evidence artifact right where it is written
+    (round-8 verdict ask 1: four consecutive rounds shipped untracked
+    driver/gate artifacts because staging relied on a human noticing).
+    Best-effort: staging must never fail the run that produced the
+    evidence — the artifact-tracking test is the loud backstop."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "add", "--", os.path.abspath(path)],
+            check=False, capture_output=True, timeout=30,
+        )
+    except Exception:  # noqa: BLE001 — never kill the evidence writer
+        pass

@@ -156,6 +156,12 @@ def main() -> None:
             indent=1,
         )
     print(f"wrote {out_path}")
+    if not args.only and not args.first:
+        # round artifact (not a _dev subset): stage it immediately so
+        # the round-close commit can't forget it (r8 verdict ask 1)
+        import gatelib
+
+        gatelib.stage_artifact(out_path)
     spark.stop()
 
 

@@ -20,6 +20,8 @@ sys.path.insert(0, REPO)
 
 import scratch
 
+import gatelib
+
 WAVES = [
     ("null-w1", scratch.scratch_path("nulldata_sf0.001")),
     ("null-w2", scratch.scratch_path("nulldata_sf0.001-w2")),
@@ -79,6 +81,7 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as fh:
             json.dump({"queries": names, "waves": artifact}, fh, indent=1)
+        gatelib.stage_artifact(args.json)
         print(f"wrote {args.json}")
     spark.stop()
 

@@ -205,6 +205,9 @@ def main() -> None:
     }
     with open(args.json, "w") as fh:
         json.dump(summary, fh, indent=1)
+    import gatelib
+
+    gatelib.stage_artifact(args.json)
     print(f"\n=== GATES SUMMARY: catalog={len(catalog)} "
           f"red={n_red} full_denominator_green={ok} ===")
     print(f"wrote {args.json}")

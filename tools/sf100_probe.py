@@ -35,6 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import scratch
 
+
+def _stage(p):
+    import gatelib
+    gatelib.stage_artifact(p)
+
 SRC = "/root/testdata/sf0.1"
 DST = scratch.scratch_path("sf100_probe")
 COPIES = 100
@@ -156,6 +161,7 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(result, fh, indent=1)
+        _stage(args.json)
     spark.stop()
 
 

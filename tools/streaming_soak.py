@@ -38,6 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import scratch
 
+
+def _stage(p):
+    import gatelib
+    gatelib.stage_artifact(p)
+
 import sf1_soak
 
 SOAK = sf1_soak.DST  # <scratch>/sf1_soak
@@ -330,6 +335,7 @@ def main() -> None:
         if args.json:
             with open(args.json, "w") as fh:
                 json.dump(result, fh, indent=1)
+            _stage(args.json)
         spark.stop()
         return
 
@@ -359,6 +365,7 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(result, fh, indent=1)
+        _stage(args.json)
     spark.stop()
 
 
