@@ -35,12 +35,17 @@ PLANS = os.path.join(REPO, "PLANS.md")
 SF = "/root/testdata/sf0.01"
 
 PINNED = [
+    "column_profile",
     "crosslingual_near_dup",
     "dedup_degree_profile",
     "dedup_lsh_precision",
+    "dedup_pipeline",
     "embedding_decontamination",
+    "ivf_probe_recall_curve",
     "minhash_jaccard_error",
+    "multimodal_image_features",
     "order_basket_pairs",
+    "retrieval_rrf_fusion",
     "similarity_pq_adc",
     "source_overlap_matrix",
     "windowed_daily_events",

@@ -249,7 +249,48 @@ PICKS = {
         "and nation stay BroadcastHashJoin; lag math is exact integer "
         "days with a single double division in the rollup."
     ),
+    # r9 pin-by-cost additions: the remaining BENCH_FULL top-10 batch
+    # queries (test_plan_pins.test_top_cost_batch_queries_are_pinned)
+    "ivf_probe_recall_curve": (
+        "IVF probe/recall curve (r8) — exact baseline is "
+        "broadcast(5 queries)×corpus (the intended BNLJ brute-force "
+        "scan); rank<=k pushes into the shuffle as WindowGroupLimit; "
+        "the only cross joins are the 1-row scalar and 2-row literal "
+        "frames — never a data-sized CartesianProduct."
+    ),
+    "column_profile": (
+        "One-pass multi-column profile — a single Expand-based "
+        "aggregate over one scan; no join stage at all."
+    ),
+    "multimodal_image_features": (
+        "Arrow-batched decode path — MapInPandas directly over the "
+        "pruned parquet scan; never a row-at-a-time Python UDF."
+    ),
+    "retrieval_rrf_fusion": (
+        "RRF fusion (r8) — BM25 inverted-index join + broadcast-"
+        "queries dense scan, fused rank window with WindowGroupLimit; "
+        "pinned on the PRE-checkpoint frame (the public query "
+        "localCheckpoints eagerly, which materializes the plan)."
+    ),
+    "dedup_pipeline": (
+        "Full near-dup pass — final stage joins the connected-"
+        "component labels (checkpointed by label propagation, hence "
+        "Scan ExistingRDD) back onto docs as a SortMergeJoin on id; "
+        "the LSH/CC internals are pinned via minhash_jaccard_error "
+        "and the SF100 probe."
+    ),
 }
+
+
+def _rrf_builder(spark, sf):
+    from transformers_spark.expansion5 import _rrf_fusion_frame
+
+    return _rrf_fusion_frame(spark, sf)
+
+
+# queries whose public frame hides the real plan behind an eager
+# localCheckpoint — build the un-checkpointed frame instead
+BUILDERS = {"retrieval_rrf_fusion": _rrf_builder}
 
 _KEEP_PREFIXES = (
     "Output", "Batched", "Location", "PushedFilters", "ReadSchema", "Input",
@@ -283,7 +324,10 @@ def main() -> None:
         "scan/exchange/join/window skeleton and elides codegen ids.\n",
     ]
     for name, why in PICKS.items():
-        df = QUERIES[name].build(spark, sf)
+        if name in BUILDERS:
+            df = BUILDERS[name](spark, sf)
+        else:
+            df = QUERIES[name].build(spark, sf)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
