@@ -105,6 +105,12 @@ PROPERTIES = {
     # and the SF100 probe
     "dedup_pipeline": (["SortMergeJoin"], ["CartesianProduct",
                                            "BroadcastNestedLoopJoin"]),
+    # three band configs, each the skew-capped banded-bucket path with
+    # LOCAL pair expansion (Generate over the bucket member array) —
+    # never an all-pairs or nested-loop stage, no join at all
+    "lsh_scurve_calibration": (["Generate"], ["CartesianProduct",
+                                              "BroadcastNestedLoopJoin",
+                                              "SortMergeJoin"]),
 }
 
 # Queries whose public frame hides the real plan (eager localCheckpoint
