@@ -121,3 +121,34 @@ def test_driver_rotation_staleness_ceiling():
         f"{len(unchecked)} never-driver-checked queries exceed one "
         "cohort — they cannot all be checked next round."
     )
+
+
+def test_stage_artifact_stages_written_file(tmp_path):
+    """gatelib.stage_artifact must leave a freshly-written repo-root
+    artifact staged (the auto-staging flow every evidence writer now
+    relies on), and must swallow failures for paths outside the repo
+    rather than raise."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gatelib
+
+    probe = os.path.join(REPO, "STAGETEST_r99_probe.json")
+    try:
+        with open(probe, "w") as fh:
+            fh.write("{}")
+        gatelib.stage_artifact(probe)
+        staged = subprocess.run(
+            ["git", "diff", "--cached", "--name-only"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        assert os.path.basename(probe) in staged
+    finally:
+        subprocess.run(["git", "reset", "-q", "--", probe], cwd=REPO,
+                       check=False, capture_output=True)
+        if os.path.exists(probe):
+            os.remove(probe)
+
+    # out-of-repo path: must not raise
+    gatelib.stage_artifact(str(tmp_path / "elsewhere.json"))
