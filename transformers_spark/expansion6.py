@@ -54,7 +54,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import cache
-from .operators.dedup import minhash_lsh_pairs
 from .operators.frames import literal_frame
 from .operators.hashing import duck_h32, duck_perm_hash, lcg_constants
 from .operators.similarity import _dot, _norm
@@ -767,11 +766,26 @@ def q_lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs — never all-pairs); sum(matching_bands) is an
     exact integer, divided once by (n_pairs x bands). Config rows are
     ungrouped aggregates, so all three survive empty input (#13)."""
+    from .operators.dedup import (
+        _band_buckets,
+        lsh_pairs_from_buckets,
+        minhash_signatures,
+    )
+
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
+    # ONE signature pass shared by all three band configs (signatures
+    # are the dominant cost — a per-config minhash_lsh_pairs call
+    # would scan + hash the corpus three times; measured 117 s -> the
+    # shared-sig form at 100x, SF100_r09)
+    sigs = cache.track(
+        minhash_signatures(docs, num_perm=SCURVE_NUM_PERM).persist()
+    )
     out = None
     for b in SCURVE_BANDS:
-        pairs = minhash_lsh_pairs(docs, num_perm=SCURVE_NUM_PERM, bands=b)
+        pairs = lsh_pairs_from_buckets(
+            _band_buckets(sigs, b, SCURVE_NUM_PERM // b, "portable")
+        )
         row = pairs.agg(
             F.lit(b).cast("int").alias("bands"),
             F.lit(SCURVE_NUM_PERM // b).cast("int").alias("rows_per_band"),

@@ -37,6 +37,7 @@ __all__ = [
     "exact_dedup_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "lsh_pairs_from_buckets",
     "incremental_lsh_matches",
     "minhash_band_buckets",
     "incremental_matches_from_buckets",
@@ -210,16 +211,29 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, hasher)
     buckets = _band_buckets(sigs, bands, rows_per_band, hasher)
-    # One shuffle groups each bucket's members; oversized buckets
-    # (degenerate content, the skew hazard) are dropped wholesale, and
-    # each surviving list expands to its (d1 < d2) pairs locally — no
-    # bucket self-join, no window pass.
-    # array_distinct collapses duplicate doc_id INPUT ROWS inside each
-    # bucket (identical rows band identically) — without it a
-    # duplicated doc double-counts matching_bands for every pair it is
-    # in and emits d1 == d2 self-pairs (duplicate-row gate,
-    # ORACLES.md #15). Dedup happens AFTER the collect, inside the one
-    # existing shuffle — a frame-level distinct() would cost a second.
+    return lsh_pairs_from_buckets(buckets, max_bucket_size)
+
+
+def lsh_pairs_from_buckets(
+    buckets: DataFrame, max_bucket_size: int = 1000
+) -> DataFrame:
+    """(d1 < d2, matching_bands) pairs from a (doc, band, bucket)
+    frame — the post-banding half of :func:`minhash_lsh_pairs`,
+    exposed so callers that band ONE signature frame several ways
+    (expansion6.q_lsh_scurve_calibration sweeps 3 band configs) pay
+    for signatures once instead of once per config.
+
+    One shuffle groups each bucket's members; oversized buckets
+    (degenerate content, the skew hazard) are dropped wholesale, and
+    each surviving list expands to its (d1 < d2) pairs locally — no
+    bucket self-join, no window pass.
+    array_distinct collapses duplicate doc_id INPUT ROWS inside each
+    bucket (identical rows band identically) — without it a
+    duplicated doc double-counts matching_bands for every pair it is
+    in and emits d1 == d2 self-pairs (duplicate-row gate,
+    ORACLES.md #15). Dedup happens AFTER the collect, inside the one
+    existing shuffle — a frame-level distinct() would cost a second.
+    """
     members = (
         buckets.groupBy("band", "bucket")
         .agg(
