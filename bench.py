@@ -129,17 +129,23 @@ def main() -> None:
             fh,
             indent=1,
         )
-    try:
-        # stage the refreshed artifact immediately (r8 verdict ask 1);
-        # best-effort — staging must never fail a bench run
-        import subprocess
+    if sf == 0.1:
+        # Stage the refreshed artifact immediately (r8 verdict ask 1) —
+        # but ONLY for the canonical driver scale: a sf0.001 smoke run
+        # also overwrites BENCH_FULL.json, and auto-staging that would
+        # make accidentally committing a smoke map EASY instead of
+        # hard (restore with `git checkout -- BENCH_FULL.json`).
+        # Best-effort — staging must never fail a bench run.
+        try:
+            import subprocess
 
-        subprocess.run(
-            ["git", "-C", os.path.dirname(full_path), "add", "--", full_path],
-            check=False, capture_output=True, timeout=30,
-        )
-    except Exception:  # noqa: BLE001
-        pass
+            subprocess.run(
+                ["git", "-C", os.path.dirname(full_path), "add", "--",
+                 full_path],
+                check=False, capture_output=True, timeout=30,
+            )
+        except Exception:  # noqa: BLE001
+            pass
 
     # The driver keeps only the LAST 2000 chars of stdout (measured from
     # BENCH_r01.json, where a 3.3KB line lost its opening brace and parsed
