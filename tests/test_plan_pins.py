@@ -89,6 +89,13 @@ PROPERTIES = {
     # literal/scalar frames, so only CartesianProduct is forbidden;
     # WindowGroupLimit pins the rank<=k pushdown into the shuffle.
     "ivf_probe_recall_curve": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # r10 pin-by-cost addition: the IVF ANN query joins query vectors
+    # to corpus vectors ONLY through the probed-cell key (broadcast
+    # hash join on cell), with the rank<=k cut pushed into the shuffle
+    # via WindowGroupLimit — never an all-pairs or nested-loop stage
+    "similarity_ivf_ann": (["BroadcastHashJoin", "WindowGroupLimit"],
+                           ["CartesianProduct",
+                            "BroadcastNestedLoopJoin"]),
     "retrieval_rrf_fusion": (["WindowGroupLimit"], ["CartesianProduct"]),
     # one-pass multi-column profile: a single Expand-based aggregate,
     # no join stage at all
