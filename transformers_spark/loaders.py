@@ -35,17 +35,30 @@ Crash/recovery contract for the staged paths (write-then-swap):
   to the final delete+rename window, but a kill inside it can leave
   the destination partially rewritten.
 
-Recovery, in order: (1) re-run the load — every load method rebuilds
-its output from the source query, so a re-run converges regardless of
-which window the crash hit; (2) call ``Writer.recover_orphan_stages``
-to drop leftover ``__stage_`` tables (pure garbage: unique-suffix
-names mean a re-run never collides with an orphan). Fault-injection
-coverage: tests/test_crash_atomicity.py kills a real process between
-stage and swap on both the non-partitioned and the partitioned path,
-then proves old data intact + re-run convergence. Where true swap
-atomicity is required, use a transactional table format for the
-destination (the engine's write surface is format-agnostic by
-design).
+Recovery, in order: (1) re-run the load; (2) call
+``Writer.recover_orphan_stages`` to drop leftover ``__stage_`` tables
+(pure garbage: unique-suffix names mean a re-run never collides with
+an orphan). Re-run convergence is SCOPED by load class:
+
+* loads whose output derives solely from the source query (APPEND is
+  append-only and never swaps; REPLACE / REPLACE_ALL / REPLACE_MERGE
+  rebuild their partitions from the source alone) — a re-run
+  converges regardless of which window the crash hit, including a
+  mid-swap kill, because nothing the rebuild reads was damaged;
+* DML-emulation loads (delete_insert, DELETE/UPDATE/MERGE emulation)
+  BUILD THE STAGED REPLACEMENT BY READING THE DESTINATION. A kill in
+  windows (1)-(2) still converges (destination untouched), but after
+  a mid-swap kill the re-run would recompute "kept" rows from a
+  partially rewritten destination — rows lost in the swap are gone.
+  For that window the recovery is restore-from-backup, or use a
+  transactional table format (the write surface is format-agnostic
+  by design) so the swap itself is atomic.
+
+Fault-injection coverage: tests/test_crash_atomicity.py kills a real
+process between stage and swap on both the non-partitioned and the
+partitioned path, then proves old data intact + re-run convergence
+(the mid-swap window cannot be made safe for DML emulation without a
+transactional format, so it is documented above rather than tested).
 """
 
 from __future__ import annotations
@@ -544,11 +557,19 @@ class Writer:
     def recover_orphan_stages(self) -> list[str]:
         """Drop committed ``<table>__stage_<hex8>`` tables left behind
         by a process killed between a stage write and its swap (see the
-        module docstring's crash/recovery contract). Safe to run any
-        time: stage names are uuid-suffixed, so nothing live ever
-        matches, and in-flight loads in THIS process hold their stage
-        only inside a try/finally that drops it themselves. Returns the
-        dropped names."""
+        module docstring's crash/recovery contract). Returns the
+        dropped names.
+
+        QUIESCED-ONLY: run this only when no loads are in flight
+        anywhere on the shared catalog. The uuid suffix prevents NAME
+        collisions on re-run, but ``_STAGE_RE`` cannot tell an orphan
+        from a live stage held by a CONCURRENT load (another session
+        or process between its stage write and swap) — recovery run
+        at that moment drops the live stage and fails, or interrupts,
+        that load's swap. In-flight loads in THIS process are not
+        enough to reason about; the quiesce must cover every writer
+        on the catalog. (A stage-age filter would narrow but not
+        close the race, so the contract is quiesced-only.)"""
         dropped: list[str] = []
         for db in self.spark.catalog.listDatabases():
             for tbl in self.spark.catalog.listTables(db.name):
