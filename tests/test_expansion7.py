@@ -1,0 +1,88 @@
+"""Round-10 expansion: cross-document substring dedup — semantics of
+the removal rule (strictly cross-doc, canonical keeper survives) and
+consistency between the rollup (stats) and rewrite forms. The
+DuckDB-oracle equivalence of the catalog query itself is covered by
+test_queries_oracle.py's parametrization."""
+
+from __future__ import annotations
+
+import pytest
+
+from transformers_spark.operators.text import (
+    cross_doc_span_dedup,
+    cross_doc_span_dedup_stats,
+)
+
+# 8-word boilerplate shared by docs 1 and 3; doc 2 repeats its own
+# 8-word chorus twice (within-doc only — must NOT be removed); doc 4
+# is short (tail tile < span_len); doc 5 is empty-ish.
+BOILER = "all rights reserved contact us terms privacy policy"
+CHORUS = "row row row your boat gently down the"
+DOCS = [
+    (1, f"{BOILER} unique alpha text one two three four five"),
+    (2, f"{CHORUS} {CHORUS} stream merrily"),
+    (3, f"{BOILER} different beta content six seven eight nine ten"),
+    (4, "short tail doc"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_stats_removal_is_strictly_cross_document(spark, docs_df):
+    rows = {
+        r["doc"]: r
+        for r in cross_doc_span_dedup_stats(docs_df, span_len=8).collect()
+    }
+    # BOILER is tile 0 of docs 1 and 3: keeper = (1, 0), so doc 1
+    # keeps it and doc 3 loses exactly that tile (8 tokens).
+    assert rows[1]["n_cross_dup_spans"] == 1
+    assert rows[1]["n_removed_spans"] == 0
+    assert rows[3]["n_removed_spans"] == 1
+    assert rows[3]["tokens_removed"] == 8
+    # doc 2's chorus repeats only WITHIN doc 2 — untouched.
+    assert rows[2]["n_cross_dup_spans"] == 0
+    assert rows[2]["n_removed_spans"] == 0
+    assert rows[2]["retained_token_frac"] == 1.0
+    # short doc: one tail tile of 3 tokens, nothing shared.
+    assert rows[4]["n_spans"] == 1
+    assert rows[4]["n_tokens"] == 3
+    # empty text still tiles to one ''-token span (split semantics),
+    # matching the oracle's len(ts) = 1 on ''.
+    assert rows[5]["n_spans"] == 1
+
+
+def test_rewrite_matches_stats_removal(spark, docs_df):
+    texts = {
+        r["doc_id"]: r["deduped_text"]
+        for r in cross_doc_span_dedup(docs_df, span_len=8).collect()
+    }
+    # keeper doc unchanged; non-keeper doc loses the leading tile.
+    assert texts[1] == DOCS[0][1]
+    assert texts[3] == "different beta content six seven eight nine ten"
+    # within-doc repeat preserved verbatim.
+    assert texts[2] == DOCS[1][1]
+    assert texts[4] == DOCS[3][1]
+
+
+def test_rewrite_tokens_agree_with_stats(spark, docs_df):
+    """Retained token counts derived from the rewritten text equal the
+    stats rollup's n_tokens - tokens_removed for every doc."""
+    stats = {
+        r["doc"]: r
+        for r in cross_doc_span_dedup_stats(docs_df, span_len=8).collect()
+    }
+    texts = {
+        r["doc_id"]: r["deduped_text"]
+        for r in cross_doc_span_dedup(docs_df, span_len=8).collect()
+    }
+    for doc_id, txt in texts.items():
+        s = stats[doc_id]
+        # split('') -> [''] counts 1, same as the tiling convention
+        n_kept = len(txt.split(" ")) if txt != "" or s["n_tokens"] else 0
+        if txt == "" and s["n_tokens"] == 1:
+            n_kept = 1  # the ''-token span survives as empty text
+        assert n_kept == s["n_tokens"] - s["tokens_removed"], doc_id

@@ -32,6 +32,8 @@ __all__ = [
     "tfidf_top_terms",
     "vocab_stats",
     "span_dedup_stats",
+    "cross_doc_span_dedup",
+    "cross_doc_span_dedup_stats",
     "pii_redaction",
     "bigram_lm",
     "bigram_lm_scores",
@@ -589,6 +591,203 @@ def span_dedup_stats(
                 F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
             ).alias("dup_span_frac"),
         )
+    )
+
+
+def _tiled_spans(
+    df: DataFrame, text_col: str, id_col: str, span_len: int
+) -> DataFrame:
+    """(doc, span_idx, span_h, tok_len) for every tiled fixed-length
+    word span — the shared map-only front end of the substring-dedup
+    family (see span_dedup_stats for the tiling rationale). Only the
+    16-byte hash, two ints, and the id ever leave the map stage; span
+    text never shuffles."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = int(span_len)
+    n_spans = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
+    span_structs = F.when(
+        n <= 0, F.array().cast("array<struct<idx:int,h:string,len:int>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - F.lit(1)),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.md5(F.array_join(F.slice(toks, i * k + 1, k), " ")).alias(
+                    "h"
+                ),
+                F.least(F.lit(k), n - i * k).cast("int").alias("len"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(span_structs).alias("s")
+    ).select(
+        "doc",
+        F.col("s.idx").alias("span_idx"),
+        F.col("s.h").alias("span_h"),
+        F.col("s.len").alias("tok_len"),
+    )
+
+
+def _cross_doc_removal_flags(spans: DataFrame) -> DataFrame:
+    """spans + (is_dup, removed): a span occurrence is removed iff its
+    hash occurs in >= 2 DISTINCT documents and the occurrence is not
+    the canonical keeper — the lexicographically smallest
+    (doc, span_idx) across the corpus, so exactly one occurrence of
+    each cross-doc span survives and the choice is deterministic."""
+    dup = (
+        spans.groupBy("span_h")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.min(F.struct(F.col("doc"), F.col("span_idx"))).alias(
+                "keeper"
+            ),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    is_dup = F.col("n_docs").isNotNull()
+    removed = is_dup & ~(
+        (F.col("keeper.doc") == F.col("doc"))
+        & (F.col("keeper.span_idx") == F.col("span_idx"))
+    )
+    return spans.join(dup, "span_h", "left").select(
+        "doc",
+        "span_idx",
+        "span_h",
+        "tok_len",
+        is_dup.alias("is_dup"),
+        removed.alias("removed"),
+    )
+
+
+def cross_doc_span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """CROSS-document substring dedup, rollup form: spans repeated in
+    >= 2 distinct documents (crawl boilerplate — navbars, license
+    footers, syndicated paragraphs) are removed everywhere except one
+    canonical keeper occurrence (global min (doc, span_idx)), and each
+    document reports what the rewrite did to it.
+
+    This is the exact-substring-dedup class (the "remove duplicated
+    substrings across pages" regime); span_dedup_stats counts repeats
+    anywhere INCLUDING within one doc, while this operator's removal
+    set is strictly cross-document — a chorus repeated inside a single
+    lyric sheet is untouched, a footer shared by two sites is not.
+
+    Returns per doc: n_spans, n_cross_dup_spans, n_removed_spans,
+    n_tokens, tokens_removed, retained_token_frac, and
+    kept_fingerprint — md5 over the ordered (span_idx:span_h) list of
+    surviving spans, which pins the rewritten document's content
+    without ever shuffling span text (the fingerprint determines the
+    rebuilt text up to md5 collision; cross_doc_span_dedup
+    materializes the text itself).
+
+    Plan shape, scale-first: map-only span generation (hashes only) →
+    one shuffle for global per-hash (distinct-doc count, keeper) → one
+    hash join back (AQE broadcasts the dup set when it fits — at crawl
+    scale the cross-doc-duplicated hash set is far smaller than the
+    span set) → one per-doc rollup. No all-pairs stage anywhere; the
+    heaviest shuffle carries 16-byte hashes + ints.
+    """
+    flagged = _cross_doc_removal_flags(
+        _tiled_spans(df, text_col, id_col, span_len)
+    )
+    kept_entry = F.when(
+        ~F.col("removed"), F.struct(F.col("span_idx"), F.col("span_h"))
+    )
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
+            "n_cross_dup_spans"
+        ),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0)).alias(
+            "n_removed_spans"
+        ),
+        F.sum("tok_len").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("removed"), F.col("tok_len")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(
+                F.when(F.col("removed"), F.col("tok_len")).otherwise(0)
+            ).cast("double")
+            / F.sum("tok_len"),
+            6,
+        ).alias("retained_token_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_entry)),
+                    lambda s: F.concat_ws(
+                        ":", s.getField("span_idx"), s.getField("span_h")
+                    ),
+                ),
+                " ",
+            )
+        ).alias("kept_fingerprint"),
+    )
+
+
+def cross_doc_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """CROSS-document substring dedup, rewrite form: returns
+    (id_col, deduped_text) where every span occurrence flagged by
+    cross_doc_span_dedup_stats' removal rule is dropped and the
+    surviving tiles are re-joined with single spaces.
+
+    PRECONDITION: id_col must be unique per row — the removed-tile
+    index array joins back onto df by id to rebuild the text, so a
+    duplicated id would fan out (use the stats form, which is
+    dup-row-safe, when ids may repeat).
+
+    Scale shape: the hash-only stats pipeline computes the removal
+    set, collapses it to ONE small row per affected doc (an int array
+    of removed tile indexes), and joins that back by id — AQE
+    broadcasts it when the affected-doc set is small, which at crawl
+    scale it is relative to the corpus. The text itself is rebuilt
+    map-side from the original token array; full text never shuffles.
+    """
+    flagged = _cross_doc_removal_flags(
+        _tiled_spans(df, text_col, id_col, span_len)
+    )
+    removed_idx = (
+        flagged.filter(F.col("removed"))
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("span_idx")).alias("__rm"))
+        .withColumnRenamed("doc", "__rm_doc")
+    )
+    joined = df.join(
+        removed_idx, F.col(id_col) == F.col("__rm_doc"), "left"
+    )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = int(span_len)
+    n_spans = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept_tiles = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - F.lit(1)),
+                lambda i: F.when(
+                    ~F.array_contains(rm, i.cast("int")),
+                    F.array_join(F.slice(toks, i * k + 1, k), " "),
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+    )
+    return joined.select(
+        F.col(id_col), F.array_join(kept_tiles, " ").alias("deduped_text")
     )
 
 

@@ -451,6 +451,7 @@ def _all_specs() -> list["QuerySpec"]:
     from .expansion4 import expansion4_specs
     from .expansion5 import expansion5_specs
     from .expansion6 import expansion6_specs
+    from .expansion7 import expansion7_specs
     from .operators.specs import pipeline_specs
     from .streaming.specs import streaming_specs
 
@@ -469,6 +470,7 @@ def _all_specs() -> list["QuerySpec"]:
         + expansion4_specs()
         + expansion5_specs()
         + expansion6_specs()
+        + expansion7_specs()
     )
 
 
