@@ -459,9 +459,20 @@ def execute_merge(
     spark: SparkSession, catalog: Catalog, writer: Writer, stmt: MergeStatement, fqn: str
 ) -> int:
     """Run a parsed MERGE against destination ``fqn`` (see
-    ``build_merge_plan`` for the semantics and the plan shape)."""
-    result = build_merge_plan(spark, catalog, writer, stmt, fqn)
-    writer.overwrite_from_plan_reading_destination(fqn, result)
+    ``build_merge_plan`` for the semantics and the plan shape).
+
+    The per-table lock spans plan build AND write: the plan reads the
+    destination, so building it outside the critical section would let
+    a concurrent in-process MERGE swap the files the captured listing
+    points at (the concurrent-DML contract, loaders.py module docs —
+    in-process loads serialize to SOME serial order; cross-process
+    concurrency is unsupported)."""
+    from .loaders import table_write_lock
+
+    meta = catalog.get_table(fqn)
+    with table_write_lock(meta.spark_name):
+        result = build_merge_plan(spark, catalog, writer, stmt, fqn)
+        writer.overwrite_from_plan_reading_destination(fqn, result)
     return -1  # affected-row accounting not tracked in round 1
 
 

@@ -64,6 +64,7 @@ transactional format, so it is documented above rather than tested).
 from __future__ import annotations
 
 import re
+import threading
 import uuid
 from datetime import date, datetime
 
@@ -79,7 +80,36 @@ _NOT_NULL_RE = re.compile(r"\s+not\s+null\s*$", re.IGNORECASE)
 # _replace_affected_partitions); recover_orphan_stages matches on this
 _STAGE_RE = re.compile(r"__stage_[0-9a-f]{8}$")
 
-__all__ = ["Writer"]
+# Concurrent-DML contract for read-modify-write loads (MERGE / DELETE /
+# UPDATE emulation and delete_insert — every path whose staged
+# replacement is computed BY READING the destination): within one
+# process, loads on the same table SERIALIZE on a per-table re-entrant
+# lock (table_write_lock below, acquired by the Writer entry points and
+# by dml.execute_merge around plan build + write, so the second load's
+# plan reads the first load's committed output, never a stale file
+# listing). The observable contract: N concurrent in-process RMW loads
+# on one table produce the state of SOME serial execution order.
+# ACROSS processes (or sessions on a shared metastore) the engine
+# offers NO coordination — concurrent cross-process RMW loads on the
+# same table are unsupported and can lose updates (last-writer-wins on
+# the swap) or collide with recovery (see recover_orphan_stages:
+# quiesced-only); serialize them externally, exactly as the reference's
+# orchestrator serializes per-table jobs. REPLACE-family loads derive
+# their output solely from the source query and need no lock (8-way
+# partition REPLACE races are soaked bit-identical — CONCSOAK_r09).
+_TABLE_LOCKS: dict[str, threading.RLock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+__all__ = ["Writer", "table_write_lock"]
+
+
+def table_write_lock(spark_name: str) -> threading.RLock:
+    """Per-table re-entrant lock serializing in-process
+    read-modify-write loads (see the concurrent-DML contract above)."""
+    with _LOCKS_GUARD:
+        return _TABLE_LOCKS.setdefault(
+            spark_name.lower(), threading.RLock()
+        )
 
 
 class Writer:
@@ -388,29 +418,30 @@ class Writer:
         the whole-table staged rewrite.
         """
         meta = self.catalog.get_table(fqn)
-        new = self._with_dt(
-            self._align(df, meta, allow_field_addition), meta, partition_date
-        )
-        dest = self.spark.table(meta.spark_name)
-        matches = F.coalesce(F.expr(filter_expression), F.lit(False))
-        if not meta.partition.is_partitioned:
-            self._overwrite_via_stage(meta, dest.filter(~matches).unionByName(new))
-            return
-        # affected = partitions with deletions ∪ partitions of inserts —
-        # snapshotted BEFORE any write (the plan reads the destination)
-        affected_days, affected = self._affected_days_snapshot(
-            dest.filter(matches)
-            .select(PARTITION_COL)
-            .union(new.select(PARTITION_COL))
-            .distinct()
-        )
-        kept_in_scope = dest.join(
-            F.broadcast(affected), PARTITION_COL, "left_semi"
-        ).filter(~matches)
-        # insertInto is positional — pin user columns + dt in table order
-        order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
-        combined = kept_in_scope.select(*order).unionByName(new.select(*order))
-        self._replace_affected_partitions(meta, combined, affected_days)
+        with table_write_lock(meta.spark_name):
+            new = self._with_dt(
+                self._align(df, meta, allow_field_addition), meta, partition_date
+            )
+            dest = self.spark.table(meta.spark_name)
+            matches = F.coalesce(F.expr(filter_expression), F.lit(False))
+            if not meta.partition.is_partitioned:
+                self._overwrite_via_stage(meta, dest.filter(~matches).unionByName(new))
+                return
+            # affected = partitions with deletions ∪ partitions of inserts —
+            # snapshotted BEFORE any write (the plan reads the destination)
+            affected_days, affected = self._affected_days_snapshot(
+                dest.filter(matches)
+                .select(PARTITION_COL)
+                .union(new.select(PARTITION_COL))
+                .distinct()
+            )
+            kept_in_scope = dest.join(
+                F.broadcast(affected), PARTITION_COL, "left_semi"
+            ).filter(~matches)
+            # insertInto is positional — pin user columns + dt in table order
+            order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
+            combined = kept_in_scope.select(*order).unionByName(new.select(*order))
+            self._replace_affected_partitions(meta, combined, affected_days)
 
     def delete_where(self, fqn: str, predicate: str) -> None:
         """``DELETE FROM t WHERE pred`` (reference:
@@ -420,22 +451,23 @@ class Writer:
         the table. Non-partitioned tables fall back to the whole-table
         staged rewrite."""
         meta = self.catalog.get_table(fqn)
-        dest = self.spark.table(meta.spark_name)
-        matches = F.coalesce(F.expr(predicate), F.lit(False))
-        if not meta.partition.is_partitioned:
-            self._overwrite_via_stage(meta, dest.filter(~matches))
-            return
-        affected_days, affected = self._affected_days_snapshot(
-            dest.filter(matches).select(PARTITION_COL).distinct()
-        )
-        kept_in_scope = dest.join(
-            F.broadcast(affected), PARTITION_COL, "left_semi"
-        ).filter(~matches)
-        # insertInto is positional — pin user columns + dt in table order
-        order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
-        self._replace_affected_partitions(
-            meta, kept_in_scope.select(*order), affected_days
-        )
+        with table_write_lock(meta.spark_name):
+            dest = self.spark.table(meta.spark_name)
+            matches = F.coalesce(F.expr(predicate), F.lit(False))
+            if not meta.partition.is_partitioned:
+                self._overwrite_via_stage(meta, dest.filter(~matches))
+                return
+            affected_days, affected = self._affected_days_snapshot(
+                dest.filter(matches).select(PARTITION_COL).distinct()
+            )
+            kept_in_scope = dest.join(
+                F.broadcast(affected), PARTITION_COL, "left_semi"
+            ).filter(~matches)
+            # insertInto is positional — pin user columns + dt in table order
+            order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
+            self._replace_affected_partitions(
+                meta, kept_in_scope.select(*order), affected_days
+            )
 
     def update_where(
         self, fqn: str, assignments: dict, predicate: str
@@ -447,64 +479,65 @@ class Writer:
         rows may move between partitions, so the whole table stages);
         non-partitioned tables always stage whole."""
         meta = self.catalog.get_table(fqn)
-        dest = self.spark.table(meta.spark_name)
-        matches = F.coalesce(F.expr(predicate), F.lit(False))
-        assigned = {c.lower() for c in assignments}
-        # Every SET target must resolve to a user-visible destination
-        # column — BigQuery errors on an unrecognized column, so a
-        # typo'd / alias-qualified / struct-path name must not silently
-        # no-op. This also rejects the internal partition pseudo-column
-        # ('dt'): on a partitioned table it is never in column_names (a
-        # user column named 'dt' would already have collided with the
-        # physical partition column at create_table), and letting it
-        # through the partition-scoped path would silently drop rows
-        # whose new dt leaves the affected-partition set.
-        known = {c.lower() for c in meta.column_names}
-        unmatched = sorted(c for c in assignments if c.lower() not in known)
-        if unmatched:
-            raise ValueError(
-                f"UPDATE {fqn}: SET column(s) {unmatched} not found in "
-                f"destination columns {meta.column_names}"
+        with table_write_lock(meta.spark_name):
+            dest = self.spark.table(meta.spark_name)
+            matches = F.coalesce(F.expr(predicate), F.lit(False))
+            assigned = {c.lower() for c in assignments}
+            # Every SET target must resolve to a user-visible destination
+            # column — BigQuery errors on an unrecognized column, so a
+            # typo'd / alias-qualified / struct-path name must not silently
+            # no-op. This also rejects the internal partition pseudo-column
+            # ('dt'): on a partitioned table it is never in column_names (a
+            # user column named 'dt' would already have collided with the
+            # physical partition column at create_table), and letting it
+            # through the partition-scoped path would silently drop rows
+            # whose new dt leaves the affected-partition set.
+            known = {c.lower() for c in meta.column_names}
+            unmatched = sorted(c for c in assignments if c.lower() not in known)
+            if unmatched:
+                raise ValueError(
+                    f"UPDATE {fqn}: SET column(s) {unmatched} not found in "
+                    f"destination columns {meta.column_names}"
+                )
+            # ONE projection, never sequential withColumn: SQL UPDATE
+            # evaluates the predicate and every SET expression against the
+            # ORIGINAL row — chained withColumn would let later assignments
+            # (and the predicate inside their CASE) see earlier ones
+            # (SET a = b, b = a must swap; SET a = 0, b = 1 WHERE a > 10
+            # must set both).
+            updated_cols = []
+            for name in dest.columns:
+                if name.lower() in assigned:
+                    expr = next(e for c, e in assignments.items() if c.lower() == name.lower())
+                    updated_cols.append(
+                        F.when(matches, F.expr(expr))
+                        .otherwise(F.col(f"`{name}`"))
+                        .alias(name)
+                    )
+                else:
+                    updated_cols.append(F.col(f"`{name}`").alias(name))
+            updated = dest.select(*updated_cols)
+            part = meta.partition
+            partition_safe = part.is_partitioned and not (
+                (part.field or "").lower() in assigned
             )
-        # ONE projection, never sequential withColumn: SQL UPDATE
-        # evaluates the predicate and every SET expression against the
-        # ORIGINAL row — chained withColumn would let later assignments
-        # (and the predicate inside their CASE) see earlier ones
-        # (SET a = b, b = a must swap; SET a = 0, b = 1 WHERE a > 10
-        # must set both).
-        updated_cols = []
-        for name in dest.columns:
-            if name.lower() in assigned:
-                expr = next(e for c, e in assignments.items() if c.lower() == name.lower())
-                updated_cols.append(
-                    F.when(matches, F.expr(expr))
-                    .otherwise(F.col(f"`{name}`"))
-                    .alias(name)
-                )
-            else:
-                updated_cols.append(F.col(f"`{name}`").alias(name))
-        updated = dest.select(*updated_cols)
-        part = meta.partition
-        partition_safe = part.is_partitioned and not (
-            (part.field or "").lower() in assigned
-        )
-        if not partition_safe:
-            out = updated
-            if part.is_partitioned and part.field:
-                # dt derives from the partition field — recompute it
-                out = updated.withColumn(
-                    PARTITION_COL, F.to_date(F.col(f"`{part.field}`"))
-                )
-            self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
-            return
-        affected_days, affected = self._affected_days_snapshot(
-            dest.filter(matches).select(PARTITION_COL).distinct()
-        )
-        in_scope = updated.join(F.broadcast(affected), PARTITION_COL, "left_semi")
-        order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
-        self._replace_affected_partitions(
-            meta, in_scope.select(*order), affected_days
-        )
+            if not partition_safe:
+                out = updated
+                if part.is_partitioned and part.field:
+                    # dt derives from the partition field — recompute it
+                    out = updated.withColumn(
+                        PARTITION_COL, F.to_date(F.col(f"`{part.field}`"))
+                    )
+                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
+                return
+            affected_days, affected = self._affected_days_snapshot(
+                dest.filter(matches).select(PARTITION_COL).distinct()
+            )
+            in_scope = updated.join(F.broadcast(affected), PARTITION_COL, "left_semi")
+            order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
+            self._replace_affected_partitions(
+                meta, in_scope.select(*order), affected_days
+            )
 
     def _affected_days_snapshot(self, affected: DataFrame) -> tuple[list, DataFrame]:
         """Materialize the affected-partition day set ONCE, before any
@@ -583,8 +616,14 @@ class Writer:
 
     def overwrite_from_plan_reading_destination(self, fqn: str, df: DataFrame) -> None:
         """Full overwrite where df's plan scans the destination (DML
-        emulation): stage first."""
-        self._overwrite_via_stage(self.catalog.get_table(fqn), df)
+        emulation): stage first. Re-entrant lock: dml.execute_merge
+        already holds the table lock around plan build + this write so
+        the plan can never read a file listing another in-process load
+        is about to swap out; direct callers get the same guarantee
+        only if they BUILD df while holding table_write_lock too."""
+        meta = self.catalog.get_table(fqn)
+        with table_write_lock(meta.spark_name):
+            self._overwrite_via_stage(meta, df)
 
     # -- staging --------------------------------------------------------
 
