@@ -118,6 +118,13 @@ PROPERTIES = {
     "lsh_scurve_calibration": (["Generate"], ["CartesianProduct",
                                               "BroadcastNestedLoopJoin",
                                               "SortMergeJoin"]),
+    # r10: cross-doc substring dedup — map-only tiled-span generation
+    # (only 16-byte hashes shuffle) with the duplicated-hash set
+    # joined back by hash key; the join may be broadcast or shuffled
+    # hash (both fine at scale), never an all-pairs/nested-loop stage
+    "text_cross_doc_span_dedup": (["Generate"],
+                                  ["CartesianProduct",
+                                   "BroadcastNestedLoopJoin"]),
 }
 
 # Queries whose public frame hides the real plan (eager localCheckpoint
