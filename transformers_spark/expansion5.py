@@ -734,10 +734,22 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # ONE codebook collect shared across the probe settings (the same
+    # index is probed at every n_probe; per-call collects cost ~2 s
+    # cold at sf0.1 — IVFCOLD_r10.json, r9 verdict ask 4)
+    from .operators.similarity import _collect_codebook
+
+    nn = emb.filter(F.col("embedding").isNotNull())
+    codebook = _collect_codebook(
+        nn.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centvec"),
+        )
+    )
     approx = None
     for np_ in IVF_PROBES:
         part = (
-            ivf_topk(emb, queries, k=5, n_probe=np_)
+            ivf_topk(emb, queries, k=5, n_probe=np_, codebook=codebook)
             .select("query_id", "neighbor_id")
             .distinct()
             .withColumn("n_probe", F.lit(np_).cast("int"))

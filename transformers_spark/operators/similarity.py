@@ -290,6 +290,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: DataFrame | None = None,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to
     their nearest centroid (coarse quantizer); each query scores only
@@ -303,19 +304,27 @@ def ivf_topk(
     literals, so cell assignment is MAP-ONLY: no |corpus|×k row
     expansion, no window shuffle. Scoring work is proportional to
     probed-cell sizes — never |corpus|×|queries|.
+
+    ``codebook`` (a pre-collected ``_collect_codebook`` result) skips
+    the per-call collect entirely — callers probing several settings
+    against ONE index (ivf_probe_recall_curve) collect once and share
+    (the collect is ~2 s cold / ~0.25 s warm per call at sf0.1,
+    IVFCOLD_r10.json).
     """
     # null-vector contract: NULL embeddings are dropped at intake —
     # they cannot seed the codebook, be assigned a cell, or be scored
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
-    cent = (
-        centroids
-        if centroids is not None
-        else corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centvec")
+    if codebook is None:
+        cent = (
+            centroids
+            if centroids is not None
+            else corpus.filter(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centvec"),
+            )
         )
-    )
-    codebook = _collect_codebook(cent)
+        codebook = _collect_codebook(cent)
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
