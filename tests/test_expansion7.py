@@ -7,6 +7,8 @@ test_queries_oracle.py's parametrization."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from transformers_spark.operators.text import (
     cross_doc_span_dedup,
@@ -86,3 +88,78 @@ def test_rewrite_tokens_agree_with_stats(spark, docs_df):
         if txt == "" and s["n_tokens"] == 1:
             n_kept = 1  # the ''-token span survives as empty text
         assert n_kept == s["n_tokens"] - s["tokens_removed"], doc_id
+
+
+# --- property fuzz: random corpora from a tiny vocabulary (maximizes
+# span collisions), short span_len so multi-tile docs are common -----
+
+_doc_text = st.lists(
+    st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=9
+).map(" ".join)
+
+
+def _tiles(text: str, k: int) -> list[tuple[str, ...]]:
+    """Python twin of the operator's tiling: whitespace split after
+    trim ('' tokenizes to the single '' token), stride = span_len."""
+    toks = text.strip().split() if text.strip() else [""]
+    return [tuple(toks[i : i + k]) for i in range(0, len(toks), k)]
+
+
+def _expected_rewrite(texts: list[str], k: int) -> dict[int, str]:
+    """Independent reference implementation of the removal rule."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d, text in enumerate(texts):
+        for i, t in enumerate(_tiles(text, k)):
+            occ.setdefault(t, []).append((d, i))
+    out: dict[int, str] = {}
+    for d, text in enumerate(texts):
+        kept = []
+        for i, t in enumerate(_tiles(text, k)):
+            cross_doc = len({dd for dd, _ in occ[t]}) >= 2
+            if cross_doc and (d, i) != min(occ[t]):
+                continue
+            kept.append(" ".join(t))
+        out[d] = " ".join(kept)
+    return out
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=7))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_rewrite_consistent_with_stats(spark, texts):
+    """For random tiny-vocab corpora (maximal span collisions): the
+    rewrite equals an independent Python reference of the removal
+    rule, token accounting agrees with the rollup, and the rollup
+    fingerprint is deterministic across re-runs."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    k = 2
+    stats = {
+        r["doc"]: r.asDict()
+        for r in cross_doc_span_dedup_stats(df, span_len=k).collect()
+    }
+    texts_out = {
+        r["doc_id"]: r["deduped_text"]
+        for r in cross_doc_span_dedup(df, span_len=k).collect()
+    }
+    assert texts_out == _expected_rewrite(texts, k)
+    # token accounting (unambiguous only for non-empty rewrites: ''
+    # can be either zero kept tiles or one kept ''-token tile, and
+    # the full-content equality above already distinguishes them)
+    for doc_id, txt in texts_out.items():
+        if txt:
+            s = stats[doc_id]
+            assert (
+                len(txt.split(" ")) == s["n_tokens"] - s["tokens_removed"]
+            ), (doc_id, txt, s)
+    rerun = {
+        r["doc"]: r["kept_fingerprint"]
+        for r in cross_doc_span_dedup_stats(df, span_len=k).collect()
+    }
+    assert rerun == {
+        d: s["kept_fingerprint"] for d, s in stats.items()
+    }
