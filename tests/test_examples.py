@@ -37,3 +37,23 @@ def test_incremental_dedup_example():
     stats = mod.main("/root/testdata/sf0.001")
     assert stats["kept_after_dedup"] == stats["new_docs"] - stats["near_dups_vs_index"]
     assert stats["new_docs"] > 0
+
+
+def test_boilerplate_strip_example(tmp_path):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "boilerplate_strip",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "boilerplate_strip.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
+    # rewrite preserves every document row and never adds tokens
+    assert stats["output_docs"] == stats["input_docs"]
+    assert 0 <= stats["tokens_removed"] <= stats["total_tokens"]
