@@ -89,6 +89,17 @@ PROPERTIES = {
     # literal/scalar frames, so only CartesianProduct is forbidden;
     # WindowGroupLimit pins the rank<=k pushdown into the shuffle.
     "ivf_probe_recall_curve": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # r10 pin-by-cost additions (cold-map top-10 drift after the r10
+    # bench epoch). similarity_ivf_kmeans: same ANN family shape —
+    # its BNLJ instances are the intended broadcast bounded-queries x
+    # corpus exact baseline + literal frames, so only CartesianProduct
+    # is forbidden; WindowGroupLimit pins the rank<=k pushdown.
+    # dedup_ngram_jaccard: banded-bucket local pair expansion
+    # (Generate over bucket member arrays), no join stage at all.
+    "similarity_ivf_kmeans": (["WindowGroupLimit"], ["CartesianProduct"]),
+    "dedup_ngram_jaccard": (["Generate"], ["CartesianProduct",
+                                           "BroadcastNestedLoopJoin",
+                                           "SortMergeJoin"]),
     # r10 pin-by-cost addition: the IVF ANN query joins query vectors
     # to corpus vectors ONLY through the probed-cell key (broadcast
     # hash join on cell), with the rank<=k cut pushed into the shuffle
