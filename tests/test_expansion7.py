@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from transformers_spark.operators.text import (
     cross_doc_span_dedup,
     cross_doc_span_dedup_stats,
+    sliding_span_dup_profile,
 )
 
 # 8-word boilerplate shared by docs 1 and 3; doc 2 repeats its own
@@ -88,6 +89,60 @@ def test_rewrite_tokens_agree_with_stats(spark, docs_df):
         if txt == "" and s["n_tokens"] == 1:
             n_kept = 1  # the ''-token span survives as empty text
         assert n_kept == s["n_tokens"] - s["tokens_removed"], doc_id
+
+
+SHARED12 = " ".join(f"s{i}" for i in range(12))
+
+
+def test_sliding_profile_catches_offset_shifted_repeats(spark):
+    """The case tiling misses by construction: the same 12-token
+    substring at DIFFERENT offsets in two docs. Sliding windows flag
+    5 consecutive positions in each (12 - 8 + 1) -> max run 5 ->
+    longest duplicated span 12 tokens. A within-doc-only repeat stays
+    unflagged, and a sub-8-token doc produces no row."""
+    docs = [
+        (1, f"{SHARED12} ua ub uc"),
+        (2, f"vx vy {SHARED12}"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8"),
+        (4, "short one two"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc"]: r for r in sliding_span_dup_profile(df).collect()
+    }
+    assert rows[1]["n_positions"] == 8  # 15 tokens -> 8 windows
+    assert rows[1]["n_dup_positions"] == 5
+    assert rows[1]["max_dup_run"] == 5
+    assert rows[1]["longest_dup_span_tokens"] == 12
+    assert rows[2]["n_dup_positions"] == 5
+    assert rows[2]["longest_dup_span_tokens"] == 12
+    # chorus repeated within doc 3 only -> strictly-cross-doc rule
+    assert rows[3]["n_dup_positions"] == 0
+    assert rows[3]["max_dup_run"] == 0
+    assert rows[3]["longest_dup_span_tokens"] == 0
+    assert 4 not in rows  # no 8-token window
+
+
+def test_sliding_profile_vs_tiled_blindspot(spark):
+    """The same corpus through the TILED stats shows zero cross-doc
+    dup spans (offset shift lands the repeat in different tiles with
+    different neighbors) while the sliding profile sees it — the
+    documented trade, now pinned as a test."""
+    docs = [
+        (1, f"{SHARED12} ua ub uc w1"),
+        (2, f"vx vy {SHARED12} w2 w3"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    tiled = {
+        r["doc"]: r["n_cross_dup_spans"]
+        for r in cross_doc_span_dedup_stats(df, span_len=8).collect()
+    }
+    assert tiled == {1: 0, 2: 0}
+    sliding = {
+        r["doc"]: r["n_dup_positions"]
+        for r in sliding_span_dup_profile(df, span_len=8).collect()
+    }
+    assert sliding[1] > 0 and sliding[2] > 0
 
 
 # --- property fuzz: random corpora from a tiny vocabulary (maximizes

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators.specs import DUCK_TOKENS
-from .operators.text import cross_doc_span_dedup_stats
+from .operators.text import (
+    cross_doc_span_dedup_stats,
+    sliding_span_dup_profile,
+)
 from .sources.testdata import register_tables
 
 
@@ -97,6 +100,71 @@ GROUP BY doc_id
 """
 
 
+def q_sliding_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window cross-doc substring duplication profile
+    (operators/text.py:sliding_span_dup_profile, span_len=8) — the
+    full-resolution companion to text_cross_doc_span_dedup: every
+    8-token window checked (offset-shifted repeats visible), with the
+    longest cross-doc duplicated substring length per doc (islands
+    max-run), the number an exact-substring-dedup policy thresholds
+    on. Docs shorter than 8 tokens have no window and produce no row
+    (both engines)."""
+    register_tables(spark, sf_dir, ("documents",))
+    return sliding_span_dup_profile(spark.table("documents"), span_len=8)
+
+
+# row_number ties between duplicate physical rows carry identical pos
+# values, so the island arithmetic is tie-order independent on both
+# engines (same argument as the kept_fingerprint ordering above).
+ORACLE_SLIDING_SPAN_DUP = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS h
+  FROM toks,
+       unnest(generate_series(0, len(ts) - 8)) AS g(i)
+  WHERE len(ts) >= 8
+),
+dup AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT p.doc_id, p.pos, d.h IS NOT NULL AS is_dup
+  FROM pos p LEFT JOIN dup d ON p.h = d.h
+),
+base AS (
+  SELECT doc_id, COUNT(*) AS n_positions,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_positions
+  FROM flagged GROUP BY doc_id
+),
+islands AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM flagged WHERE is_dup
+),
+maxrun AS (
+  SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_dup_run
+  FROM (SELECT doc_id, island, COUNT(*) AS run
+        FROM islands GROUP BY doc_id, island)
+  GROUP BY doc_id
+)
+SELECT b.doc_id AS doc,
+       b.n_positions,
+       b.n_dup_positions,
+       ROUND(b.n_dup_positions::DOUBLE / b.n_positions, 6)
+         AS dup_pos_frac,
+       COALESCE(m.max_dup_run, 0) AS max_dup_run,
+       CAST(CASE WHEN COALESCE(m.max_dup_run, 0) > 0
+                 THEN m.max_dup_run + 7 ELSE 0 END AS BIGINT)
+         AS longest_dup_span_tokens
+FROM base b LEFT JOIN maxrun m ON b.doc_id = m.doc_id
+"""
+
+
 def expansion7_specs():
     from .queries import QuerySpec
 
@@ -106,5 +174,11 @@ def expansion7_specs():
             "Cross-document repeated-span removal rollup (keeper-kept)",
             q_cross_doc_span_dedup,
             ORACLE_CROSS_DOC_SPAN_DEDUP,
+        ),
+        QuerySpec(
+            "text_sliding_span_dedup",
+            "Sliding-window cross-doc substring dup profile (max run)",
+            q_sliding_span_dup,
+            ORACLE_SLIDING_SPAN_DUP,
         ),
     ]

@@ -34,6 +34,7 @@ __all__ = [
     "span_dedup_stats",
     "cross_doc_span_dedup",
     "cross_doc_span_dedup_stats",
+    "sliding_span_dup_profile",
     "pii_redaction",
     "bigram_lm",
     "bigram_lm_scores",
@@ -731,6 +732,105 @@ def cross_doc_span_dedup_stats(
                 " ",
             )
         ).alias("kept_fingerprint"),
+    )
+
+
+def sliding_span_dup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """SLIDING-window cross-document substring duplication profile —
+    the full-resolution detector the tiled operators trade away:
+    cross_doc_span_dedup's stride-k tiles miss an offset-shifted
+    repeat (a footer starting at token 3 of one page and token 11 of
+    another lands in different tiles), while every k-token window
+    here is checked, so any duplicated run of >= k tokens is seen at
+    EVERY offset.
+
+    Per doc: n_positions (sliding windows), n_dup_positions (windows
+    whose hash occurs in >= 2 distinct docs), dup_pos_frac, and the
+    exact-substring-dedup headline number — max_dup_run (longest
+    consecutive run of duplicated window positions) and
+    longest_dup_span_tokens (= max_dup_run + k - 1, the length in
+    tokens of the longest substring shared with another document, the
+    quantity a "remove duplicated substrings >= N tokens" policy
+    thresholds on). Docs shorter than k tokens have no k-window and
+    produce no row.
+
+    Plan shape, scale-first: map-only window-hash generation (k x the
+    tiled volume — the documented price of full resolution; only the
+    16-byte hash + a position int shuffle), one per-hash aggregate,
+    one hash join back, then a per-doc window (islands via
+    pos - row_number) and two per-doc aggregates. No all-pairs stage;
+    the per-doc window shuffles only duplicated positions. Duplicate
+    physical rows stay deterministic: row_number ties are between
+    identical position values, so the island arithmetic is
+    tie-order-independent.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = int(span_len)
+    win_structs = F.when(
+        n < k, F.array().cast("array<struct<pos:int,h:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i + 1, k), " ")).alias(
+                    "h"
+                ),
+            ),
+        )
+    )
+    pos = df.select(
+        F.col(id_col).alias("doc"), F.explode(win_structs).alias("s")
+    ).select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+    )
+    flagged = pos.join(dup, "h", "left").select(
+        "doc", "pos", F.col("__nd").isNotNull().alias("is_dup")
+    )
+    base = flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
+            "n_dup_positions"
+        ),
+    )
+    runs = (
+        flagged.filter(F.col("is_dup"))
+        .withColumn(
+            "__island",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc").orderBy("pos")),
+        )
+        .groupBy("doc", "__island")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy("doc")
+        .agg(F.max("__run").alias("__max_run"))
+    )
+    max_run = F.coalesce(F.col("__max_run"), F.lit(0)).cast("bigint")
+    return base.join(runs, "doc", "left").select(
+        "doc",
+        "n_positions",
+        "n_dup_positions",
+        F.round(
+            F.col("n_dup_positions").cast("double")
+            / F.col("n_positions"),
+            6,
+        ).alias("dup_pos_frac"),
+        max_run.alias("max_dup_run"),
+        F.when(max_run > 0, max_run + F.lit(k - 1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("longest_dup_span_tokens"),
     )
 
 
