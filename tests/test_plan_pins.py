@@ -136,6 +136,13 @@ PROPERTIES = {
     "text_cross_doc_span_dedup": (["Generate"],
                                   ["CartesianProduct",
                                    "BroadcastNestedLoopJoin"]),
+    # r10: sliding-window substring profile — same family shape (map-
+    # only Generate window hashing, hash-key join back, islands window
+    # over duplicated positions only); join may be broadcast or
+    # shuffled hash, never an all-pairs/nested-loop stage
+    "text_sliding_span_dedup": (["Generate"],
+                                ["CartesianProduct",
+                                 "BroadcastNestedLoopJoin"]),
 }
 
 # Queries whose public frame hides the real plan (eager localCheckpoint
