@@ -97,6 +97,10 @@ PROPERTIES = {
     # dedup_ngram_jaccard: banded-bucket local pair expansion
     # (Generate over bucket member arrays), no join stage at all.
     "similarity_ivf_kmeans": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # embedding_recall_curve compares LSH-ANN hits against the exact
+    # cosine top-5 — the BNLJ is that intended broadcast
+    # bounded-queries x corpus baseline (as in the other ANN pins)
+    "embedding_recall_curve": (["WindowGroupLimit"], ["CartesianProduct"]),
     "dedup_ngram_jaccard": (["Generate"], ["CartesianProduct",
                                            "BroadcastNestedLoopJoin",
                                            "SortMergeJoin"]),
