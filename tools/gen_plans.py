@@ -279,6 +279,20 @@ PICKS = {
         "the LSH/CC internals are pinned via minhash_jaccard_error "
         "and the SF100 probe."
     ),
+    "text_cross_doc_span_dedup": (
+        "Cross-doc substring dedup (r10) — map-only tiled-span "
+        "generation (Generate; only 16-byte hashes + ints shuffle), "
+        "one per-hash aggregate (distinct-doc count + struct-min "
+        "keeper), hash join back, per-doc rollup. Never an all-pairs "
+        "stage."
+    ),
+    "text_sliding_span_dedup": (
+        "Sliding-window substring profile (r10) — every k-token "
+        "window hashed map-only (k x the tiled volume, the "
+        "full-resolution price), per-hash aggregate, hash join back, "
+        "then the islands max-run window over DUPLICATED positions "
+        "only."
+    ),
 }
 
 
