@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from transformers_spark.operators.text import (
     cross_doc_span_dedup,
     cross_doc_span_dedup_stats,
+    remove_long_dup_substrings,
     sliding_span_dup_profile,
 )
 
@@ -143,6 +144,99 @@ def test_sliding_profile_vs_tiled_blindspot(spark):
         for r in sliding_span_dup_profile(df, span_len=8).collect()
     }
     assert sliding[1] > 0 and sliding[2] > 0
+
+
+def test_remove_long_dup_substrings_threshold(spark):
+    """The N-token removal policy: a 12-token cross-doc substring is
+    removed from BOTH docs at min_run_tokens=12 (remove-all policy),
+    kept everywhere at min_run_tokens=13, and within-doc repeats and
+    short docs are untouched at any threshold."""
+    docs = [
+        (1, f"{SHARED12} ua ub uc"),
+        (2, f"vx vy {SHARED12}"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8"),
+        (4, "short one two"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out12 = {
+        r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+        for r in remove_long_dup_substrings(
+            df, span_len=8, min_run_tokens=12
+        ).collect()
+    }
+    assert out12[1] == ("ua ub uc", 12)
+    assert out12[2] == ("vx vy", 12)
+    assert out12[3] == (docs[2][1], 0)
+    assert out12[4] == (docs[3][1], 0)
+    out13 = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in remove_long_dup_substrings(
+            df, span_len=8, min_run_tokens=13
+        ).collect()
+    }
+    assert out13 == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def _ref_remove_long_dups(
+    texts: list[str], k: int, min_run: int
+) -> dict[int, tuple[str, int]]:
+    """Independent Python reference: sliding cross-doc window flags ->
+    maximal runs -> token spans >= min_run removed (all occurrences)."""
+    wins: dict[tuple, set[int]] = {}
+    doc_wins: dict[int, list[tuple]] = {}
+    for d, text in enumerate(texts):
+        toks = text.strip().split() if text.strip() else [""]
+        ws = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        doc_wins[d] = ws
+        for w in ws:
+            wins.setdefault(w, set()).add(d)
+    out = {}
+    for d, text in enumerate(texts):
+        toks = text.strip().split() if text.strip() else [""]
+        dup_pos = [
+            i for i, w in enumerate(doc_wins[d]) if len(wins[w]) >= 2
+        ]
+        removed = set()
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                span = run[-1] + k - run[0]
+                if span >= min_run:
+                    removed.update(range(run[0], run[-1] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+        kept = [t for i, t in enumerate(toks) if i not in removed]
+        out[d] = (" ".join(kept), len(removed))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    min_run=st.integers(min_value=2, max_value=5),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_remove_long_dup_substrings(spark, texts, min_run):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+        for r in remove_long_dup_substrings(
+            df, span_len=2, min_run_tokens=min_run
+        ).collect()
+    }
+    assert got == _ref_remove_long_dups(texts, 2, min_run)
 
 
 # --- property fuzz: random corpora from a tiny vocabulary (maximizes

@@ -35,6 +35,7 @@ __all__ = [
     "cross_doc_span_dedup",
     "cross_doc_span_dedup_stats",
     "sliding_span_dup_profile",
+    "remove_long_dup_substrings",
     "pii_redaction",
     "bigram_lm",
     "bigram_lm_scores",
@@ -735,6 +736,44 @@ def cross_doc_span_dedup_stats(
     )
 
 
+def _sliding_dup_flags(
+    df: DataFrame, text_col: str, id_col: str, span_len: int
+) -> DataFrame:
+    """(doc, pos, is_dup) for every sliding k-token window position:
+    is_dup iff the window's hash occurs in >= 2 distinct documents.
+    Shared front end of sliding_span_dup_profile and
+    remove_long_dup_substrings — map-only window hashing (16-byte
+    hash + position int only), one per-hash aggregate, one hash join
+    back. Docs shorter than k have no window and produce no row."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = int(span_len)
+    win_structs = F.when(
+        n < k, F.array().cast("array<struct<pos:int,h:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i + 1, k), " ")).alias(
+                    "h"
+                ),
+            ),
+        )
+    )
+    pos = df.select(
+        F.col(id_col).alias("doc"), F.explode(win_structs).alias("s")
+    ).select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+    )
+    return pos.join(dup, "h", "left").select(
+        "doc", "pos", F.col("__nd").isNotNull().alias("is_dup")
+    )
+
+
 def sliding_span_dup_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -771,33 +810,8 @@ def sliding_span_dup_profile(
     """
     from pyspark.sql import Window as W
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
     k = int(span_len)
-    win_structs = F.when(
-        n < k, F.array().cast("array<struct<pos:int,h:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i + 1, k), " ")).alias(
-                    "h"
-                ),
-            ),
-        )
-    )
-    pos = df.select(
-        F.col(id_col).alias("doc"), F.explode(win_structs).alias("s")
-    ).select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    dup = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("doc").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-    )
-    flagged = pos.join(dup, "h", "left").select(
-        "doc", "pos", F.col("__nd").isNotNull().alias("is_dup")
-    )
+    flagged = _sliding_dup_flags(df, text_col, id_col, span_len)
     base = flagged.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_positions"),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
@@ -831,6 +845,100 @@ def sliding_span_dup_profile(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("longest_dup_span_tokens"),
+    )
+
+
+def remove_long_dup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+    min_run_tokens: int = 50,
+) -> DataFrame:
+    """The exact-substring-dedup REMOVAL policy crawl pipelines apply
+    on top of sliding_span_dup_profile: drop every token covered by a
+    cross-document duplicated run of >= ``min_run_tokens`` tokens
+    (the "remove duplicated substrings longer than N" rule; N=50 is
+    the published crawl-dedup convention). Returns
+    (id_col, deduped_text, n_tokens_removed).
+
+    Policy is REMOVE-ALL occurrences (both/all copies of a qualifying
+    substring go): at substring granularity a keeper-kept policy
+    needs a global choice per maximal shared substring, whose
+    occurrences sit inside DIFFERENT-length runs in different docs —
+    coordination that buys little (the duplicated text is boilerplate
+    by construction) and costs a corpus-wide alignment pass. The
+    tiled operator (cross_doc_span_dedup) provides keeper-kept
+    semantics where one surviving copy matters.
+
+    PRECONDITION: id_col unique per row (the removed-range arrays
+    join back onto df by id, as in cross_doc_span_dedup).
+
+    Scale shape: the hash-only flag pipeline, an islands window over
+    DUPLICATED positions only, one small aggregate of qualifying runs
+    per affected doc (start + length ints), a join back by id (AQE
+    broadcasts the affected-doc side when small), and a map-side
+    token filter. Text never shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    k = int(span_len)
+    flagged = _sliding_dup_flags(df, text_col, id_col, span_len)
+    runs = (
+        flagged.filter(F.col("is_dup"))
+        .withColumn(
+            "__island",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc").orderBy("pos")),
+        )
+        .groupBy("doc", "__island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("int").alias("len"),
+        )
+        .filter(F.col("len") >= int(min_run_tokens))
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("start"), F.col("len")))
+            ).alias("__rm_ranges")
+        )
+        .withColumnRenamed("doc", "__rm_doc")
+    )
+    joined = df.join(
+        runs, F.col(id_col) == F.col("__rm_doc"), "left"
+    )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    ranges = F.coalesce(
+        F.col("__rm_ranges"),
+        F.array().cast("array<struct<start:int,len:int>>"),
+    )
+    kept = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(1)),
+                lambda i: F.when(
+                    ~F.exists(
+                        ranges,
+                        lambda r: (i >= r.getField("start"))
+                        & (
+                            i
+                            < r.getField("start") + r.getField("len")
+                        ),
+                    ),
+                    F.element_at(toks, i.cast("int") + 1),
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("deduped_text"),
+        (F.greatest(n, F.lit(0)) - F.size(kept))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
     )
 
 
