@@ -24,6 +24,7 @@ def main(sf_dir: str, out_dir: str) -> dict:
     from transformers_spark.operators.text import (
         cross_doc_span_dedup,
         cross_doc_span_dedup_stats,
+        remove_long_dup_substrings,
     )
     from transformers_spark.session import get_spark
     from transformers_spark.sources.testdata import load_table
@@ -61,11 +62,22 @@ def main(sf_dir: str, out_dir: str) -> dict:
     )
     cleaned.write.mode("overwrite").parquet(os.path.join(out_dir, "documents"))
 
+    # 3. the stricter published policy as an alternative pass: remove
+    # only LONG duplicated substrings (>= 24 tokens here; 50 is the
+    # crawl-scale convention) — everything shorter survives
+    strict = remove_long_dup_substrings(
+        docs, span_len=8, min_run_tokens=24
+    )
+    strict_removed = int(
+        strict.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+    )
+
     n_docs = docs.count()
     n_out = spark.read.parquet(os.path.join(out_dir, "documents")).count()
     stats_out = {
         "input_docs": n_docs,
         "output_docs": n_out,
+        "strict_policy_tokens_removed": strict_removed,
         "total_tokens": int(total_tokens),
         "tokens_removed": int(total_removed),
         "savings_pct": round(100.0 * total_removed / total_tokens, 2)
