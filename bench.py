@@ -48,6 +48,15 @@ def _buffcache_mb() -> int | None:
 
 
 def main() -> None:
+    try:  # adopt driver-written round evidence (r10 verdict ask 1)
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import gatelib
+
+        gatelib.stage_round_artifacts()
+    except Exception:  # noqa: BLE001 — staging must never block a bench
+        pass
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     buffcache_start_mb = _buffcache_mb()
     match = re.search(r"sf([\d.]+)", sf_dir)

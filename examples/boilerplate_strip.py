@@ -50,7 +50,10 @@ def main(sf_dir: str, out_dir: str) -> dict:
     total_removed = sum(r["tokens_removed"] for r in report)
 
     # 2. rewrite and persist the cleaned corpus (text swapped in
-    # place, every other column preserved)
+    # place, every other column preserved). Note: the rewrite
+    # re-joins tokens with single spaces, so ALL whitespace is
+    # normalized corpus-wide — even documents with zero removals do
+    # not round-trip byte-identical (see cross_doc_span_dedup docs).
     cleaned = docs.join(
         cross_doc_span_dedup(docs, span_len=8), "doc_id"
     ).select(

@@ -152,3 +152,38 @@ def test_stage_artifact_stages_written_file(tmp_path):
 
     # out-of-repo path: must not raise
     gatelib.stage_artifact(str(tmp_path / "elsewhere.json"))
+
+
+def test_stage_round_artifacts_sweeps_untracked_driver_files():
+    """The startup sweep (r10 verdict ask 1) must find an untracked
+    driver-style round artifact at the repo root and stage it, must
+    NOT re-add already-tracked artifacts, and must ignore files
+    outside the round-evidence pattern."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gatelib
+
+    probe = os.path.join(REPO, "SWEEPTEST_r98_probe.json")
+    decoy = os.path.join(REPO, "sweeptest_not_an_artifact.json")
+    try:
+        for p in (probe, decoy):
+            with open(p, "w") as fh:
+                fh.write("{}")
+        staged = gatelib.stage_round_artifacts()
+        assert os.path.basename(probe) in staged
+        assert os.path.basename(decoy) not in staged
+        # already-tracked artifacts are not re-swept
+        assert "CORRECTNESS_r01.json" not in staged
+        in_index = subprocess.run(
+            ["git", "diff", "--cached", "--name-only"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        assert os.path.basename(probe) in in_index
+    finally:
+        subprocess.run(["git", "reset", "-q", "--", probe], cwd=REPO,
+                       check=False, capture_output=True)
+        for p in (probe, decoy):
+            if os.path.exists(p):
+                os.remove(p)

@@ -120,6 +120,51 @@ def summarize(results: dict[str, dict]) -> dict:
     }
 
 
+def stage_round_artifacts() -> list[str]:
+    """Stage every repo-root round-evidence JSON the DRIVER wrote after
+    the previous round's last commit (round-10 verdict ask 1: six
+    consecutive rounds tripped
+    ``test_artifact_tracking.test_round_artifacts_are_git_tracked``
+    because ``BENCH_r{N}.json`` / ``CORRECTNESS_r{N}.json`` land on
+    disk untracked and staging relied on a human noticing at the next
+    round's first pytest run). Builder-side writers already stage at
+    their own write sites via :func:`stage_artifact`; this sweep
+    closes the driver-side gap structurally — it is called at startup
+    of the gate/bench entry points AND from a pytest session hook
+    (``tests/conftest.py``), so the first thing ANY round does is
+    adopt the previous round's evidence. Returns the staged names
+    (best-effort: failures are swallowed, the tracking test stays the
+    loud backstop)."""
+    import glob
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pat = re.compile(r"^[A-Z][A-Z0-9_]*_r\d{2}[a-z0-9_]*\.json$")
+    standing = {"BENCH_FULL.json", "BASELINE.json"}
+    staged: list[str] = []
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "-C", repo, "ls-files"],
+                check=True, capture_output=True, text=True, timeout=30,
+            ).stdout.splitlines()
+        )
+        for path in sorted(glob.glob(os.path.join(repo, "*.json"))):
+            name = os.path.basename(path)
+            if name in tracked or not (pat.match(name) or name in standing):
+                continue
+            subprocess.run(
+                ["git", "-C", repo, "add", "--", path],
+                check=False, capture_output=True, timeout=30,
+            )
+            staged.append(name)
+    except Exception:  # noqa: BLE001 — never kill the run that swept
+        pass
+    return staged
+
+
 def stage_artifact(path: str) -> None:
     """``git add`` a round-evidence artifact right where it is written
     (round-8 verdict ask 1: four consecutive rounds shipped untracked

@@ -40,6 +40,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
+    import gatelib
+
+    gatelib.stage_round_artifacts()  # adopt driver-written evidence
 
     from transformers_spark.canon import (
         duckdb_connect_views,

@@ -109,7 +109,10 @@ def main() -> None:
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
+    import gatelib
     from gatelib import compare_queries, summarize
+
+    gatelib.stage_round_artifacts()  # adopt driver-written evidence
 
     from transformers_spark.session import get_spark
 

@@ -736,16 +736,12 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE codebook collect shared across the probe settings (the same
     # index is probed at every n_probe; per-call collects cost ~2 s
-    # cold at sf0.1 — IVFCOLD_r10.json, r9 verdict ask 4)
-    from .operators.similarity import _collect_codebook
+    # cold at sf0.1 — IVFCOLD_r10.json, r9 verdict ask 4). The public
+    # default_codebook helper IS ivf_topk's default seeding rule, so
+    # the curve can never diverge from per-call behavior (r10 ADVICE).
+    from .operators.similarity import default_codebook
 
-    nn = emb.filter(F.col("embedding").isNotNull())
-    codebook = _collect_codebook(
-        nn.filter(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("centvec"),
-        )
-    )
+    codebook = default_codebook(emb)
     approx = None
     for np_ in IVF_PROBES:
         part = (

@@ -95,8 +95,17 @@ _STAGE_RE = re.compile(r"__stage_[0-9a-f]{8}$")
 # the swap) or collide with recovery (see recover_orphan_stages:
 # quiesced-only); serialize them externally, exactly as the reference's
 # orchestrator serializes per-table jobs. REPLACE-family loads derive
-# their output solely from the source query and need no lock (8-way
-# partition REPLACE races are soaked bit-identical — CONCSOAK_r09).
+# their output solely from the source query, so they need no lock for
+# their OWN correctness (8-way partition REPLACE races are soaked
+# bit-identical — CONCSOAK_r09) — but an RMW load racing a REPLACE on
+# the same table reads the destination while the REPLACE swaps files,
+# so every destination-MUTATING window (the INSERT OVERWRITE / append
+# commit, not the stage write) also takes the table lock: an RMW
+# holding the lock across plan build + write can never observe a
+# mid-swap file listing from any in-process load (r10 ADVICE item 1).
+# Stage writes stay outside the lock — they touch only the private
+# uuid-suffixed stage table, so staged REPLACE loads still overlap on
+# everything but the short swap itself.
 _TABLE_LOCKS: dict[str, threading.RLock] = {}
 _LOCKS_GUARD = threading.Lock()
 
@@ -256,7 +265,8 @@ class Writer:
         meta = self.catalog.get_table(fqn)
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, partition_date)
         out, obs = self._observed(out)
-        out.write.insertInto(meta.spark_name, overwrite=False)
+        with table_write_lock(meta.spark_name):
+            out.write.insertInto(meta.spark_name, overwrite=False)
         self._record(obs)
 
     def overwrite_table(
@@ -277,7 +287,9 @@ class Writer:
         # the WHOLE table (in dynamic mode it would only replace touched
         # partitions — not WRITE_TRUNCATE semantics).
         out, obs = self._observed(out)
-        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
+        with table_write_lock(meta.spark_name), _conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", "static"
+        ):
             out.write.insertInto(meta.spark_name, overwrite=True)
         self._record(obs)
         self._refresh(meta)
@@ -313,11 +325,12 @@ class Writer:
         out.createOrReplaceTempView(view)
         cols = ", ".join(f"`{c}`" for c in meta.column_names)
         try:
-            self.spark.sql(
-                f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
-                f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
-                f"SELECT {cols} FROM {view}"
-            )
+            with table_write_lock(meta.spark_name):
+                self.spark.sql(
+                    f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
+                    f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
+                    f"SELECT {cols} FROM {view}"
+                )
         finally:
             self.spark.catalog.dropTempView(view)
         self._record(obs)
@@ -332,11 +345,12 @@ class Writer:
         src.createOrReplaceTempView(view)
         cols = ", ".join(f"`{c}`" for c in meta.column_names)
         try:
-            self.spark.sql(
-                f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
-                f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
-                f"SELECT {cols} FROM {view}"
-            )
+            with table_write_lock(meta.spark_name):
+                self.spark.sql(
+                    f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
+                    f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
+                    f"SELECT {cols} FROM {view}"
+                )
         finally:
             self.spark.catalog.dropTempView(view)
         self._record(obs)
@@ -389,7 +403,9 @@ class Writer:
             raise ValueError(f"{meta.fqn} is not partitioned")
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, None)
         out, obs = self._observed(out)
-        with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        with table_write_lock(meta.spark_name), _conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
             out.write.insertInto(meta.spark_name, overwrite=True)
         self._record(obs)
         self._refresh(meta)
@@ -570,19 +586,23 @@ class Writer:
         combined.write.format("parquet").saveAsTable(stage_name)
         self._record(obs)
         try:
-            with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-                self.spark.table(stage_name).write.insertInto(
-                    meta.spark_name, overwrite=True
-                )
-            staged_parts = {
-                r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
-            }
-            for day in affected_days:
-                if day is not None and day not in staged_parts:
-                    self.spark.sql(
-                        f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
-                        f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
+            # swap window (overwrite + empty-partition drops) under the
+            # table lock: a concurrent in-process RMW must never list
+            # this table's files mid-swap (module contract)
+            with table_write_lock(meta.spark_name):
+                with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+                    self.spark.table(stage_name).write.insertInto(
+                        meta.spark_name, overwrite=True
                     )
+                staged_parts = {
+                    r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
+                }
+                for day in affected_days:
+                    if day is not None and day not in staged_parts:
+                        self.spark.sql(
+                            f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
+                            f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
+                        )
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
         self._refresh(meta)
@@ -637,7 +657,9 @@ class Writer:
         df.write.format("parquet").saveAsTable(stage_name)
         self._record(obs)
         try:
-            with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "static"):
+            with table_write_lock(meta.spark_name), _conf(
+                self.spark, "spark.sql.sources.partitionOverwriteMode", "static"
+            ):
                 self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")

@@ -27,6 +27,7 @@ __all__ = [
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "default_codebook",
     "kmeans_centroids",
     "hyperplane_weights",
     "hyperplane_signature",
@@ -281,6 +282,28 @@ def kmeans_centroids(
     )
 
 
+def default_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """The SINGLE definition of :func:`ivf_topk`'s default codebook —
+    non-null corpus vectors with ``id < n_centroids``, collected to the
+    driver. Callers that pre-collect a shared codebook for several
+    probe settings (ivf_probe_recall_curve) must use this instead of
+    re-implementing the seeding rule inline, so a future change to the
+    default (seeding, n_centroids) can never silently diverge between
+    per-call and pre-collected behavior (r10 ADVICE item 3)."""
+    nn = corpus.filter(F.col(vec_col).isNotNull())
+    return _collect_codebook(
+        nn.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centvec"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -316,15 +339,14 @@ def ivf_topk(
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     if codebook is None:
-        cent = (
-            centroids
-            if centroids is not None
-            else corpus.filter(F.col(id_col) < n_centroids).select(
-                F.col(id_col).alias("centroid_id"),
-                F.col(vec_col).alias("centvec"),
+        if centroids is not None:
+            codebook = _collect_codebook(centroids)
+        else:
+            # corpus already null-filtered above; default_codebook's
+            # own filter is a no-op here and keeps one seeding rule
+            codebook = default_codebook(
+                corpus, id_col, vec_col, n_centroids
             )
-        )
-        codebook = _collect_codebook(cent)
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),

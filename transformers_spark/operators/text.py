@@ -874,6 +874,12 @@ def remove_long_dup_substrings(
     PRECONDITION: id_col unique per row (the removed-range arrays
     join back onto df by id, as in cross_doc_span_dedup).
 
+    WHITESPACE SIDE EFFECT: the text is rebuilt as
+    ``array_join(tokens, ' ')``, so every whitespace run (newlines,
+    tabs, multiple spaces) collapses to a single space CORPUS-WIDE —
+    documents with zero removals do not round-trip byte-identical,
+    only token-identical.
+
     Scale shape: the hash-only flag pipeline, an islands window over
     DUPLICATED positions only, one small aggregate of qualifying runs
     per affected doc (start + length ints), a join back by id (AQE
@@ -957,6 +963,12 @@ def cross_doc_span_dedup(
     index array joins back onto df by id to rebuild the text, so a
     duplicated id would fan out (use the stats form, which is
     dup-row-safe, when ids may repeat).
+
+    WHITESPACE SIDE EFFECT: the text is rebuilt as
+    ``array_join(tiles, ' ')``, so every whitespace run (newlines,
+    tabs, multiple spaces) collapses to a single space CORPUS-WIDE —
+    documents with zero removals do not round-trip byte-identical,
+    only token-identical.
 
     Scale shape: the hash-only stats pipeline computes the removal
     set, collapses it to ONE small row per affected doc (an int array
