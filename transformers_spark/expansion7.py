@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators.specs import DUCK_TOKENS
 from .operators.text import (
     cross_doc_span_dedup_stats,
+    remove_long_dup_substrings,
     sliding_span_dup_profile,
 )
 from .sources.testdata import register_tables
@@ -165,6 +166,97 @@ FROM base b LEFT JOIN maxrun m ON b.doc_id = m.doc_id
 """
 
 
+def q_remove_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≥N-token removal POLICY applied end-to-end
+    (operators/text.py:remove_long_dup_substrings, span_len=8,
+    min_run_tokens=20): every token covered by a cross-document
+    duplicated run of >= 20 tokens is dropped from the rewritten text
+    (remove-ALL occurrences — boilerplate by construction), and the
+    per-doc token savings are reported. Promoted to an oracle-gated
+    catalog query in r11 (r10 verdict ask 3) — until then its
+    correctness rested on hypothesis fuzz alone. min_run_tokens=20
+    (not the crawl-convention 50) so the sf0.01 driver gate exercises
+    removals on ~45 documents rather than a handful.
+
+    Note id_col uniqueness is a PRECONDITION of the operator (ranges
+    join back by id); under the duprows gate both engines fan the
+    one-row-per-doc ranges frame out identically (N x 1 join), and the
+    flag pipeline is computed from the same duplicated multiset on
+    both sides, so the comparison stays exact."""
+    register_tables(spark, sf_dir, ("documents",))
+    return remove_long_dup_substrings(
+        spark.table("documents"), span_len=8, min_run_tokens=20
+    )
+
+
+# The oracle extends ORACLE_SLIDING_SPAN_DUP's islands CTE with the
+# qualifying-run filter and the range-filtered token rebuild. The
+# rebuild is ROW-LOCAL (a list comprehension over the row's own token
+# array against the doc's collected ranges) exactly like Spark's
+# map-side transform+filter, so the only shared state is the small
+# one-row-per-affected-doc ranges list — same N x 1 join shape as the
+# operator. COALESCE to a typed empty list keeps unaffected and
+# sub-threshold docs on the identity path (whitespace-normalized,
+# zero removed). NULL text: ts is NULL, the comprehension and len()
+# propagate NULL, matching Spark's null-in/null-out columns.
+ORACLE_REMOVE_DUP_SUBSTRINGS = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS h
+  FROM toks,
+       unnest(generate_series(0, len(ts) - 8)) AS g(i)
+  WHERE len(ts) >= 8
+),
+dup AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT p.doc_id, p.pos, d.h IS NOT NULL AS is_dup
+  FROM pos p LEFT JOIN dup d ON p.h = d.h
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM flagged WHERE is_dup
+),
+runs AS (
+  SELECT doc_id, CAST(MIN(pos) AS INT) AS s,
+         CAST(COUNT(*) + 7 AS INT) AS l
+  FROM islands GROUP BY doc_id, island
+  HAVING COUNT(*) + 7 >= 20
+),
+rm AS (
+  SELECT doc_id, list({{'s': s, 'l': l}}) AS ranges
+  FROM runs GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         t.ts,
+         [tok FOR tok IN [
+            CASE WHEN len(list_filter(
+                   COALESCE(r.ranges,
+                            CAST([] AS STRUCT(s INT, l INT)[])),
+                   x -> j - 1 >= x.s AND j - 1 < x.s + x.l)) = 0
+                 THEN t.ts[CAST(j AS INT)] END
+            FOR j IN generate_series(1, len(t.ts))]
+          IF tok IS NOT NULL] AS kept
+  FROM toks t LEFT JOIN rm r ON t.doc_id = r.doc_id
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL where Spark array_join([])
+       -- is '' (whole-doc-removed edge); NULL ts must stay NULL
+       CASE WHEN ts IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(kept, ' '), '') END
+         AS deduped_text,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM rebuilt
+"""
+
+
 def expansion7_specs():
     from .queries import QuerySpec
 
@@ -180,5 +272,11 @@ def expansion7_specs():
             "Sliding-window cross-doc substring dup profile (max run)",
             q_sliding_span_dup,
             ORACLE_SLIDING_SPAN_DUP,
+        ),
+        QuerySpec(
+            "text_remove_dup_substrings",
+            ">=20-token cross-doc duplicated-substring removal policy",
+            q_remove_dup_substrings,
+            ORACLE_REMOVE_DUP_SUBSTRINGS,
         ),
     ]
