@@ -147,6 +147,13 @@ PROPERTIES = {
     "text_sliding_span_dedup": (["Generate"],
                                 ["CartesianProduct",
                                  "BroadcastNestedLoopJoin"]),
+    # r11: the >=N-token removal policy — the sliding-flag pipeline
+    # plus a one-row-per-affected-doc ranges join back by id and a
+    # map-side token filter; text itself never shuffles, and no
+    # all-pairs/nested-loop stage exists anywhere in the plan
+    "text_remove_dup_substrings": (["Generate"],
+                                   ["CartesianProduct",
+                                    "BroadcastNestedLoopJoin"]),
 }
 
 # Queries whose public frame hides the real plan (eager localCheckpoint
