@@ -162,3 +162,124 @@ def test_kill_between_stage_and_swap_then_recover(mode, tmp_path):
         f"recovery failed (rc={rec.returncode})\n"
         f"stdout: {rec.stdout[-2000:]}\nstderr: {rec.stderr[-3000:]}"
     )
+
+
+# --- mid-swap kill on the DML-emulation paths (r10 verdict ask 4) ---
+#
+# The one window write-then-swap cannot make atomic on Parquet: the
+# process dies DURING the destination overwrite, after it has already
+# destroyed files. The child patches the swap's insertInto to
+# physically damage the destination (delete its data files — a
+# strictly WORSE state than any real partial swap) and then die.
+# Recovery must find the committed __bak_ snapshot, restore it at the
+# next DML entry, and converge the re-run.
+
+_CRASH_MIDSWAP = _COMMON + """
+import glob, shutil
+mode = {mode!r}
+if mode == "dml_whole":
+    cat.create_table(FQN, [("id", "bigint"), ("v", "string")])
+    writer.append(FQN, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"))
+else:
+    cat.create_table(
+        FQN, [("id", "bigint"), ("d", "date")],
+        partition=PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="d"),
+    )
+    writer.append(FQN, spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id bigint, d string"
+    ).selectExpr("id", "CAST(d AS DATE) AS d"))
+
+meta = cat.get_table(FQN)
+loc = next(
+    r[1] for r in spark.sql(
+        f"DESCRIBE FORMATTED " + meta.spark_name).collect()
+    if (r[0] or "").strip() == "Location"
+).removeprefix("file:")
+
+# the swap is the load's first insertInto after seeding; simulate a
+# mid-swap kill by damaging the destination for real, then dying
+from pyspark.sql.readwriter import DataFrameWriter
+def _killed(self, *a, **k):
+    target = loc if mode == "dml_whole" else loc + "/dt=2024-01-02"
+    for p in glob.glob(target + "/*"):
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    sys.stdout.write("DEST_DAMAGED\\n"); sys.stdout.flush()
+    os._exit(137)
+DataFrameWriter.insertInto = _killed
+
+if mode == "dml_whole":
+    writer.delete_where(FQN, "id = 2")
+else:
+    writer.delete_insert(
+        FQN,
+        spark.createDataFrame([(102, "2024-01-02")], "id bigint, d string"
+                              ).selectExpr("id", "CAST(d AS DATE) AS d"),
+        "dt = DATE'2024-01-02'",
+    )
+raise SystemExit("unreachable: the swap should have killed us")
+"""
+
+_RECOVER_MIDSWAP = _COMMON + """
+mode = {mode!r}
+meta = cat.get_table(FQN)
+
+# re-run the SAME load: the entry-point restore must adopt the __bak_
+# snapshot (rebuilding the damaged files) before the plan reads the
+# destination, and the load must then converge
+if mode == "dml_whole":
+    writer.delete_where(FQN, "id = 2")
+    rows = sorted(r[0] for r in
+                  spark.table(meta.spark_name).select("id").collect())
+    assert rows == [1], rows
+else:
+    writer.delete_insert(
+        FQN,
+        spark.createDataFrame([(102, "2024-01-02")], "id bigint, d string"
+                              ).selectExpr("id", "CAST(d AS DATE) AS d"),
+        "dt = DATE'2024-01-02'",
+    )
+    rows = sorted(r[0] for r in
+                  spark.table(meta.spark_name).select("id").collect())
+    assert rows == [1, 102], rows
+    untouched = sorted(r[0] for r in spark.table(meta.spark_name)
+                       .where("dt = DATE'2024-01-01'").select("id").collect())
+    assert untouched == [1], untouched
+
+# success dropped the re-run's own bak; the crashed run's stage is the
+# only orphan class left, and stage recovery still works
+db = meta.spark_name.rsplit(".", 1)[0]
+baks = [t.name for t in spark.catalog.listTables(db)
+        if "__bak" in t.name]
+assert baks == [], baks
+orphans = writer.recover_orphan_stages()
+assert orphans and all("__stage_" in o for o in orphans), orphans
+print("RECOVERY_OK")
+"""
+
+
+@pytest.mark.parametrize("mode", ["dml_whole", "dml_partitioned"])
+def test_kill_mid_swap_then_restore_from_backup(mode, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    fmt = dict(repo=REPO, wh=wh, mode=mode)
+
+    crash = _run(
+        _CRASH_MIDSWAP.format(app=f"midswap-{mode}", **fmt), str(tmp_path)
+    )
+    assert crash.returncode == 137, (
+        f"expected the injected kill (137), got {crash.returncode}\n"
+        f"stdout: {crash.stdout[-2000:]}\nstderr: {crash.stderr[-2000:]}"
+    )
+    assert "DEST_DAMAGED" in crash.stdout, (
+        "process died before damaging the destination — the injection "
+        "point moved; this test no longer covers the mid-swap window"
+    )
+
+    rec = _run(
+        _RECOVER_MIDSWAP.format(app=f"midswap-rec-{mode}", **fmt),
+        str(tmp_path),
+    )
+    assert rec.returncode == 0 and "RECOVERY_OK" in rec.stdout, (
+        f"mid-swap recovery failed (rc={rec.returncode})\n"
+        f"stdout: {rec.stdout[-2000:]}\nstderr: {rec.stderr[-3000:]}"
+    )

@@ -10,13 +10,30 @@ lacks warm data. Regressions are >ratio AND >min-abs; each gets a
 BENCH_NOTES-ready stub line in the JSON for attribution.
 
     python tools/bench_compare.py OLD.json NEW.json \
-        [--min-abs 0.3] [--ratio 1.3] [--json BENCH_DELTA_r06.json]
+        [--min-abs 0.3] [--ratio 1.3] [--json BENCH_DELTA_r06.json] \
+        [--control <commit>] [--control-sf-dir /root/testdata/sf0.1]
+
+Machine-drift control (round-10 verdict ask 5): twice (r7, r10) a
+degraded machine epoch produced dozens of phantom regressions and the
+control was hand-run. Now the tool itself (a) flags shared-warm
+inflation >10% as DRIFT-SUSPECT, and (b) with ``--control <commit>``
+re-runs bench.py at that commit in a throwaway git worktree IN THE
+CURRENT epoch and adjudicates: control ≈ new ⇒ the machine drifted
+(same code, same slowdown); control ≈ old ⇒ the slowdown is real
+code regression. The control run is recorded in the JSON artifact
+(``control`` field) so the adjudication ships with the delta.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIFT_THRESHOLD = 1.10
 
 
 def _qmap(path: str) -> tuple[dict[str, float], str]:
@@ -27,6 +44,51 @@ def _qmap(path: str) -> tuple[dict[str, float], str]:
     return data["queries"], "cold"
 
 
+def run_control_bench(commit: str, sf_dir: str) -> dict:
+    """Run ``bench.py`` at ``commit`` in a throwaway worktree under
+    .scratch, in the CURRENT machine epoch, and return its parsed
+    one-line JSON. The worktree has its own index, so bench.py's
+    artifact staging cannot touch the main repo's."""
+    wt = os.path.join(REPO, ".scratch", f"benchctl_{commit[:12]}")
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--force", "--detach",
+         wt, commit],
+        check=True, capture_output=True, text=True,
+    )
+    try:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=5400,
+        )
+        line = next(
+            ln for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("{")
+        )
+        return json.loads(line)
+    finally:
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+            check=False, capture_output=True,
+        )
+
+
+def adjudicate_control(
+    t_old: float, t_new: float, t_ctl: float
+) -> str:
+    """control ran OLD CODE in the NEW epoch: if it reads like the new
+    (inflated) numbers the machine drifted; if it reads like the old
+    artifact the delta is code. Within ±5% of both (tiny deltas) or of
+    neither: ambiguous — rerun on a quiet machine."""
+    near_new = abs(t_ctl - t_new) <= 0.05 * t_new
+    near_old = abs(t_ctl - t_old) <= 0.05 * t_old
+    if near_new and not near_old:
+        return "machine-drift"
+    if near_old and not near_new:
+        return "code-regression"
+    return "ambiguous"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -35,6 +97,10 @@ def main() -> None:
     ap.add_argument("--ratio", type=float, default=1.3)
     ap.add_argument("--json", default=None,
                     help="write the delta artifact here")
+    ap.add_argument("--control", default=None, metavar="COMMIT",
+                    help="re-bench this commit in a worktree (current "
+                         "epoch) and adjudicate drift vs regression")
+    ap.add_argument("--control-sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     old, old_kind = _qmap(args.old)
     new, new_kind = _qmap(args.new)
@@ -53,6 +119,40 @@ def main() -> None:
             f"no comparable queries ({old_kind} vs {new_kind}): "
             f"{len(old)} old-only keys, {len(new)} new-only keys; "
             f"e.g. old={sorted(old)[:3]} new={sorted(new)[:3]}"
+        )
+    drift_suspect = bool(
+        shared and t_old > 0 and t_new / t_old > DRIFT_THRESHOLD
+    )
+    if drift_suspect:
+        print(
+            f"DRIFT-SUSPECT: shared totals inflated "
+            f"{t_new / t_old:.2f}x (> {DRIFT_THRESHOLD:.2f}x). Machine "
+            "drift has twice (r7, r10) produced phantom regressions at "
+            "this magnitude — run with --control <old-epoch-commit> to "
+            "adjudicate before attributing per-query regressions."
+        )
+    control = None
+    if args.control:
+        ctl_data = run_control_bench(args.control, args.control_sf_dir)
+        ctl_map = ctl_data.get("queries_warm") or ctl_data["queries"]
+        ctl_shared = sorted(set(ctl_map) & set(shared))
+        t_ctl = sum(ctl_map[q] for q in ctl_shared)
+        t_old_c = sum(old[q] for q in ctl_shared)
+        t_new_c = sum(new[q] for q in ctl_shared)
+        verdict = adjudicate_control(t_old_c, t_new_c, t_ctl)
+        control = {
+            "commit": args.control,
+            "sf_dir": args.control_sf_dir,
+            "n_shared": len(ctl_shared),
+            "shared_total_old": round(t_old_c, 2),
+            "shared_total_new": round(t_new_c, 2),
+            "shared_total_control": round(t_ctl, 2),
+            "verdict": verdict,
+        }
+        print(
+            f"CONTROL ({args.control[:12]} in current epoch): "
+            f"{t_ctl:.1f}s vs old {t_old_c:.1f}s / new {t_new_c:.1f}s "
+            f"on {len(ctl_shared)} shared queries -> {verdict}"
         )
     regs = [
         (q, old[q], new[q])
@@ -87,6 +187,8 @@ def main() -> None:
                     "n_shared": len(shared),
                     "shared_total_old": round(t_old, 2),
                     "shared_total_new": round(t_new, 2),
+                    "drift_suspect": drift_suspect,
+                    "control": control,
                     "regressions": [
                         {
                             "query": q,

@@ -471,6 +471,10 @@ def execute_merge(
 
     meta = catalog.get_table(fqn)
     with table_write_lock(meta.spark_name):
+        # re-run detection BEFORE the plan captures the destination's
+        # file listing: a surviving __bak_ snapshot means a previous
+        # load died mid-swap and the destination needs restoring first
+        writer._restore_pending_backup(meta)
         result = build_merge_plan(spark, catalog, writer, stmt, fqn)
         writer.overwrite_from_plan_reading_destination(fqn, result)
     return -1  # affected-row accounting not tracked in round 1

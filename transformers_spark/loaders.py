@@ -47,18 +47,27 @@ an orphan). Re-run convergence is SCOPED by load class:
   mid-swap kill, because nothing the rebuild reads was damaged;
 * DML-emulation loads (delete_insert, DELETE/UPDATE/MERGE emulation)
   BUILD THE STAGED REPLACEMENT BY READING THE DESTINATION. A kill in
-  windows (1)-(2) still converges (destination untouched), but after
-  a mid-swap kill the re-run would recompute "kept" rows from a
-  partially rewritten destination — rows lost in the swap are gone.
-  For that window the recovery is restore-from-backup, or use a
-  transactional table format (the write surface is format-agnostic
-  by design) so the swap itself is atomic.
+  windows (1)-(2) still converges (destination untouched). The
+  mid-swap window (3) is closed by a BACKUP SNAPSHOT (r10 verdict
+  ask 4): just before the swap, the content it will overwrite (the
+  whole table, or exactly the affected partitions) is committed to a
+  ``<table>__bak_<hex8>`` table — written under ``__bakstage_`` and
+  RENAMEd into place, so the restorable name can never hold a
+  half-written snapshot. The bak is dropped only after the swap
+  succeeds; every DML entry point restores a surviving bak (under
+  the table lock, before reading the destination), so the re-run
+  recomputes from restored state, not from a partially rewritten
+  table. The snapshot costs one extra write of the affected
+  partitions — the price of crash safety on a non-transactional
+  format; a transactional table format (the write surface is
+  format-agnostic by design) makes both the swap and the backup
+  unnecessary.
 
 Fault-injection coverage: tests/test_crash_atomicity.py kills a real
-process between stage and swap on both the non-partitioned and the
-partitioned path, then proves old data intact + re-run convergence
-(the mid-swap window cannot be made safe for DML emulation without a
-transactional format, so it is documented above rather than tested).
+process (a) between stage and swap on both the non-partitioned and
+the partitioned path, and (b) MID-SWAP on both DML paths (the
+overwrite's first file mutation), then proves old data intact (a) or
+restored-on-rerun (b), plus re-run convergence on all arms.
 """
 
 from __future__ import annotations
@@ -79,6 +88,23 @@ _NOT_NULL_RE = re.compile(r"\s+not\s+null\s*$", re.IGNORECASE)
 # uuid-suffixed staging tables (see _overwrite_via_stage /
 # _replace_affected_partitions); recover_orphan_stages matches on this
 _STAGE_RE = re.compile(r"__stage_[0-9a-f]{8}$")
+
+# Mid-swap crash backups for DML-emulation loads (r10 verdict ask 4).
+# Protocol (see _create_backup / _restore_from_backup): the affected
+# destination content is snapshotted to ``<table>__bakstage_<hex8>``
+# and RENAMEd (metastore-atomic) to ``<table>__bak_<hex8>`` just
+# before the swap, so a committed ``__bak_`` name GUARANTEES a
+# complete snapshot — a kill during the snapshot write leaves only a
+# ``__bakstage_`` orphan (pure garbage: the destination is untouched
+# while it exists). The bak is dropped only after a successful swap
+# (or after a successful restore), making restore idempotent: as long
+# as the bak exists, re-running the restore converges.
+_BAK_RE = re.compile(r"__bak_[0-9a-f]{8}$")
+_BAKSTAGE_RE = re.compile(r"__bakstage_[0-9a-f]{8}$")
+_BAK_SCOPE_PROP = "transformers_spark.bak.scope"   # 'table' | 'days'
+# days in the affected set that had no rows to snapshot (insert-only
+# partitions): restore must DROP them, since they did not exist before
+_BAK_ABSENT_PROP = "transformers_spark.bak.absent_days"
 
 # Concurrent-DML contract for read-modify-write loads (MERGE / DELETE /
 # UPDATE emulation and delete_insert — every path whose staged
@@ -435,13 +461,16 @@ class Writer:
         """
         meta = self.catalog.get_table(fqn)
         with table_write_lock(meta.spark_name):
+            self._restore_pending_backup(meta)
             new = self._with_dt(
                 self._align(df, meta, allow_field_addition), meta, partition_date
             )
             dest = self.spark.table(meta.spark_name)
             matches = F.coalesce(F.expr(filter_expression), F.lit(False))
             if not meta.partition.is_partitioned:
-                self._overwrite_via_stage(meta, dest.filter(~matches).unionByName(new))
+                self._overwrite_via_stage(
+                    meta, dest.filter(~matches).unionByName(new), backup=True
+                )
                 return
             # affected = partitions with deletions ∪ partitions of inserts —
             # snapshotted BEFORE any write (the plan reads the destination)
@@ -457,7 +486,9 @@ class Writer:
             # insertInto is positional — pin user columns + dt in table order
             order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
             combined = kept_in_scope.select(*order).unionByName(new.select(*order))
-            self._replace_affected_partitions(meta, combined, affected_days)
+            self._replace_affected_partitions(
+                meta, combined, affected_days, backup=True
+            )
 
     def delete_where(self, fqn: str, predicate: str) -> None:
         """``DELETE FROM t WHERE pred`` (reference:
@@ -468,10 +499,13 @@ class Writer:
         staged rewrite."""
         meta = self.catalog.get_table(fqn)
         with table_write_lock(meta.spark_name):
+            self._restore_pending_backup(meta)
             dest = self.spark.table(meta.spark_name)
             matches = F.coalesce(F.expr(predicate), F.lit(False))
             if not meta.partition.is_partitioned:
-                self._overwrite_via_stage(meta, dest.filter(~matches))
+                self._overwrite_via_stage(
+                    meta, dest.filter(~matches), backup=True
+                )
                 return
             affected_days, affected = self._affected_days_snapshot(
                 dest.filter(matches).select(PARTITION_COL).distinct()
@@ -482,7 +516,7 @@ class Writer:
             # insertInto is positional — pin user columns + dt in table order
             order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
             self._replace_affected_partitions(
-                meta, kept_in_scope.select(*order), affected_days
+                meta, kept_in_scope.select(*order), affected_days, backup=True
             )
 
     def update_where(
@@ -496,6 +530,7 @@ class Writer:
         non-partitioned tables always stage whole."""
         meta = self.catalog.get_table(fqn)
         with table_write_lock(meta.spark_name):
+            self._restore_pending_backup(meta)
             dest = self.spark.table(meta.spark_name)
             matches = F.coalesce(F.expr(predicate), F.lit(False))
             assigned = {c.lower() for c in assignments}
@@ -544,7 +579,7 @@ class Writer:
                     out = updated.withColumn(
                         PARTITION_COL, F.to_date(F.col(f"`{part.field}`"))
                     )
-                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
+                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )), backup=True)
                 return
             affected_days, affected = self._affected_days_snapshot(
                 dest.filter(matches).select(PARTITION_COL).distinct()
@@ -552,7 +587,7 @@ class Writer:
             in_scope = updated.join(F.broadcast(affected), PARTITION_COL, "left_semi")
             order = [F.col(f"`{c}`") for c in meta.column_names] + [F.col(PARTITION_COL)]
             self._replace_affected_partitions(
-                meta, in_scope.select(*order), affected_days
+                meta, in_scope.select(*order), affected_days, backup=True
             )
 
     def _affected_days_snapshot(self, affected: DataFrame) -> tuple[list, DataFrame]:
@@ -571,7 +606,11 @@ class Writer:
         return days, frame
 
     def _replace_affected_partitions(
-        self, meta: TableMeta, combined: DataFrame, affected_days: list
+        self,
+        meta: TableMeta,
+        combined: DataFrame,
+        affected_days: list,
+        backup: bool = False,
     ) -> None:
         """Stage ``combined`` (its plan reads the partitions it
         replaces), dynamic-overwrite exactly those partitions, and drop
@@ -580,29 +619,47 @@ class Writer:
         ``affected_days`` is a pre-collected snapshot — never a lazy
         plan over the destination (see _affected_days_snapshot).
         The row-count Observation rides the staging write, so every
-        staged load method reports rows_written consistently."""
+        staged load method reports rows_written consistently.
+
+        ``backup=True`` (DML-emulation callers): the affected
+        partitions are snapshotted to a ``__bak_`` table before the
+        swap — see _overwrite_via_stage; partition scope keeps the
+        snapshot cost proportional to the touched window, not the
+        table."""
         stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
         combined, obs = self._observed(combined)
         combined.write.format("parquet").saveAsTable(stage_name)
         self._record(obs)
         try:
+            days = [d for d in affected_days if d is not None]
+            bak = self._create_backup(meta, days) if backup else None
             # swap window (overwrite + empty-partition drops) under the
             # table lock: a concurrent in-process RMW must never list
             # this table's files mid-swap (module contract)
-            with table_write_lock(meta.spark_name):
-                with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-                    self.spark.table(stage_name).write.insertInto(
-                        meta.spark_name, overwrite=True
-                    )
-                staged_parts = {
-                    r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
-                }
-                for day in affected_days:
-                    if day is not None and day not in staged_parts:
-                        self.spark.sql(
-                            f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
-                            f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
+            try:
+                with table_write_lock(meta.spark_name):
+                    with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+                        self.spark.table(stage_name).write.insertInto(
+                            meta.spark_name, overwrite=True
                         )
+                    staged_parts = {
+                        r[0] for r in self.spark.table(stage_name).select(PARTITION_COL).distinct().collect()
+                    }
+                    for day in days:
+                        if day not in staged_parts:
+                            self.spark.sql(
+                                f"ALTER TABLE {_q(meta.spark_name)} DROP IF EXISTS "
+                                f"PARTITION ({PARTITION_COL} = DATE'{day.isoformat()}')"
+                            )
+            except BaseException:
+                if bak is not None:
+                    try:
+                        self._restore_from_backup(meta.spark_name, bak)
+                    except Exception:  # noqa: BLE001 — bak survives for
+                        pass           # the next load's re-run restore
+                raise
+            if bak is not None:
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(bak)}")
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
         self._refresh(meta)
@@ -640,27 +697,182 @@ class Writer:
         already holds the table lock around plan build + this write so
         the plan can never read a file listing another in-process load
         is about to swap out; direct callers get the same guarantee
-        only if they BUILD df while holding table_write_lock too."""
+        only if they BUILD df while holding table_write_lock too.
+        Pending-backup restore is likewise the CALLER's entry step
+        (dml.execute_merge restores before building the plan — df's
+        lineage already points at the destination files, so restoring
+        here would be after the fact); the swap itself still snapshots
+        (backup=True) so a mid-swap kill stays recoverable."""
         meta = self.catalog.get_table(fqn)
         with table_write_lock(meta.spark_name):
-            self._overwrite_via_stage(meta, df)
+            self._overwrite_via_stage(meta, df, backup=True)
+
+    # -- mid-swap crash backups (DML emulation) ---------------------------
+
+    def _create_backup(
+        self, meta: TableMeta, affected_days: list | None
+    ) -> str:
+        """Snapshot the destination content the imminent swap will
+        overwrite (whole table when ``affected_days`` is None, else
+        exactly those partitions) into a committed ``__bak_`` table.
+        Two-step: saveAsTable into ``__bakstage_``, then a
+        metastore-atomic RENAME — so a crash mid-snapshot can never
+        leave a half-written table under the restorable name."""
+        suffix = uuid.uuid4().hex[:8]
+        bakstage = f"{meta.spark_name}__bakstage_{suffix}"
+        bak = f"{meta.spark_name}__bak_{suffix}"
+        dest = self.spark.table(meta.spark_name)
+        if affected_days is None:
+            snap, scope, absent = dest, "table", []
+        else:
+            frame = self.spark.createDataFrame(
+                [(d,) for d in affected_days], f"`{PARTITION_COL}` DATE"
+            )
+            # the semi join puts the join key first — reselect the
+            # destination's physical order (restore inserts positionally)
+            snap = dest.join(
+                F.broadcast(frame), PARTITION_COL, "left_semi"
+            ).select(*[F.col(f"`{c}`") for c in dest.columns])
+            scope = "days"
+        snap.write.format("parquet").saveAsTable(bakstage)
+        if affected_days is not None:
+            bak_days = {
+                r[0]
+                for r in self.spark.table(bakstage)
+                .select(PARTITION_COL)
+                .distinct()
+                .collect()
+            }
+            absent = [d for d in affected_days if d not in bak_days]
+        self.spark.sql(
+            f"ALTER TABLE {_q(bakstage)} SET TBLPROPERTIES "
+            f"('{_BAK_SCOPE_PROP}' = '{scope}', "
+            f"'{_BAK_ABSENT_PROP}' = "
+            f"'{','.join(d.isoformat() for d in absent)}')"
+        )
+        self.spark.sql(f"ALTER TABLE {_q(bakstage)} RENAME TO {_q(bak)}")
+        return bak
+
+    def _restore_from_backup(self, dest_spark_name: str, bak: str) -> None:
+        """Rewrite the destination content a (possibly crashed) swap
+        covered, from its ``__bak_`` snapshot, then drop the snapshot.
+        Idempotent while the bak exists: a kill mid-restore leaves the
+        bak in place, and the next restore converges. 'table' scope is
+        a whole-table static overwrite; 'days' scope dynamic-overwrites
+        the snapshotted partitions and DROPs the recorded insert-only
+        (absent) days, which did not exist before the crashed load."""
+        props = {
+            r[0]: r[1]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {_q(bak)}"
+            ).collect()
+        }
+        scope = props.get(_BAK_SCOPE_PROP, "table")
+        mode = "static" if scope == "table" else "dynamic"
+        with _conf(
+            self.spark, "spark.sql.sources.partitionOverwriteMode", mode
+        ):
+            self.spark.table(bak).write.insertInto(
+                dest_spark_name, overwrite=True
+            )
+        if scope != "table":
+            absent = [
+                d for d in props.get(_BAK_ABSENT_PROP, "").split(",") if d
+            ]
+            for day in absent:
+                self.spark.sql(
+                    f"ALTER TABLE {_q(dest_spark_name)} DROP IF EXISTS "
+                    f"PARTITION ({PARTITION_COL} = DATE'{day}')"
+                )
+        self.spark.sql(f"DROP TABLE IF EXISTS {_q(bak)}")
+        self.spark.catalog.refreshTable(dest_spark_name)
+
+    def _restore_pending_backup(self, meta: TableMeta) -> list[str]:
+        """Re-run detection (r10 verdict ask 4): called by every
+        DML-emulation entry point under the table lock, BEFORE the
+        load reads the destination. A surviving ``__bak_`` table means
+        a previous load died somewhere between snapshot-commit and
+        bak-drop — the destination may be partially rewritten by its
+        swap, so restore the snapshot first (a no-op restore when the
+        crash hit before the swap). ``__bakstage_`` leftovers are
+        garbage by protocol and are dropped. Returns restored names."""
+        db, _, table = meta.spark_name.rpartition(".")
+        # exact-anchor on THIS table's name: a sibling table sharing a
+        # name prefix ('t' vs 't2') must never have its bak adopted
+        bak_re = re.compile(re.escape(table) + r"__bak_[0-9a-f]{8}$")
+        bakstage_re = re.compile(
+            re.escape(table) + r"__bakstage_[0-9a-f]{8}$"
+        )
+        restored: list[str] = []
+        for tbl in self.spark.catalog.listTables(db or None):
+            if tbl.isTemporary:
+                continue
+            full = f"{db}.{tbl.name}" if db else tbl.name
+            if bakstage_re.fullmatch(tbl.name):
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(full)}")
+            elif bak_re.fullmatch(tbl.name):
+                self._restore_from_backup(meta.spark_name, full)
+                restored.append(full)
+        return restored
+
+    def recover_pending_backups(self) -> list[str]:
+        """Catalog-wide counterpart of :meth:`_restore_pending_backup`
+        for operational recovery, QUIESCED-ONLY exactly like
+        :meth:`recover_orphan_stages` (a live load's bak is
+        indistinguishable from an orphan). Normal re-runs need no
+        manual step — every DML entry point restores its own table's
+        pending backup first. Returns restored bak names."""
+        restored: list[str] = []
+        for db in self.spark.catalog.listDatabases():
+            for tbl in self.spark.catalog.listTables(db.name):
+                if tbl.isTemporary:
+                    continue
+                full = f"{db.name}.{tbl.name}"
+                if _BAKSTAGE_RE.search(tbl.name):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {_q(full)}")
+                elif _BAK_RE.search(tbl.name):
+                    self._restore_from_backup(_BAK_RE.sub("", full), full)
+                    restored.append(full)
+        return restored
 
     # -- staging --------------------------------------------------------
 
-    def _overwrite_via_stage(self, meta: TableMeta, df: DataFrame) -> None:
+    def _overwrite_via_stage(
+        self, meta: TableMeta, df: DataFrame, backup: bool = False
+    ) -> None:
         """Materialize df into a staging table, then truncate-load the
         destination from it. Breaks the read-write cycle when df's plan
         scans the destination — the same cost class as BigQuery's
-        temp-table materialization in the reference's merge script."""
+        temp-table materialization in the reference's merge script.
+
+        ``backup=True`` (the DML-emulation callers): snapshot the
+        destination to a ``__bak_`` table before the swap, so the one
+        window Parquet cannot make atomic — a kill DURING the swap —
+        becomes recoverable: the next load on this table (or an
+        in-process exception right here) restores the snapshot before
+        anything re-reads the damaged destination. REPLACE-family
+        callers skip it: their output derives from the source alone,
+        so a re-run after any crash already converges (module docs)."""
         stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
         df, obs = self._observed(df)
         df.write.format("parquet").saveAsTable(stage_name)
         self._record(obs)
         try:
-            with table_write_lock(meta.spark_name), _conf(
-                self.spark, "spark.sql.sources.partitionOverwriteMode", "static"
-            ):
-                self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
+            bak = self._create_backup(meta, None) if backup else None
+            try:
+                with table_write_lock(meta.spark_name), _conf(
+                    self.spark, "spark.sql.sources.partitionOverwriteMode", "static"
+                ):
+                    self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
+            except BaseException:
+                if bak is not None:
+                    try:
+                        self._restore_from_backup(meta.spark_name, bak)
+                    except Exception:  # noqa: BLE001 — bak survives for
+                        pass           # the next load's re-run restore
+                raise
+            if bak is not None:
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(bak)}")
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
         self._refresh(meta)
