@@ -293,6 +293,13 @@ PICKS = {
         "then the islands max-run window over DUPLICATED positions "
         "only."
     ),
+    "text_remove_dup_substrings": (
+        "The >=N-token removal policy (r11) — the sliding-flag "
+        "pipeline, islands over duplicated positions only, ONE "
+        "small (start,len) ranges row per affected doc joined back "
+        "by id, and a map-side token filter; the text itself never "
+        "shuffles."
+    ),
 }
 
 
