@@ -177,6 +177,37 @@ def test_remove_long_dup_substrings_threshold(spark):
     assert out13 == {1: 0, 2: 0, 3: 0, 4: 0}
 
 
+def test_fast_hasher_matches_portable(spark, docs_df):
+    """The production xxhash64 path (hasher='fast', r11) must produce
+    the identical removal decisions as the oracle-portable md5 path —
+    a 64-bit collision at this corpus size is astronomically unlikely,
+    so ANY divergence is a threading bug in the hasher parameter, not
+    chance. kept_fingerprint embeds the hash value itself and is
+    excluded; every decision-derived column must match."""
+    from transformers_spark.operators.text import (
+        cross_doc_span_dedup_stats as stats,
+    )
+
+    for fn, kw, cols in [
+        (remove_long_dup_substrings, {"min_run_tokens": 12}, None),
+        (sliding_span_dup_profile, {}, None),
+        (cross_doc_span_dedup, {}, None),
+        (stats, {}, ["doc", "n_spans", "n_cross_dup_spans",
+                     "n_removed_spans", "tokens_removed"]),
+    ]:
+        a = fn(docs_df, span_len=8, hasher="portable", **kw)
+        b = fn(docs_df, span_len=8, hasher="fast", **kw)
+        if cols:
+            a, b = a.select(cols), b.select(cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hasher"):
+        remove_long_dup_substrings(docs_df, hasher="bogus").collect()
+
+
 def _ref_remove_long_dups(
     texts: list[str], k: int, min_run: int
 ) -> dict[int, tuple[str, int]]:

@@ -596,8 +596,28 @@ def span_dedup_stats(
     )
 
 
+def _span_hash(joined: Column, hasher: str) -> Column:
+    """Window/span hash for the substring-dedup family: ``portable``
+    (md5, 32-hex-char string — identical in the DuckDB oracle) or
+    ``fast`` (JVM xxhash64, an 8-byte LONG — no digest + hex
+    round-trip, and the per-hash shuffle rows shrink ~4x). The fast
+    path is the production setting at corpus scale, where window
+    hashing dominates the family's map work; collision math: expected
+    falsely-duplicated window pairs ≈ W²/2^65 for W distinct windows,
+    i.e. < 0.03 at W = 10^9 — use portable (128-bit md5) beyond
+    ~10^9-window corpora if even that is too much."""
+    if hasher == "portable":
+        return F.md5(joined)
+    if hasher == "fast":
+        return F.xxhash64(joined)
+    raise ValueError(
+        f"unknown hasher {hasher!r}: use 'portable' or 'fast'"
+    )
+
+
 def _tiled_spans(
-    df: DataFrame, text_col: str, id_col: str, span_len: int
+    df: DataFrame, text_col: str, id_col: str, span_len: int,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(doc, span_idx, span_h, tok_len) for every tiled fixed-length
     word span — the shared map-only front end of the substring-dedup
@@ -607,17 +627,19 @@ def _tiled_spans(
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     k = int(span_len)
+    h_t = "string" if hasher == "portable" else "bigint"
     n_spans = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
     span_structs = F.when(
-        n <= 0, F.array().cast("array<struct<idx:int,h:string,len:int>>")
+        n <= 0,
+        F.array().cast(f"array<struct<idx:int,h:{h_t},len:int>>"),
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_spans - F.lit(1)),
             lambda i: F.struct(
                 i.cast("int").alias("idx"),
-                F.md5(F.array_join(F.slice(toks, i * k + 1, k), " ")).alias(
-                    "h"
-                ),
+                _span_hash(
+                    F.array_join(F.slice(toks, i * k + 1, k), " "), hasher
+                ).alias("h"),
                 F.least(F.lit(k), n - i * k).cast("int").alias("len"),
             ),
         )
@@ -668,6 +690,7 @@ def cross_doc_span_dedup_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_len: int = 8,
+    hasher: str = "portable",
 ) -> DataFrame:
     """CROSS-document substring dedup, rollup form: spans repeated in
     >= 2 distinct documents (crawl boilerplate — navbars, license
@@ -697,7 +720,7 @@ def cross_doc_span_dedup_stats(
     heaviest shuffle carries 16-byte hashes + ints.
     """
     flagged = _cross_doc_removal_flags(
-        _tiled_spans(df, text_col, id_col, span_len)
+        _tiled_spans(df, text_col, id_col, span_len, hasher)
     )
     kept_entry = F.when(
         ~F.col("removed"), F.struct(F.col("span_idx"), F.col("span_h"))
@@ -737,7 +760,8 @@ def cross_doc_span_dedup_stats(
 
 
 def _sliding_dup_flags(
-    df: DataFrame, text_col: str, id_col: str, span_len: int
+    df: DataFrame, text_col: str, id_col: str, span_len: int,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(doc, pos, is_dup) for every sliding k-token window position:
     is_dup iff the window's hash occurs in >= 2 distinct documents.
@@ -748,16 +772,17 @@ def _sliding_dup_flags(
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     k = int(span_len)
+    h_t = "string" if hasher == "portable" else "bigint"
     win_structs = F.when(
-        n < k, F.array().cast("array<struct<pos:int,h:string>>")
+        n < k, F.array().cast(f"array<struct<pos:int,h:{h_t}>>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - F.lit(k)),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i + 1, k), " ")).alias(
-                    "h"
-                ),
+                _span_hash(
+                    F.array_join(F.slice(toks, i + 1, k), " "), hasher
+                ).alias("h"),
             ),
         )
     )
@@ -779,6 +804,7 @@ def sliding_span_dup_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_len: int = 8,
+    hasher: str = "portable",
 ) -> DataFrame:
     """SLIDING-window cross-document substring duplication profile —
     the full-resolution detector the tiled operators trade away:
@@ -811,7 +837,7 @@ def sliding_span_dup_profile(
     from pyspark.sql import Window as W
 
     k = int(span_len)
-    flagged = _sliding_dup_flags(df, text_col, id_col, span_len)
+    flagged = _sliding_dup_flags(df, text_col, id_col, span_len, hasher)
     base = flagged.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_positions"),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
@@ -854,6 +880,7 @@ def remove_long_dup_substrings(
     id_col: str = "doc_id",
     span_len: int = 8,
     min_run_tokens: int = 50,
+    hasher: str = "portable",
 ) -> DataFrame:
     """The exact-substring-dedup REMOVAL policy crawl pipelines apply
     on top of sliding_span_dup_profile: drop every token covered by a
@@ -889,7 +916,7 @@ def remove_long_dup_substrings(
     from pyspark.sql import Window as W
 
     k = int(span_len)
-    flagged = _sliding_dup_flags(df, text_col, id_col, span_len)
+    flagged = _sliding_dup_flags(df, text_col, id_col, span_len, hasher)
     runs = (
         flagged.filter(F.col("is_dup"))
         .withColumn(
@@ -953,6 +980,7 @@ def cross_doc_span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_len: int = 8,
+    hasher: str = "portable",
 ) -> DataFrame:
     """CROSS-document substring dedup, rewrite form: returns
     (id_col, deduped_text) where every span occurrence flagged by
@@ -978,7 +1006,7 @@ def cross_doc_span_dedup(
     map-side from the original token array; full text never shuffles.
     """
     flagged = _cross_doc_removal_flags(
-        _tiled_spans(df, text_col, id_col, span_len)
+        _tiled_spans(df, text_col, id_col, span_len, hasher)
     )
     removed_idx = (
         flagged.filter(F.col("removed"))
