@@ -34,7 +34,10 @@ def main(sf_dir: str, out_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. measure first: what would the strip remove, per source?
-    stats = cross_doc_span_dedup_stats(docs, span_len=8)
+    # hasher="fast" is the production setting: xxhash64 long keys
+    # instead of the oracle-portable md5 hex strings, so the per-hash
+    # shuffle rows are ~4x smaller (SPANHASH_r11.json A/B).
+    stats = cross_doc_span_dedup_stats(docs, span_len=8, hasher="fast")
     report = (
         docs.select(F.col("doc_id").alias("doc"), "source")
         .join(stats, "doc")
@@ -55,7 +58,7 @@ def main(sf_dir: str, out_dir: str) -> dict:
     # normalized corpus-wide — even documents with zero removals do
     # not round-trip byte-identical (see cross_doc_span_dedup docs).
     cleaned = docs.join(
-        cross_doc_span_dedup(docs, span_len=8), "doc_id"
+        cross_doc_span_dedup(docs, span_len=8, hasher="fast"), "doc_id"
     ).select(
         "doc_id",
         F.col("deduped_text").alias("text"),
@@ -69,7 +72,7 @@ def main(sf_dir: str, out_dir: str) -> dict:
     # only LONG duplicated substrings (>= 24 tokens here; 50 is the
     # crawl-scale convention) — everything shorter survives
     strict = remove_long_dup_substrings(
-        docs, span_len=8, min_run_tokens=24
+        docs, span_len=8, min_run_tokens=24, hasher="fast"
     )
     strict_removed = int(
         strict.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
