@@ -147,6 +147,14 @@ PROPERTIES = {
     "text_sliding_span_dedup": (["Generate"],
                                 ["CartesianProduct",
                                  "BroadcastNestedLoopJoin"]),
+    # r11 pin-by-cost addition (top-10 drift after the r11 bench
+    # epoch): the composite curation filter's final stage is the dedup
+    # verdict as a LEFT ANTI join of docs against just the duplicate
+    # ids (CC labels arrive checkpointed, hence Scan ExistingRDD);
+    # quality + lang are map-only projections. The LSH/CC internals
+    # are pinned separately via minhash_jaccard_error/dedup_pipeline.
+    "curated_documents": (["LeftAnti"], ["CartesianProduct",
+                                         "BroadcastNestedLoopJoin"]),
     # r11: the >=N-token removal policy — the sliding-flag pipeline
     # plus a one-row-per-affected-doc ranges join back by id and a
     # map-side token filter; text itself never shuffles, and no
