@@ -187,6 +187,7 @@ def test_fast_hasher_matches_portable(spark, docs_df):
     from transformers_spark.operators.text import (
         cross_doc_span_dedup_stats as stats,
     )
+    from transformers_spark.operators.text import span_dedup_stats
 
     for fn, kw, cols in [
         (remove_long_dup_substrings, {"min_run_tokens": 12}, None),
@@ -194,6 +195,7 @@ def test_fast_hasher_matches_portable(spark, docs_df):
         (cross_doc_span_dedup, {}, None),
         (stats, {}, ["doc", "n_spans", "n_cross_dup_spans",
                      "n_removed_spans", "tokens_removed"]),
+        (span_dedup_stats, {}, None),
     ]:
         a = fn(docs_df, span_len=8, hasher="portable", **kw)
         b = fn(docs_df, span_len=8, hasher="fast", **kw)

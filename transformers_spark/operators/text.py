@@ -529,6 +529,7 @@ def span_dedup_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_len: int = 8,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Repeated-span statistics: per document, the fraction of its
     fixed-length word spans that occur elsewhere in the corpus — the
@@ -541,8 +542,9 @@ def span_dedup_stats(
 
     Plan shape, scale-first: span generation is MAP-ONLY — the token
     array is sliced in place via ``sequence``+``transform``+``slice``
-    (no explode-then-regroup round trip), and only the md5 of each
-    span travels into the aggregation, never the span text. Then one
+    (no explode-then-regroup round trip), and only the span hash
+    (md5, or xxhash64 longs with ``hasher='fast'`` — see _span_hash)
+    travels into the aggregation, never the span text. Then one
     shuffle counts global span frequencies, and the duplicated subset
     (global count > 1, typically a small fraction of distinct spans)
     joins back against the per-doc span list — AQE turns that into a
@@ -561,11 +563,14 @@ def span_dedup_stats(
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     k = int(span_len)
+    h_t = "string" if hasher == "portable" else "bigint"
     n_spans = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
-    span_hashes = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+    span_hashes = F.when(n <= 0, F.array().cast(f"array<{h_t}>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_spans - F.lit(1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i * k + 1, k), " ")),
+            lambda i: _span_hash(
+                F.array_join(F.slice(toks, i * k + 1, k), " "), hasher
+            ),
         )
     )
     spans = df.select(
