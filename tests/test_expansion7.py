@@ -263,13 +263,17 @@ def test_fuzz_remove_long_dup_substrings(spark, texts, min_run):
     df = spark.createDataFrame(
         list(enumerate(texts)), ["doc_id", "text"]
     )
-    got = {
-        r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
-        for r in remove_long_dup_substrings(
-            df, span_len=2, min_run_tokens=min_run
-        ).collect()
-    }
-    assert got == _ref_remove_long_dups(texts, 2, min_run)
+    expected = _ref_remove_long_dups(texts, 2, min_run)
+    # both hash paths (portable md5 / fast xxhash64) must reproduce
+    # the independent reference — not merely agree with each other
+    for hasher in ("portable", "fast"):
+        got = {
+            r["doc_id"]: (r["deduped_text"], r["n_tokens_removed"])
+            for r in remove_long_dup_substrings(
+                df, span_len=2, min_run_tokens=min_run, hasher=hasher
+            ).collect()
+        }
+        assert got == expected, hasher
 
 
 # --- property fuzz: random corpora from a tiny vocabulary (maximizes
