@@ -349,3 +349,68 @@ def test_fuzz_rewrite_consistent_with_stats(spark, texts):
     assert rerun == {
         d: s["kept_fingerprint"] for d, s in stats.items()
     }
+
+
+# --- DuckDB oracle for the REWRITE form (r11): the rewrite is a
+# library operator, not a catalog query (catalog slots are capped),
+# so its cross-engine oracle lives here — same discipline as the
+# catalog gate: mirror the operator stage by stage in DuckDB SQL and
+# compare full output on the real sf0.001 corpus. ---------------------
+
+_ORACLE_REWRITE = """
+WITH toks AS (
+  SELECT doc_id, {DT} AS ts FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         array_to_string(list_slice(ts, i*8 + 1, i*8 + 8), ' ') AS tile
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(ts) / 8.0) AS INT) - 1)) AS g(i)
+  WHERE len(ts) > 0
+),
+hashed AS (
+  SELECT doc_id, span_idx, tile, md5(tile) AS span_h FROM spans
+),
+dup AS (
+  SELECT span_h, min({{'doc': doc_id, 'idx': span_idx}}) AS keeper
+  FROM hashed GROUP BY span_h
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT h.doc_id, string_agg(h.tile, ' ' ORDER BY h.span_idx) AS t
+  FROM hashed h LEFT JOIN dup d ON h.span_h = d.span_h
+  WHERE d.span_h IS NULL
+     OR (d.keeper.doc = h.doc_id AND d.keeper.idx = h.span_idx)
+  GROUP BY h.doc_id
+)
+SELECT doc_id, COALESCE(k.t, '') AS deduped_text
+FROM documents LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def test_rewrite_matches_duckdb_oracle(spark):
+    """cross_doc_span_dedup vs an independent DuckDB implementation
+    on the real sf0.001 documents corpus: every doc's rewritten text
+    must match byte-for-byte (a doc whose every tile is removed —
+    zero rows in the kept aggregate — must coalesce to '', exactly
+    like Spark's array_join over the empty kept-tile array)."""
+    import duckdb
+
+    from transformers_spark.operators.specs import DUCK_TOKENS
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: r["deduped_text"]
+        for r in cross_doc_span_dedup(docs, span_len=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = dict(con.execute(_ORACLE_REWRITE.format(DT=DUCK_TOKENS)).fetchall())
+    assert len(got) == len(exp)
+    assert got == exp
