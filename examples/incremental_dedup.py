@@ -40,11 +40,16 @@ def main(sf_dir: str) -> dict:
     new_batch = docs.filter(F.col("doc_id") >= threshold)
 
     spark.sql("CREATE DATABASE IF NOT EXISTS demo_index")
+    # hasher="fast" (JVM xxhash64) is the production setting when
+    # cross-engine reproducibility isn't needed; the index stamps it
+    # in its table properties, so a probe with a mismatched hasher is
+    # rejected instead of silently joining incompatible buckets.
     write_lsh_index(
         corpus,
         "demo_index.standing_lsh",
         num_perm=DEMO_NUM_PERM,
         bands=DEMO_BANDS,
+        hasher="fast",
     )
     matches = probe_lsh_index(
         spark,
@@ -52,6 +57,7 @@ def main(sf_dir: str) -> dict:
         new_batch,
         num_perm=DEMO_NUM_PERM,
         bands=DEMO_BANDS,
+        hasher="fast",
         min_bands=2,
     )
     n_new = new_batch.count()
