@@ -61,10 +61,26 @@ def run_control_bench(commit: str, sf_dir: str) -> dict:
             [sys.executable, "bench.py"], cwd=wt, env=env,
             capture_output=True, text=True, timeout=5400,
         )
+        # A failed control run must be loud, never adjudicated: a
+        # partial bench that still printed a '{' line would masquerade
+        # as a complete control result.
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"control bench at {commit[:12]} exited "
+                f"{proc.returncode}; stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-15:])
+            )
         line = next(
-            ln for ln in reversed(proc.stdout.splitlines())
-            if ln.startswith("{")
+            (ln for ln in reversed(proc.stdout.splitlines())
+             if ln.startswith("{")),
+            None,
         )
+        if line is None:
+            raise RuntimeError(
+                f"control bench at {commit[:12]} printed no JSON line; "
+                f"stdout tail:\n"
+                + "\n".join(proc.stdout.splitlines()[-15:])
+            )
         return json.loads(line)
     finally:
         subprocess.run(

@@ -54,10 +54,17 @@ an orphan). Re-run convergence is SCOPED by load class:
   ``<table>__bak_<hex8>`` table — written under ``__bakstage_`` and
   RENAMEd into place, so the restorable name can never hold a
   half-written snapshot. The bak is dropped only after the swap
-  succeeds; every DML entry point restores a surviving bak (under
-  the table lock, before reading the destination), so the re-run
-  recomputes from restored state, not from a partially rewritten
-  table. The snapshot costs one extra write of the affected
+  succeeds; EVERY destination-mutating entry point — the DML
+  emulations AND the REPLACE/append family — restores a surviving
+  bak (under the table lock, before reading or writing the
+  destination), so a re-run recomputes from restored state, not
+  from a partially rewritten table. The REPLACE-family restore
+  exists for a different reason than the DML one: a REPLACE needs
+  no snapshot of its own (its output derives from the source
+  alone), but a bak left by an EARLIER crashed DML must be
+  consumed before the REPLACE commits — a stale bak surviving the
+  REPLACE would make the NEXT DML's restore roll the table back
+  over the REPLACE's output, silently losing it. The snapshot costs one extra write of the affected
   partitions — the price of crash safety on a non-transactional
   format; a transactional table format (the write surface is
   format-agnostic by design) makes both the swap and the backup
@@ -292,6 +299,7 @@ class Writer:
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, partition_date)
         out, obs = self._observed(out)
         with table_write_lock(meta.spark_name):
+            self._restore_pending_backup(meta)
             out.write.insertInto(meta.spark_name, overwrite=False)
         self._record(obs)
 
@@ -307,7 +315,9 @@ class Writer:
         meta = self.catalog.get_table(fqn)
         out = self._with_dt(self._align(df, meta, allow_field_addition), meta, partition_date)
         if reads_destination:
-            self._overwrite_via_stage(meta, out)
+            with table_write_lock(meta.spark_name):
+                self._restore_pending_backup(meta)
+                self._overwrite_via_stage(meta, out)
             return
         # Static mode: INSERT OVERWRITE with no partition spec truncates
         # the WHOLE table (in dynamic mode it would only replace touched
@@ -316,6 +326,7 @@ class Writer:
         with table_write_lock(meta.spark_name), _conf(
             self.spark, "spark.sql.sources.partitionOverwriteMode", "static"
         ):
+            self._restore_pending_backup(meta)
             out.write.insertInto(meta.spark_name, overwrite=True)
         self._record(obs)
         self._refresh(meta)
@@ -339,12 +350,14 @@ class Writer:
             partition_date = partition_date.date()
         out = self._align(df, meta, allow_field_addition)
         if reads_destination:
-            stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
-            out.write.format("parquet").saveAsTable(stage_name)
-            try:
-                self._overwrite_partition_from(meta, stage_name, partition_date)
-            finally:
-                self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+            with table_write_lock(meta.spark_name):
+                self._restore_pending_backup(meta)
+                stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+                out.write.format("parquet").saveAsTable(stage_name)
+                try:
+                    self._overwrite_partition_from(meta, stage_name, partition_date)
+                finally:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
             return
         out, obs = self._observed(out)
         view = f"__ts_part_src_{uuid.uuid4().hex[:8]}"
@@ -352,6 +365,7 @@ class Writer:
         cols = ", ".join(f"`{c}`" for c in meta.column_names)
         try:
             with table_write_lock(meta.spark_name):
+                self._restore_pending_backup(meta)
                 self.spark.sql(
                     f"INSERT OVERWRITE TABLE {_q(meta.spark_name)} "
                     f"PARTITION ({PARTITION_COL} = DATE'{partition_date.isoformat()}') "
@@ -407,6 +421,8 @@ class Writer:
             raise ValueError(f"{meta.fqn} is not partitioned")
         if not day_dfs:
             return  # empty day window: nothing to replace
+        with table_write_lock(meta.spark_name):
+            self._restore_pending_backup(meta)
         pieces = []
         for day, df in day_dfs.items():
             aligned = self._align(df, meta, allow_field_addition)
@@ -432,6 +448,7 @@ class Writer:
         with table_write_lock(meta.spark_name), _conf(
             self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
         ):
+            self._restore_pending_backup(meta)
             out.write.insertInto(meta.spark_name, overwrite=True)
         self._record(obs)
         self._refresh(meta)
@@ -798,19 +815,25 @@ class Writer:
         garbage by protocol and are dropped. Returns restored names."""
         db, _, table = meta.spark_name.rpartition(".")
         # exact-anchor on THIS table's name: a sibling table sharing a
-        # name prefix ('t' vs 't2') must never have its bak adopted
-        bak_re = re.compile(re.escape(table) + r"__bak_[0-9a-f]{8}$")
+        # name prefix ('t' vs 't2') must never have its bak adopted.
+        # Matching is case-INSENSITIVE: the Hive metastore lowercases
+        # stored table names, so a mixed-case meta.spark_name anchored
+        # verbatim would never match listTables() output and the
+        # pending restore would silently skip that table.
+        bak_re = re.compile(
+            re.escape(table.lower()) + r"__bak_[0-9a-f]{8}$"
+        )
         bakstage_re = re.compile(
-            re.escape(table) + r"__bakstage_[0-9a-f]{8}$"
+            re.escape(table.lower()) + r"__bakstage_[0-9a-f]{8}$"
         )
         restored: list[str] = []
         for tbl in self.spark.catalog.listTables(db or None):
             if tbl.isTemporary:
                 continue
             full = f"{db}.{tbl.name}" if db else tbl.name
-            if bakstage_re.fullmatch(tbl.name):
+            if bakstage_re.fullmatch(tbl.name.lower()):
                 self.spark.sql(f"DROP TABLE IF EXISTS {_q(full)}")
-            elif bak_re.fullmatch(tbl.name):
+            elif bak_re.fullmatch(tbl.name.lower()):
                 self._restore_from_backup(meta.spark_name, full)
                 restored.append(full)
         return restored
