@@ -257,6 +257,180 @@ FROM rebuilt
 """
 
 
+def q_span_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental substring dedup (r11 verdict ask 4): the NEW batch
+    (docs with doc_id >= max*4/5) sliding-window span hashes checked
+    against a PERSISTED span-hash index of the older corpus, with the
+    index then MERGE-upserted through the engine's A8 DML path — the
+    substring-family twin of ``dedup_incremental`` (standing-LSH
+    check) + ``dedup_cdc_merge`` (index upsert), for crawl pipelines
+    that re-run substring dedup against a standing index instead of
+    recomputing the corpus-global pass each batch.
+
+    The standing index holds one row per distinct window hash of the
+    old corpus: (span_h, first_doc = min old doc, n_docs = distinct
+    old docs). The new batch aggregates the same shape over its own
+    windows and MERGEs: matched -> UPDATE n_docs = T.n_docs +
+    N.n_docs (first_doc keeps the standing value — the old corpus is
+    earlier by construction); not matched -> INSERT. The output is
+    computed FROM THE POST-MERGE TABLE, so it gates both MERGE arms:
+    per new doc, every sliding window joins its post-merge index row
+    and reports
+
+    * n_windows — sliding 8-token windows in the doc;
+    * n_index_hits — windows whose index row has first_doc < thr,
+      i.e. the span already existed in the standing corpus (an
+      UPDATE-arm row; a wrong INSERT would flip first_doc);
+    * hit_frac — n_index_hits / n_windows (the incremental dup
+      signal a policy thresholds on);
+    * sum_index_docs — SUM(n_docs) over the doc's windows, which
+      equals the full-corpus distinct-doc count summed per window
+      only if the UPDATE arm's addition ran (old and new cohorts are
+      disjoint, so standing + batch counts must total the corpus).
+
+    Docs shorter than 8 tokens have no window and produce no row
+    (family contract). Scale shape: map-only window hashing (hash +
+    ints shuffle, never text), two hash aggregates (standing / batch
+    index build), the MERGE executor's row-id join rewrite over the
+    data-sized index, and one hash join back from batch windows to
+    the post-merge index — no all-pairs stage, no driver
+    materialization beyond the 1-row threshold (a materializing op,
+    same eager-threshold precedent as dedup_cdc_merge). Cites
+    reference semantics: bumblebee/query.py:6-62 (MERGE upsert
+    templates)."""
+    from pyspark.sql import functions as F
+
+    from . import cache
+    from .catalog import Catalog
+    from .dml import execute_merge, parse_merge
+    from .loaders import Writer
+    from .operators.text import sliding_window_hashes
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+    row = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("t")).collect()[0]
+    thr = int(row["t"]) if row["t"] is not None else 0
+
+    win = cache.track(
+        sliding_window_hashes(docs, span_len=8).persist()
+    )
+    standing = (
+        win.filter(F.col("doc") < thr)
+        .groupBy("h")
+        .agg(
+            F.min("doc").cast("bigint").alias("first_doc"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+        )
+    )
+    batch = (
+        win.filter(F.col("doc") >= thr)
+        .groupBy("h")
+        .agg(
+            F.min("doc").cast("bigint").alias("first_doc"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+        )
+    )
+
+    cat = Catalog(spark)
+    writer = Writer(spark, cat)
+    fqn = "g-project.playground.span_hash_index"
+    cat.create_table(
+        fqn,
+        [("span_h", "string"), ("first_doc", "bigint"), ("n_docs", "bigint")],
+    )
+    sname = cat.spark_name(fqn)
+    standing.createOrReplaceTempView("span_idx_standing_v")
+    batch.createOrReplaceTempView("span_idx_batch_v")
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {sname} "
+        "SELECT h, first_doc, n_docs FROM span_idx_standing_v"
+    )
+    stmt = parse_merge(
+        f"""MERGE INTO {sname} T
+USING (SELECT h, first_doc, n_docs FROM span_idx_batch_v) N
+ON T.span_h = N.h
+WHEN MATCHED THEN UPDATE SET n_docs = T.n_docs + N.n_docs
+WHEN NOT MATCHED THEN INSERT (span_h, first_doc, n_docs)
+VALUES (N.h, N.first_doc, N.n_docs)"""
+    )
+    execute_merge(spark, cat, writer, stmt, fqn)
+    merged = cat.read(fqn)
+
+    probes = win.filter(F.col("doc") >= thr)
+    return (
+        probes.join(merged, probes["h"] == merged["span_h"])
+        .groupBy(F.col("doc").alias("new_doc"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(
+                F.when(F.col("first_doc") < thr, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_index_hits"),
+            F.sum("n_docs").cast("bigint").alias("sum_index_docs"),
+        )
+        .select(
+            "new_doc",
+            "n_windows",
+            "n_index_hits",
+            F.round(
+                F.col("n_index_hits").cast("double")
+                / F.col("n_windows"),
+                6,
+            ).alias("hit_frac"),
+            "sum_index_docs",
+        )
+    )
+
+
+# The oracle rebuilds the post-merge index as a FULL OUTER JOIN of the
+# standing and batch per-hash aggregates (disjoint cohorts, so
+# matched-row n_docs is the plain sum and first_doc keeps the standing
+# side), then replays the probe join + per-doc rollup. The thr cross
+# join is a 1-row broadcast on both engines; windows join an
+# aggregated-per-hash index, so duplicate physical rows scale both
+# sides identically (duprows gate, ORACLES.md #15).
+ORACLE_SPAN_DEDUP_INCREMENTAL = f"""
+WITH thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
+toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS h
+  FROM toks,
+       unnest(generate_series(0, len(ts) - 8)) AS g(i)
+  WHERE len(ts) >= 8
+),
+standing AS (
+  SELECT h, MIN(doc_id) AS first_doc, COUNT(DISTINCT doc_id) AS n_docs
+  FROM pos, thr WHERE doc_id < t GROUP BY h
+),
+batch AS (
+  SELECT h, MIN(doc_id) AS first_doc, COUNT(DISTINCT doc_id) AS n_docs
+  FROM pos, thr WHERE doc_id >= t GROUP BY h
+),
+merged AS (
+  SELECT COALESCE(s.h, b.h) AS h,
+         COALESCE(s.first_doc, b.first_doc) AS first_doc,
+         COALESCE(s.n_docs, 0) + COALESCE(b.n_docs, 0) AS n_docs
+  FROM standing s FULL OUTER JOIN batch b ON s.h = b.h
+)
+SELECT p.doc_id AS new_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN m.first_doc < t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_index_hits,
+       ROUND(CAST(SUM(CASE WHEN m.first_doc < t THEN 1 ELSE 0 END)
+                  AS BIGINT)::DOUBLE / COUNT(*), 6) AS hit_frac,
+       CAST(SUM(m.n_docs) AS BIGINT) AS sum_index_docs
+FROM pos p JOIN merged m ON p.h = m.h, thr
+WHERE p.doc_id >= t
+GROUP BY p.doc_id
+"""
+
+
 def expansion7_specs():
     from .queries import QuerySpec
 
@@ -278,5 +452,11 @@ def expansion7_specs():
             ">=20-token cross-doc duplicated-substring removal policy",
             q_remove_dup_substrings,
             ORACLE_REMOVE_DUP_SUBSTRINGS,
+        ),
+        QuerySpec(
+            "text_span_dedup_incremental",
+            "New-batch span hashes vs persisted index, MERGE-upserted",
+            q_span_dedup_incremental,
+            ORACLE_SPAN_DEDUP_INCREMENTAL,
         ),
     ]

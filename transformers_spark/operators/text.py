@@ -35,6 +35,7 @@ __all__ = [
     "cross_doc_span_dedup",
     "cross_doc_span_dedup_stats",
     "sliding_span_dup_profile",
+    "sliding_window_hashes",
     "remove_long_dup_substrings",
     "pii_redaction",
     "bigram_lm",
@@ -764,16 +765,20 @@ def cross_doc_span_dedup_stats(
     )
 
 
-def _sliding_dup_flags(
-    df: DataFrame, text_col: str, id_col: str, span_len: int,
+def sliding_window_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
     hasher: str = "portable",
 ) -> DataFrame:
-    """(doc, pos, is_dup) for every sliding k-token window position:
-    is_dup iff the window's hash occurs in >= 2 distinct documents.
-    Shared front end of sliding_span_dup_profile and
-    remove_long_dup_substrings — map-only window hashing (16-byte
-    hash + position int only), one per-hash aggregate, one hash join
-    back. Docs shorter than k have no window and produce no row."""
+    """(doc, pos, h) for every sliding k-token window — the map-only
+    hash front end of the sliding substring-dedup family (16-byte
+    hash + position int only; window text never leaves the map
+    stage). Docs shorter than k have no window and produce no row.
+    Public seam: the incremental span-hash index
+    (expansion7.q_span_dedup_incremental) builds its standing index
+    and new-batch probes from exactly these rows."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     k = int(span_len)
@@ -791,9 +796,22 @@ def _sliding_dup_flags(
             ),
         )
     )
-    pos = df.select(
+    return df.select(
         F.col(id_col).alias("doc"), F.explode(win_structs).alias("s")
     ).select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+
+
+def _sliding_dup_flags(
+    df: DataFrame, text_col: str, id_col: str, span_len: int,
+    hasher: str = "portable",
+) -> DataFrame:
+    """(doc, pos, is_dup) for every sliding k-token window position:
+    is_dup iff the window's hash occurs in >= 2 distinct documents.
+    Shared front end of sliding_span_dup_profile and
+    remove_long_dup_substrings — map-only window hashing (see
+    sliding_window_hashes), one per-hash aggregate, one hash join
+    back. Docs shorter than k have no window and produce no row."""
+    pos = sliding_window_hashes(df, text_col, id_col, span_len, hasher)
     dup = (
         pos.groupBy("h")
         .agg(F.countDistinct("doc").alias("__nd"))
