@@ -32,7 +32,22 @@ MIN_RUN_TOKENS = 50
 REPS = 3  # per arm per scale, interleaved
 
 
-def run_once(spark, sf_dir: str, hasher: str) -> tuple[float, int]:
+def shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    executors from the AppStatusStore — snapshot before/after a run
+    and diff for per-run bytes (same surface stats.collect_job_stats
+    harvests)."""
+    store = spark._jsparkSession.sparkContext().statusStore()
+    it = store.executorList(False).iterator()
+    read = write = 0
+    while it.hasNext():
+        executor = it.next()
+        read += executor.totalShuffleRead()
+        write += executor.totalShuffleWrite()
+    return int(read), int(write)
+
+
+def run_once(spark, sf_dir: str, hasher: str) -> tuple[float, int, int, int]:
     from pyspark.sql import functions as F
 
     from transformers_spark.operators.text import (
@@ -44,12 +59,15 @@ def run_once(spark, sf_dir: str, hasher: str) -> tuple[float, int]:
     out = remove_long_dup_substrings(
         docs, span_len=8, min_run_tokens=MIN_RUN_TOKENS, hasher=hasher
     )
+    r0, w0 = shuffle_totals(spark)
     t0 = time.perf_counter()
     row = out.agg(
         F.sum("n_tokens_removed").alias("tr"),
         F.sum(F.length("deduped_text")).alias("oc"),
     ).collect()[0]
-    return round(time.perf_counter() - t0, 2), int(row["tr"])
+    secs = round(time.perf_counter() - t0, 2)
+    r1, w1 = shuffle_totals(spark)
+    return secs, int(row["tr"]), r1 - r0, w1 - w0
 
 
 def main() -> None:
@@ -75,18 +93,31 @@ def main() -> None:
     }
     for label, d in (("1x", sf100_probe.SRC), ("100x", sf100_probe.DST)):
         walls = {"portable": [], "fast": []}
+        sh_read = {"portable": [], "fast": []}
+        sh_write = {"portable": [], "fast": []}
         removed = {}
         # warmup both arms once (JVM/codegen), then interleave
         for h in ("portable", "fast"):
             run_once(spark, d, h)
         for _ in range(REPS):
             for h in ("portable", "fast"):
-                secs, tr = run_once(spark, d, h)
+                secs, tr, rb, wb = run_once(spark, d, h)
                 walls[h].append(secs)
+                sh_read[h].append(rb)
+                sh_write[h].append(wb)
                 removed[h] = tr
         assert removed["portable"] == removed["fast"], removed
         med_p = statistics.median(walls["portable"])
         med_f = statistics.median(walls["fast"])
+        # shuffle bytes are a property of the plan, not the machine —
+        # medians over reps smooth only AQE/statistics jitter. The
+        # ratio is THE fast-hasher justification (r11 verdict ask 2):
+        # the claimed win is smaller per-hash shuffle rows at cluster
+        # scale, not local wall.
+        wmed_p = statistics.median(sh_write["portable"])
+        wmed_f = statistics.median(sh_write["fast"])
+        rmed_p = statistics.median(sh_read["portable"])
+        rmed_f = statistics.median(sh_read["fast"])
         result["scales"][label] = {
             "portable_secs": walls["portable"],
             "fast_secs": walls["fast"],
@@ -94,9 +125,18 @@ def main() -> None:
             "fast_median": med_f,
             "speedup": round(med_p / med_f, 2),
             "tokens_removed": removed["portable"],
+            "portable_shuffle_write_bytes": sh_write["portable"],
+            "fast_shuffle_write_bytes": sh_write["fast"],
+            "portable_shuffle_read_bytes": sh_read["portable"],
+            "fast_shuffle_read_bytes": sh_read["fast"],
+            "shuffle_write_ratio": round(wmed_p / wmed_f, 2) if wmed_f else None,
+            "shuffle_read_ratio": round(rmed_p / rmed_f, 2) if rmed_f else None,
         }
         print(f"{label}: portable {med_p}s fast {med_f}s "
-              f"({med_p / med_f:.2f}x)", file=sys.stderr)
+              f"({med_p / med_f:.2f}x); shuffle write "
+              f"{wmed_p / 1e6:.1f}MB vs {wmed_f / 1e6:.1f}MB "
+              f"({(wmed_p / wmed_f) if wmed_f else 0:.2f}x)",
+              file=sys.stderr)
 
     print(json.dumps(result, indent=1))
     if args.json:
