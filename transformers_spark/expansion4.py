@@ -122,15 +122,15 @@ buckets AS ({band_selects})"""
 # ---------------------------------------------------------------------------
 
 
-def _cdc_merge_setup(spark: SparkSession, sf_dir: str):
-    """Materialize the CDC fixture (standing index table with stale
-    rows + new-batch view) and parse the MERGE; returns
-    ``(catalog, writer, stmt, fqn)``. Shared by ``q_dedup_cdc_merge``
-    and the plan-pin test, which explains ``dml.build_merge_plan`` on
-    exactly this statement instead of re-deriving the fixture."""
-    from .catalog import Catalog
-    from .dml import parse_merge
-    from .loaders import Writer
+def _cdc_fixture_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(standing_with_stale, new_batch) — the deterministic CDC
+    fixture content: the older 80% of docs' LSH index rows plus a
+    stale row per even-id new doc, and the new batch's fresh rows.
+    Shared by ``_cdc_merge_setup`` and the backup-restore probe
+    (tools/bakrestore100_probe.py), which recomputes the expected
+    pre-crash table content from exactly these frames."""
     from .operators.dedup import minhash_band_buckets
 
     register_tables(spark, sf_dir, ("documents",))
@@ -151,6 +151,20 @@ def _cdc_merge_setup(spark: SparkSession, sf_dir: str):
     stale = new_batch.filter(F.col("doc") % 2 == 0).select(
         "doc", "band", F.lit("stale").alias("bucket")
     )
+    return standing_fresh.unionByName(stale), new_batch
+
+
+def _cdc_merge_setup(spark: SparkSession, sf_dir: str):
+    """Materialize the CDC fixture (standing index table with stale
+    rows + new-batch view) and parse the MERGE; returns
+    ``(catalog, writer, stmt, fqn)``. Shared by ``q_dedup_cdc_merge``
+    and the plan-pin test, which explains ``dml.build_merge_plan`` on
+    exactly this statement instead of re-deriving the fixture."""
+    from .catalog import Catalog
+    from .dml import parse_merge
+    from .loaders import Writer
+
+    standing, new_batch = _cdc_fixture_frames(spark, sf_dir)
 
     cat = Catalog(spark)
     writer = Writer(spark, cat)
@@ -159,9 +173,7 @@ def _cdc_merge_setup(spark: SparkSession, sf_dir: str):
         fqn, [("doc", "bigint"), ("band", "int"), ("bucket", "string")]
     )
     sname = cat.spark_name(fqn)
-    standing_fresh.unionByName(stale).createOrReplaceTempView(
-        "cdc_standing_v"
-    )
+    standing.createOrReplaceTempView("cdc_standing_v")
     new_batch.createOrReplaceTempView("cdc_new_v")
     spark.sql(
         f"INSERT OVERWRITE TABLE {sname} "

@@ -65,10 +65,14 @@ an orphan). Re-run convergence is SCOPED by load class:
   consumed before the REPLACE commits — a stale bak surviving the
   REPLACE would make the NEXT DML's restore roll the table back
   over the REPLACE's output, silently losing it. The snapshot costs one extra write of the affected
-  partitions — the price of crash safety on a non-transactional
-  format; a transactional table format (the write surface is
-  format-agnostic by design) makes both the swap and the backup
-  unnecessary.
+  partitions — measured (``BAKCOST_r12.json``, same-session A/B on
+  the dedup_cdc_merge index upsert): +0.34 s = 1.23x on the merge
+  component at sf0.1 and +0.45 s = 1.18x on the 100x (~2M-row)
+  index, the relative price SHRINKING with scale because the
+  merge's scan/join work grows faster than the snapshot write. The
+  price of crash safety on a non-transactional format; a
+  transactional table format (the write surface is format-agnostic
+  by design) makes both the swap and the backup unnecessary.
 
 Fault-injection coverage: tests/test_crash_atomicity.py kills a real
 process (a) between stage and swap on both the non-partitioned and

@@ -606,12 +606,18 @@ def _span_hash(joined: Column, hasher: str) -> Column:
     """Window/span hash for the substring-dedup family: ``portable``
     (md5, 32-hex-char string — identical in the DuckDB oracle) or
     ``fast`` (JVM xxhash64, an 8-byte LONG — no digest + hex
-    round-trip, and the per-hash shuffle rows shrink ~4x). The fast
-    path is the production setting at corpus scale, where window
-    hashing dominates the family's map work; collision math: expected
-    falsely-duplicated window pairs ≈ W²/2^65 for W distinct windows,
-    i.e. < 0.03 at W = 10^9 — use portable (128-bit md5) beyond
-    ~10^9-window corpora if even that is too much."""
+    round-trip, and the hash KEY is 4x smaller). Measured effect
+    (SPANHASH_BYTES_r12.json, executor shuffle metrics on the policy
+    operator): total shuffle bytes shrink 2.95x at 1x and 2.19x on
+    the 100x saturated corpus — less than the 4x key ratio because
+    the shuffled rows also carry doc/pos ints and the downstream
+    stages' rows; local wall is ~1.08x (CPU-bound), so the fast
+    path's real win is network shuffle bytes at cluster scale. The
+    fast path is the production setting at corpus scale; collision
+    math: expected falsely-duplicated window pairs ≈ W²/2^65 for W
+    distinct windows, i.e. < 0.03 at W = 10^9 — use portable
+    (128-bit md5) beyond ~10^9-window corpora if even that is too
+    much."""
     if hasher == "portable":
         return F.md5(joined)
     if hasher == "fast":
