@@ -561,7 +561,8 @@ def span_dedup_stats(
     variant is the same plan with ``sequence(0, n - span_len)`` span
     starts and span_len x the rows.
     """
-    toks = tokens(F.col(text_col))
+    toked = _tok_docs(df, text_col, id_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     k = int(span_len)
     h_t = "string" if hasher == "portable" else "bigint"
@@ -574,8 +575,8 @@ def span_dedup_stats(
             ),
         )
     )
-    spans = df.select(
-        F.col(id_col).alias("doc"), F.explode(span_hashes).alias("span_h")
+    spans = toked.select(
+        "doc", F.explode(span_hashes).alias("span_h")
     )
     dup_spans = (
         spans.groupBy("span_h")
@@ -627,6 +628,28 @@ def _span_hash(joined: Column, hasher: str) -> Column:
     )
 
 
+def _tok_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, __toks): the token array materialized in its OWN
+    projection, on a fanned-out input. Two load-bearing properties for
+    every span/window generator built on top (the repetition_ratios /
+    winnowing lesson, r12 measured on this family too):
+
+    * tokenize ONCE per row — referencing ``tokens(col)`` inside a
+      higher-order lambda inlines the split into the Generate, where
+      it re-runs per produced element (O(n_words²) regex work per
+      doc; the r12 before-plan showed 4 ``split(trim(...))`` calls
+      inside one explode argument);
+    * ``fan_out`` widens a narrow local scan (sf0.1 documents is ONE
+      parquet split → the whole CPU-bound hash stage ran on one core)
+      and is a no-op at cluster scale where the scan arrives in
+      thousands of splits."""
+    from .skew import fan_out
+
+    return fan_out(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
 def _tiled_spans(
     df: DataFrame, text_col: str, id_col: str, span_len: int,
     hasher: str = "portable",
@@ -636,7 +659,8 @@ def _tiled_spans(
     family (see span_dedup_stats for the tiling rationale). Only the
     16-byte hash, two ints, and the id ever leave the map stage; span
     text never shuffles."""
-    toks = tokens(F.col(text_col))
+    toked = _tok_docs(df, text_col, id_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     k = int(span_len)
     h_t = "string" if hasher == "portable" else "bigint"
@@ -656,8 +680,8 @@ def _tiled_spans(
             ),
         )
     )
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(span_structs).alias("s")
+    return toked.select(
+        "doc", F.explode(span_structs).alias("s")
     ).select(
         "doc",
         F.col("s.idx").alias("span_idx"),
@@ -672,17 +696,25 @@ def _cross_doc_removal_flags(spans: DataFrame) -> DataFrame:
     the canonical keeper — the lexicographically smallest
     (doc, span_idx) across the corpus, so exactly one occurrence of
     each cross-doc span survives and the choice is deterministic."""
+    # "occurs in >= 2 distinct docs" == min(doc) != max(doc) (both
+    # null-skipping, exactly like COUNT(DISTINCT doc) >= 2 — incl. the
+    # null-doc edge: {NULL, a} is 1 distinct doc under both forms).
+    # min/max partial-aggregate map-side and need ONE exchange, where
+    # countDistinct plans the two-exchange (key, doc)-then-key rewrite
+    # (guide §2.3/§2.4; r12 plan diff: 2 Exchange -> 1 on this agg).
     dup = (
         spans.groupBy("span_h")
         .agg(
-            F.countDistinct("doc").alias("n_docs"),
             F.min(F.struct(F.col("doc"), F.col("span_idx"))).alias(
                 "keeper"
             ),
+            F.min("doc").alias("__dmin"),
+            F.max("doc").alias("__dmax"),
         )
-        .filter(F.col("n_docs") >= 2)
+        .filter(F.col("__dmin") != F.col("__dmax"))
+        .select("span_h", "keeper", "__dmax")
     )
-    is_dup = F.col("n_docs").isNotNull()
+    is_dup = F.col("__dmax").isNotNull()
     removed = is_dup & ~(
         (F.col("keeper.doc") == F.col("doc"))
         & (F.col("keeper.span_idx") == F.col("span_idx"))
@@ -785,7 +817,8 @@ def sliding_window_hashes(
     Public seam: the incremental span-hash index
     (expansion7.q_span_dedup_incremental) builds its standing index
     and new-batch probes from exactly these rows."""
-    toks = tokens(F.col(text_col))
+    toked = _tok_docs(df, text_col, id_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     k = int(span_len)
     h_t = "string" if hasher == "portable" else "bigint"
@@ -802,9 +835,47 @@ def sliding_window_hashes(
             ),
         )
     )
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(win_structs).alias("s")
+    return toked.select(
+        "doc", F.explode(win_structs).alias("s")
     ).select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+
+
+def _cross_doc_hashes(pos: DataFrame) -> DataFrame:
+    """The one-column set of window hashes occurring in >= 2 DISTINCT
+    documents. min(doc) != max(doc) is exactly COUNT(DISTINCT doc) >= 2
+    (both skip NULL docs), but partial-aggregates map-side with ONE
+    exchange instead of countDistinct's two-exchange rewrite
+    (guide §2.3/§2.4; r12 plan diff: 2 Exchange -> 1)."""
+    return (
+        pos.groupBy("h")
+        .agg(F.min("doc").alias("__d0"), F.max("doc").alias("__d1"))
+        .filter(F.col("__d0") != F.col("__d1"))
+        .select("h")
+    )
+
+
+def _dup_islands(pos: DataFrame, dup: DataFrame) -> DataFrame:
+    """(doc, __island, start, __run) for every maximal run of
+    consecutive duplicated window positions: semi-join the positions
+    against the cross-doc hash set (only duplicated positions survive
+    into the window), then islands via pos - row_number. row_number
+    ties are between identical pos values, so the island arithmetic is
+    tie-order independent (duprows gate)."""
+    from pyspark.sql import Window as W
+
+    return (
+        pos.join(dup, "h", "leftsemi")
+        .withColumn(
+            "__island",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc").orderBy("pos")),
+        )
+        .groupBy("doc", "__island")
+        .agg(
+            F.min("pos").alias("start"),
+            F.count(F.lit(1)).alias("__run"),
+        )
+    )
 
 
 def _sliding_dup_flags(
@@ -813,18 +884,13 @@ def _sliding_dup_flags(
 ) -> DataFrame:
     """(doc, pos, is_dup) for every sliding k-token window position:
     is_dup iff the window's hash occurs in >= 2 distinct documents.
-    Shared front end of sliding_span_dup_profile and
-    remove_long_dup_substrings — map-only window hashing (see
-    sliding_window_hashes), one per-hash aggregate, one hash join
-    back. Docs shorter than k have no window and produce no row."""
+    Map-only window hashing (see sliding_window_hashes), one per-hash
+    aggregate, one hash join back. Docs shorter than k have no window
+    and produce no row."""
     pos = sliding_window_hashes(df, text_col, id_col, span_len, hasher)
-    dup = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("doc").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-    )
+    dup = _cross_doc_hashes(pos).withColumn("__dup", F.lit(True))
     return pos.join(dup, "h", "left").select(
-        "doc", "pos", F.col("__nd").isNotNull().alias("is_dup")
+        "doc", "pos", F.col("__dup").isNotNull().alias("is_dup")
     )
 
 
@@ -856,43 +922,48 @@ def sliding_span_dup_profile(
     Plan shape, scale-first: map-only window-hash generation (k x the
     tiled volume — the documented price of full resolution; only the
     16-byte hash + a position int shuffle), one per-hash aggregate,
-    one hash join back, then a per-doc window (islands via
-    pos - row_number) and two per-doc aggregates. No all-pairs stage;
-    the per-doc window shuffles only duplicated positions. Duplicate
-    physical rows stay deterministic: row_number ties are between
-    identical position values, so the island arithmetic is
+    one SEMI join back (only duplicated positions survive into the
+    islands window), then one per-doc aggregate whose SUM(run) IS
+    n_dup_positions — so the expensive hash pipeline is consumed
+    exactly twice (aggregate build + probe), not four times as when a
+    flags frame feeds base and runs separately (r12: that double
+    consumption was ~2x the query's wall). n_positions never needs
+    the hash pipeline at all: it is sum(max(n_tokens - k + 1, 0)) per
+    doc straight off the corpus scan. No all-pairs stage; the per-doc
+    window shuffles only duplicated positions. Duplicate physical
+    rows stay deterministic: row_number ties are between identical
+    position values, so the island arithmetic is
     tie-order-independent.
     """
-    from pyspark.sql import Window as W
-
     k = int(span_len)
-    flagged = _sliding_dup_flags(df, text_col, id_col, span_len, hasher)
-    base = flagged.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_positions"),
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
-            "n_dup_positions"
-        ),
-    )
+    pos = sliding_window_hashes(df, text_col, id_col, span_len, hasher)
     runs = (
-        flagged.filter(F.col("is_dup"))
-        .withColumn(
-            "__island",
-            F.col("pos")
-            - F.row_number().over(W.partitionBy("doc").orderBy("pos")),
-        )
-        .groupBy("doc", "__island")
-        .agg(F.count(F.lit(1)).alias("__run"))
+        _dup_islands(pos, _cross_doc_hashes(pos))
         .groupBy("doc")
-        .agg(F.max("__run").alias("__max_run"))
+        .agg(
+            F.max("__run").alias("__max_run"),
+            F.sum("__run").alias("__n_dup"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    per_row = F.when(n >= k, (n - F.lit(k - 1)).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    base = (
+        df.select(F.col(id_col).alias("doc"), per_row.alias("__w"))
+        .groupBy("doc")
+        .agg(F.sum("__w").alias("n_positions"))
+        .filter(F.col("n_positions") > 0)
     )
     max_run = F.coalesce(F.col("__max_run"), F.lit(0)).cast("bigint")
+    n_dup = F.coalesce(F.col("__n_dup"), F.lit(0)).cast("bigint")
     return base.join(runs, "doc", "left").select(
         "doc",
         "n_positions",
-        "n_dup_positions",
+        n_dup.alias("n_dup_positions"),
         F.round(
-            F.col("n_dup_positions").cast("double")
-            / F.col("n_positions"),
+            n_dup.cast("double") / F.col("n_positions"),
             6,
         ).alias("dup_pos_frac"),
         max_run.alias("max_dup_run"),
@@ -936,27 +1007,22 @@ def remove_long_dup_substrings(
     documents with zero removals do not round-trip byte-identical,
     only token-identical.
 
-    Scale shape: the hash-only flag pipeline, an islands window over
-    DUPLICATED positions only, one small aggregate of qualifying runs
-    per affected doc (start + length ints), a join back by id (AQE
-    broadcasts the affected-doc side when small), and a map-side
-    token filter. Text never shuffles.
+    Scale shape: the hash-only flag pipeline (semi-join form — only
+    duplicated positions reach the islands window), one small
+    aggregate of qualifying runs per affected doc (start + length
+    ints), a join back by id (AQE broadcasts the affected-doc side
+    when small), and a map-side token filter over a tokenize-ONCE
+    projection (see _tok_docs: an inlined tokens() inside the rebuild
+    lambda re-splits per token). Text never shuffles.
     """
-    from pyspark.sql import Window as W
-
     k = int(span_len)
-    flagged = _sliding_dup_flags(df, text_col, id_col, span_len, hasher)
+    pos = sliding_window_hashes(df, text_col, id_col, span_len, hasher)
     runs = (
-        flagged.filter(F.col("is_dup"))
-        .withColumn(
-            "__island",
-            F.col("pos")
-            - F.row_number().over(W.partitionBy("doc").orderBy("pos")),
-        )
-        .groupBy("doc", "__island")
-        .agg(
-            F.min("pos").alias("start"),
-            (F.count(F.lit(1)) + F.lit(k - 1)).cast("int").alias("len"),
+        _dup_islands(pos, _cross_doc_hashes(pos))
+        .select(
+            "doc",
+            "start",
+            (F.col("__run") + F.lit(k - 1)).cast("int").alias("len"),
         )
         .filter(F.col("len") >= int(min_run_tokens))
         .groupBy("doc")
@@ -967,10 +1033,15 @@ def remove_long_dup_substrings(
         )
         .withColumnRenamed("doc", "__rm_doc")
     )
-    joined = df.join(
+    from .skew import fan_out
+
+    toked = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    joined = toked.join(
         runs, F.col(id_col) == F.col("__rm_doc"), "left"
     )
-    toks = tokens(F.col(text_col))
+    toks = F.col("__toks")
     n = F.size(toks)
     ranges = F.coalesce(
         F.col("__rm_ranges"),
@@ -1043,10 +1114,17 @@ def cross_doc_span_dedup(
         .agg(F.array_sort(F.collect_list("span_idx")).alias("__rm"))
         .withColumnRenamed("doc", "__rm_doc")
     )
-    joined = df.join(
+    from .skew import fan_out
+
+    # tokenize ONCE in its own projection before the rebuild lambda
+    # (see _tok_docs — an inlined tokens() re-splits per tile)
+    toked = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    joined = toked.join(
         removed_idx, F.col(id_col) == F.col("__rm_doc"), "left"
     )
-    toks = tokens(F.col(text_col))
+    toks = F.col("__toks")
     n = F.size(toks)
     k = int(span_len)
     n_spans = F.ceil(n.cast("double") / F.lit(float(k))).cast("int")
