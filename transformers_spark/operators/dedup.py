@@ -429,8 +429,10 @@ def simhash_fingerprints(
             # (F.xxhash64) as higher-order-function callbacks
             F.transform(toks, lambda t: F.xxhash64(t)).alias("hs_lo"),
         )
-        def bit_src(bit):
-            return F.col("hs_lo"), bit
+        votes = F.expr(
+            "transform(sequence(0, 63), b -> "
+            "size(filter(hs_lo, h -> ((h >> b) & 1) = 1)))"
+        )
     else:
         # ONE md5 per token: materialize the digests in their own
         # projection and slice both 32-bit halves from it. Inlining
@@ -454,19 +456,33 @@ def simhash_fingerprints(
                 lambda d: F.conv(F.substring(d, 9, 8), 16, 10).cast("long"),
             ).alias("hs_hi"),
         )
-        def bit_src(bit):
-            return (F.col("hs_lo"), bit) if bit < 32 else (F.col("hs_hi"), bit - 32)
-    n = F.size("hs_lo")
-    fingerprint = None
-    for bit in range(SIMHASH_BITS):
-        arr, b = bit_src(bit)
-        ones = F.size(
-            F.filter(arr, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        votes = F.expr(
+            "concat("
+            "transform(sequence(0, 31), b -> "
+            "size(filter(hs_lo, h -> ((h >> b) & 1) = 1))), "
+            "transform(sequence(0, 31), b -> "
+            "size(filter(hs_hi, h -> ((h >> b) & 1) = 1))))"
         )
-        weight = -(2**63) if bit == 63 else 2**bit
-        term = F.when(ones * 2 > n, F.lit(weight)).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return hashed.select(F.col("doc"), fingerprint.cast("bigint").alias("simhash"))
+    # Per-bit vote majority folded into ONE compact aggregate over the
+    # 64-slot vote-count array instead of a Python-built 64-term Add
+    # chain of per-bit filter expressions: identical exact-int64 math
+    # (shiftleft(1L, 63) IS -2^63 in two's complement, matching the
+    # old bit-63 weight), but the plan tree shrinks ~64x — the old
+    # form cost ~1.8 s of driver-side construction+analysis per build
+    # at r12 measurement, >half this query's wall (guide §7.3: very
+    # large expression trees spend their time in the optimizer). The
+    # vote array rides as zip_with's ARGUMENT (not inside a lambda
+    # body), so it is evaluated once per row even after
+    # CollapseProject inlines the single-use alias.
+    fingerprint = F.expr(
+        "aggregate("
+        "zip_with(__votes, sequence(0, 63), (v, b) -> "
+        "IF(2 * v > size(hs_lo), shiftleft(1L, b), 0L)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return hashed.withColumn("__votes", votes).select(
+        F.col("doc"), fingerprint.cast("bigint").alias("simhash")
+    )
 
 
 def incremental_lsh_matches(
