@@ -728,8 +728,12 @@ def pq_encode(
     codes = F.array(
         *[_subspace_code(F.col(vec_col), book, j, ds) for j, book in enumerate(books)]
     )
-    # null-vector contract: a NULL embedding has no code word
-    return corpus.filter(F.col(vec_col).isNotNull()).select(
+    # null-vector contract: a NULL embedding has no code word.
+    # fan_out: the m x n_codes argmin encode (and the ADC scoring
+    # stage that consumes these codes without an intervening shuffle)
+    # is CPU-bound and must not inherit a single-split local scan's
+    # one-task partitioning; no-op at cluster scale (skew.fan_out).
+    return fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("doc"), codes.alias("codes")
     )
 
