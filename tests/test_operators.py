@@ -1489,3 +1489,62 @@ def test_incremental_matches_duplicate_rows_dont_inflate(spark):
     assert {(r["new_doc"], r["corpus_doc"], r["matching_bands"]) for r in clean} \
         == {(r["new_doc"], r["corpus_doc"], r["matching_bands"]) for r in dirty}
     assert clean and clean[0]["matching_bands"] == 4
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_span_family_tokenizes_once_outside_generate(spark):
+    """r12 optimization pin: the window/span generators must keep the
+    whitespace split OUT of the Generate's generator expression — an
+    inlined tokens() re-runs the split once per produced element
+    (O(n_words^2) regex work per doc, the regression this guards)."""
+    from transformers_spark.operators.text import (
+        _tiled_spans,
+        sliding_window_hashes,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    for frame in (
+        sliding_window_hashes(df, "text", "doc_id", 8),
+        _tiled_spans(df, "text", "doc_id", 8),
+    ):
+        plan = _formatted_plan(frame)
+        gen_lines = [
+            ln for ln in plan.splitlines() if "explode(" in ln
+        ]
+        assert gen_lines, "expected a Generate/explode in the plan"
+        for ln in gen_lines:
+            assert "split(" not in ln, (
+                "tokenize-once regressed: split() inlined into the "
+                "Generate argument:\n" + ln
+            )
+
+
+def test_span_family_dup_test_has_no_distinct_aggregate(spark):
+    """r12 optimization pin: the cross-doc duplicate test is
+    min(doc) != max(doc), never COUNT(DISTINCT doc) — the distinct
+    form plans the two-exchange (key, doc)-then-key rewrite and
+    defeats map-side partial aggregation."""
+    from transformers_spark.operators.text import (
+        cross_doc_span_dedup_stats,
+        remove_long_dup_substrings,
+        sliding_span_dup_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        ["doc_id", "text"],
+    )
+    for frame in (
+        sliding_span_dup_profile(df),
+        remove_long_dup_substrings(df),
+        cross_doc_span_dedup_stats(df),
+    ):
+        plan = _formatted_plan(frame).lower()
+        assert "distinct " not in plan.replace("array_distinct", ""), (
+            "distinct aggregate reappeared in the span-dedup plan"
+        )
