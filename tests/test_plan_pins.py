@@ -112,10 +112,16 @@ PROPERTIES = {
                            ["CartesianProduct",
                             "BroadcastNestedLoopJoin"]),
     "retrieval_rrf_fusion": (["WindowGroupLimit"], ["CartesianProduct"]),
-    # one-pass multi-column profile: a single Expand-based aggregate,
-    # no join stage at all
-    "column_profile": (["Expand"], ["CartesianProduct",
-                                    "BroadcastNestedLoopJoin"]),
+    # r12 split: min/max/nulls in a keyless (no-Sort) global aggregate,
+    # the multi-distinct Expand pipeline all-HashAggregate, their 1-row
+    # results cross-joined (a one-row broadcast — the BNLJ here is that
+    # scalar join, same class as order_basket_pairs' totals). The
+    # must-nots pin what the r12 change removed: the combined
+    # string-buffered aggregate forced SortAggregate + a full Sort of
+    # the Expand-multiplied rows ("+- Sort (" matches the standalone
+    # Sort operator only, not SortAggregate).
+    "column_profile": (["Expand", "HashAggregate"],
+                       ["CartesianProduct", "+- Sort ("]),
     # Arrow-batched decode path: MapInPandas directly over the pruned
     # parquet scan, never a row-at-a-time Python UDF or a join
     "multimodal_image_features": (["MapInPandas"],
@@ -162,6 +168,17 @@ PROPERTIES = {
     "text_remove_dup_substrings": (["Generate"],
                                    ["CartesianProduct",
                                     "BroadcastNestedLoopJoin"]),
+    # r12 pin-by-cost addition: the incremental substring dedup's
+    # probe frame — the persisted sliding-window hash pipeline
+    # (Generate inside the InMemoryRelation) hash-joined against the
+    # post-merge standing index, one rollup aggregate; the join may be
+    # broadcast (small index) or shuffled hash at scale, but never an
+    # all-pairs/nested-loop stage. The MERGE executor's own plan is
+    # pinned by test_merge_plan_properties' family twin
+    # (dedup_cdc_merge) through the same dml.build_merge_plan path.
+    "text_span_dedup_incremental": (["Generate", "HashAggregate"],
+                                    ["CartesianProduct",
+                                     "BroadcastNestedLoopJoin"]),
 }
 
 # Queries whose public frame hides the real plan (eager localCheckpoint

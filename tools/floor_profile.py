@@ -57,7 +57,13 @@ def main() -> None:
     from transformers_spark.queries import QUERIES
     from transformers_spark.session import get_spark
 
-    spark = get_spark(app_name="floor-profile")
+    # retention high enough that job-count deltas over a 198-query
+    # catalog never hit UI eviction (the default 1000 wraps mid-run)
+    spark = get_spark(
+        app_name="floor-profile",
+        extra_conf={"spark.ui.retainedJobs": "200000",
+                    "spark.ui.retainedStages": "200000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite").save()

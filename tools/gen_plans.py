@@ -259,8 +259,11 @@ PICKS = {
         "frames — never a data-sized CartesianProduct."
     ),
     "column_profile": (
-        "One-pass multi-column profile — a single Expand-based "
-        "aggregate over one scan; no join stage at all."
+        "Multi-column profile (r12 split) — min/max/nulls in a keyless "
+        "streaming aggregate (NO Sort node: string-buffered min/max "
+        "would force the whole pipeline into sort-based aggregation), "
+        "the exact-distinct Expand pipeline all-HashAggregate, and the "
+        "two 1-row results joined by a one-row broadcast."
     ),
     "multimodal_image_features": (
         "Arrow-batched decode path — MapInPandas directly over the "
