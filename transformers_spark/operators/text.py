@@ -628,7 +628,9 @@ def _span_hash(joined: Column, hasher: str) -> Column:
     )
 
 
-def _tok_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _tok_docs(
+    df: DataFrame, text_col: str, id_col: str | None, lower: bool = False
+) -> DataFrame:
     """(doc, __toks): the token array materialized in its OWN
     projection, on a fanned-out input. Two load-bearing properties for
     every span/window generator built on top (the repetition_ratios /
@@ -645,9 +647,9 @@ def _tok_docs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
       thousands of splits."""
     from .skew import fan_out
 
-    return fan_out(df).select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
-    )
+    text = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    doc = F.col(id_col) if id_col is not None else F.lit(0)
+    return fan_out(df).select(doc.alias("doc"), tokens(text).alias("__toks"))
 
 
 def _tiled_spans(
@@ -1181,8 +1183,14 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     nothing. Shared by :func:`bigram_lm` (which aggregates away the
     doc — pass ``id_col=None`` for frames without an id column) and
     :func:`bigram_lm_scores` (which scores per doc) so the
-    tokenization and pair semantics can never diverge."""
-    toks = tokens(F.lower(F.col(text_col)))
+    tokenization and pair semantics can never diverge.
+
+    Built on :func:`_tok_docs` (tokenize ONCE below the Generate +
+    fan_out) — the split otherwise inlines 4x into the explode
+    argument, where Generate codegen does not subexpression-eliminate
+    it (r12 measured 1.9x on this operator at sf0.1)."""
+    toked = _tok_docs(df, text_col, id_col, lower=True)
+    toks = F.col("__toks")
     n = F.size(toks)
     pairs_arr = F.when(
         n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
@@ -1193,8 +1201,7 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
     )
-    doc = F.col(id_col) if id_col is not None else F.lit(0)
-    return df.select(doc.alias("doc"), F.explode(pairs_arr).alias("p")).select(
+    return toked.select("doc", F.explode(pairs_arr).alias("p")).select(
         "doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
 
@@ -1502,8 +1509,9 @@ def chunk_documents(
     ``chunk_tokens``; the final chunk is the shorter tail. A document
     shorter than one chunk yields exactly one chunk. Map-only: chunk
     starts come from ``sequence`` and each chunk is a ``slice`` +
-    ``array_join`` of the token array inside one projection — no
-    explode-then-regroup, no shuffle at any corpus size. Emitted
+    ``array_join`` of the token array (tokenized ONCE via
+    ``_tok_docs``) — no explode-then-regroup, no data-sized shuffle at
+    any corpus size (``fan_out`` only widens narrow local scans). Emitted
     ``n_tokens`` is the chunk's real token count (tail-aware), which
     downstream packing/batching needs.
     """
@@ -1516,7 +1524,16 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    toks = tokens(F.col(text_col))
+    # NULL text yields no chunks (least/greatest SKIP nulls, so an
+    # unfiltered null row would emit one phantom full-size chunk).
+    # Tokenize ONCE below the Generate via _tok_docs — each chunk's
+    # slice otherwise re-runs the split inside the transform lambda
+    # (O(n_tokens^2/stride) regex work per doc; r12 measured 2.2x on
+    # this operator at sf0.1).
+    toked = _tok_docs(
+        df.filter(F.col(text_col).isNotNull()), text_col, id_col
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # last start index: the largest multiple of stride that still
     # begins a NEW span (start < n); docs shorter than one chunk get
@@ -1535,10 +1552,7 @@ def chunk_documents(
         ),
     )
     return (
-        # NULL text yields no chunks (least/greatest SKIP nulls, so an
-        # unfiltered null row would emit one phantom full-size chunk)
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc"), F.explode(chunks).alias("c"))
+        toked.select("doc", F.explode(chunks).alias("c"))
         .select(
             "doc",
             F.col("c.chunk_idx").alias("chunk_idx"),
