@@ -32,6 +32,12 @@ def test_adjudication_rule():
     assert bc.adjudicate_control(100, 125, 101) == "code-regression"
     # control near neither: ambiguous
     assert bc.adjudicate_control(100, 125, 112) == "ambiguous"
+    # control slower than BOTH artifacts: the epoch drifted and the
+    # new code still beats the old code in the same epoch (r12)
+    assert (bc.adjudicate_control(100, 125, 140)
+            == "machine-drift-code-improved")
+    assert (bc.adjudicate_control(207.5, 230.0, 277.1)
+            == "machine-drift-code-improved")
     # tiny deltas (control within 5% of both): ambiguous, not a
     # confident call either way
     assert bc.adjudicate_control(100, 102, 101) == "ambiguous"
@@ -63,3 +69,30 @@ def test_drift_suspect_flag_in_artifact(tmp_path):
     )
     assert "DRIFT-SUSPECT" not in proc2.stdout
     assert json.loads(out_p.read_text())["drift_suspect"] is False
+
+
+def test_control_map_adjudicates_without_rebench(tmp_path):
+    """--control-map (r12): adjudicate from an already-captured
+    control BENCH_FULL map — no worktree re-bench — and record the
+    map path in the artifact. The control here reads like the
+    inflated new numbers, so the verdict must be machine-drift."""
+    old = {"queries_warm": {"a": 1.0, "b": 2.0}}
+    new = {"queries_warm": {"a": 1.2, "b": 2.4}}
+    ctl = {"queries_warm": {"a": 1.19, "b": 2.41}}  # ≈ new
+    old_p, new_p, ctl_p = (tmp_path / n for n in
+                           ("old.json", "new.json", "ctl.json"))
+    old_p.write_text(json.dumps(old))
+    new_p.write_text(json.dumps(new))
+    ctl_p.write_text(json.dumps(ctl))
+    out_p = tmp_path / "delta.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_compare.py"),
+         str(old_p), str(new_p), "--json", str(out_p),
+         "--control-map", str(ctl_p)],
+        capture_output=True, text=True, check=True,
+    )
+    assert "machine-drift" in proc.stdout
+    delta = json.loads(out_p.read_text())
+    assert delta["control"]["verdict"] == "machine-drift"
+    assert delta["control"]["map"] == str(ctl_p)
+    assert delta["control"]["n_shared"] == 2

@@ -81,6 +81,18 @@ def run_control_bench(commit: str, sf_dir: str) -> dict:
                 f"stdout tail:\n"
                 + "\n".join(proc.stdout.splitlines()[-15:])
             )
+        # Prefer the worktree's full BENCH_FULL.json over the printed
+        # line: the line is budgeted to ~1.9KB so its cold map keeps
+        # only the slowest ~60 queries and drops `queries_warm`
+        # entirely — adjudicating cold-control vs warm-old/new over a
+        # 60-query subset is exactly the cold-vs-warm apples-to-oranges
+        # the rest of this tool exists to avoid.
+        full = os.path.join(wt, "BENCH_FULL.json")
+        if os.path.exists(full):
+            try:
+                return json.load(open(full))
+            except Exception:
+                pass
         return json.loads(line)
     finally:
         subprocess.run(
@@ -102,6 +114,13 @@ def adjudicate_control(
         return "machine-drift"
     if near_old and not near_new:
         return "code-regression"
+    if t_ctl > 1.05 * t_new and t_ctl > 1.05 * t_old:
+        # old code in the new epoch reads slower than BOTH artifacts:
+        # the epoch drifted (ctl vs old) AND the new code beats the
+        # old code measured in the same epoch (new vs ctl) — the
+        # drift+improvement composite (first seen r12, where a 1.34x
+        # slow epoch hid a 0.83x same-epoch code win).
+        return "machine-drift-code-improved"
     return "ambiguous"
 
 
@@ -116,6 +135,11 @@ def main() -> None:
     ap.add_argument("--control", default=None, metavar="COMMIT",
                     help="re-bench this commit in a worktree (current "
                          "epoch) and adjudicate drift vs regression")
+    ap.add_argument("--control-map", default=None, metavar="JSON",
+                    help="adjudicate from an already-captured control "
+                         "BENCH_FULL-style map instead of re-running "
+                         "the bench (use with --control to record "
+                         "which commit the map came from)")
     ap.add_argument("--control-sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     old, old_kind = _qmap(args.old)
@@ -148,8 +172,11 @@ def main() -> None:
             "adjudicate before attributing per-query regressions."
         )
     control = None
-    if args.control:
-        ctl_data = run_control_bench(args.control, args.control_sf_dir)
+    if args.control or args.control_map:
+        if args.control_map:
+            ctl_data = json.load(open(args.control_map))
+        else:
+            ctl_data = run_control_bench(args.control, args.control_sf_dir)
         ctl_map = ctl_data.get("queries_warm") or ctl_data["queries"]
         ctl_shared = sorted(set(ctl_map) & set(shared))
         t_ctl = sum(ctl_map[q] for q in ctl_shared)
@@ -158,6 +185,7 @@ def main() -> None:
         verdict = adjudicate_control(t_old_c, t_new_c, t_ctl)
         control = {
             "commit": args.control,
+            "map": args.control_map,
             "sf_dir": args.control_sf_dir,
             "n_shared": len(ctl_shared),
             "shared_total_old": round(t_old_c, 2),
@@ -165,8 +193,9 @@ def main() -> None:
             "shared_total_control": round(t_ctl, 2),
             "verdict": verdict,
         }
+        ctl_label = (args.control or "map")[:12]
         print(
-            f"CONTROL ({args.control[:12]} in current epoch): "
+            f"CONTROL ({ctl_label} in current epoch): "
             f"{t_ctl:.1f}s vs old {t_old_c:.1f}s / new {t_new_c:.1f}s "
             f"on {len(ctl_shared)} shared queries -> {verdict}"
         )
