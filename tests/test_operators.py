@@ -174,6 +174,41 @@ def test_kmeans_centroids_converge_and_improve_recall(spark):
     assert len(km & exact) / len(exact) >= 0.3
 
 
+def test_ivf_probe_sweep_matches_per_setting_topk(spark):
+    """ivf_probe_sweep shares the corpus cell assignment and candidate
+    scoring across probe settings; its output must be row-identical to
+    the per-setting ivf_topk loop it replaced (the prefix-slice
+    equivalence documented on the operator)."""
+    from transformers_spark import cache
+    from transformers_spark.operators.similarity import (
+        default_codebook,
+        ivf_probe_sweep,
+        ivf_topk,
+    )
+    from transformers_spark.sources.testdata import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001", ("embeddings",))
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    codebook = default_codebook(emb)
+    swept = {
+        (r["n_probe"], r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivf_probe_sweep(
+            emb, queries, k=5, n_probes=(1, 4), codebook=codebook
+        ).collect()
+    }
+    cache.release()
+    looped = set()
+    for np_ in (1, 4):
+        looped |= {
+            (np_, r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ivf_topk(
+                emb, queries, k=5, n_probe=np_, codebook=codebook
+            ).collect()
+        }
+    assert swept and swept == looped
+
+
 def test_fast_hasher_preserves_dedup_semantics(spark):
     """xxhash64 fast path: identical docs still collide on every
     signature; results stay internally consistent (values differ from

@@ -74,7 +74,6 @@ from .operators.similarity import (
     cosine_topk,
     hyperplane_signature,
     hyperplane_weights,
-    ivf_topk,
 )
 from .operators.skew import fan_out
 from .operators.specs import (
@@ -392,17 +391,19 @@ QUALIFY row_number() OVER w <= 3
 def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-language near-dup candidates: word-4-gram shingles of the
     fold/strip-normalized text (lowercase, non-alphanumerics stripped —
-    text.normalized_text), inverted-index self-join restricted to
+    text.normalized_text), inverted-index posting lists expanded to
     DIFFERENT-language doc pairs, candidate = >= XLING_MIN_SHARED
     shared shingles; rolled up per unordered language pair.
 
-    Scale shape: the only quadratic site is the per-gram self-join,
-    and the document-frequency cap (XLING_MAX_DF) bounds each gram's
-    pair slots at df*(df-1)/2 — the same stop-gram discipline as the
-    Jaccard inverted index (boilerplate shingles shared by thousands
-    of docs are dropped WHOLESALE on both engine and oracle). Gram
-    sets are DISTINCT per doc and lang collapses to MIN per doc, so
-    duplicate input rows cannot fan the pair counts (ORACLES.md #15)."""
+    Scale shape: the only quadratic site is the local posting-list
+    pair expansion, and the document-frequency cap (XLING_MAX_DF)
+    bounds each gram's pair slots at df*(df-1)/2 — the same stop-gram
+    discipline as the Jaccard inverted index (boilerplate shingles
+    shared by thousands of docs are dropped WHOLESALE on both engine
+    and oracle). Langs attach to the df-capped candidate PAIR set,
+    never to the posting set. Gram sets are DISTINCT per doc and lang
+    collapses to MIN per doc, so duplicate input rows cannot fan the
+    pair counts (ORACLES.md #15)."""
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     langs = docs.groupBy(F.col("doc_id").alias("doc")).agg(
@@ -412,33 +413,56 @@ def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"),
         tokens(normalized_text(F.col("text"))).alias("t"),
     ).filter(F.size("t") >= XLING_N)
-    grams = (
-        toked.select(
-            "doc", F.explode(_word_ngrams(F.col("t"), XLING_N)).alias("gram")
+    grams = toked.select(
+        "doc", F.explode(_word_ngrams(F.col("t"), XLING_N)).alias("gram")
+    )
+    # Postings pattern (dedup.ngram_jaccard_pairs): ONE shuffle groups
+    # each gram's posting list, the document-frequency cap filters on
+    # the list size, and pairs expand LOCALLY from the sorted list.
+    # The previous gram-keyed self-join form evaluated the whole
+    # tokenize+explode+distinct pipeline SIX times (dfreq + both join
+    # sides, each with its own kept/langs rebuild — no exchange reuse
+    # fired), and shuffled the posting set three more times.
+    # _word_ngrams is distinct per doc, so duplicate (doc, gram) rows
+    # can only come from duplicated INPUT rows — array_distinct inside
+    # the one aggregate collapses them (the old frame-level .distinct()
+    # did the same a shuffle earlier); collect_list also drops NULL
+    # docs, exactly like the old inner join against doc-keyed langs.
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("doc"))).alias("docs"))
+        .filter(F.size("docs").between(2, XLING_MAX_DF))
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda d2: F.struct(F.col("docs")[i].alias("d1"), d2.alias("d2")),
+            ),
         )
-        .distinct()
     )
-    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("d"))
-    kept = dfreq.filter(
-        (F.col("d") >= 2) & (F.col("d") <= XLING_MAX_DF)
-    ).select("gram")
-    gg = grams.join(kept, "gram").join(langs, "doc")
-    a = gg.select(
-        F.col("doc").alias("d1"), F.col("lang").alias("l1"), "gram"
-    )
-    b = gg.select(
-        F.col("doc").alias("d2"), F.col("lang").alias("l2"), "gram"
-    )
-    pairs = (
-        a.join(
-            b,
-            (a["gram"] == b["gram"])
-            & (F.col("d1") < F.col("d2"))
-            & (F.col("l1") != F.col("l2")),
-        )
-        .groupBy("d1", "d2", "l1", "l2")
+    # Count shared grams per (d1 < d2) pair FIRST, then attach langs to
+    # the (tiny, df-capped) candidate pair set — the language predicate
+    # commutes with the count, and the doc-keyed langs join now touches
+    # |pairs| rows instead of |postings| rows.
+    shared = (
+        postings.select(F.explode(pair_array).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= XLING_MIN_SHARED)
+    )
+    pairs = (
+        shared.join(
+            langs.select(F.col("doc").alias("d1"), F.col("lang").alias("l1")),
+            "d1",
+        )
+        .join(
+            langs.select(F.col("doc").alias("d2"), F.col("lang").alias("l2")),
+            "d2",
+        )
+        .filter(F.col("l1") != F.col("l2"))
     )
     rolled = pairs.select(
         F.least("l1", "l2").alias("lang_a"),
@@ -739,18 +763,21 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold at sf0.1 — IVFCOLD_r10.json, r9 verdict ask 4). The public
     # default_codebook helper IS ivf_topk's default seeding rule, so
     # the curve can never diverge from per-call behavior (r10 ADVICE).
-    from .operators.similarity import default_codebook
+    # ivf_probe_sweep also shares the corpus CELL ASSIGNMENT and the
+    # candidate scoring across the settings (one persisted scored
+    # frame; per-setting prefix filters — equivalence documented on
+    # the operator), where the old per-setting ivf_topk loop re-ran
+    # both once per n_probe.
+    from .operators.similarity import default_codebook, ivf_probe_sweep
 
     codebook = default_codebook(emb)
-    approx = None
-    for np_ in IVF_PROBES:
-        part = (
-            ivf_topk(emb, queries, k=5, n_probe=np_, codebook=codebook)
-            .select("query_id", "neighbor_id")
-            .distinct()
-            .withColumn("n_probe", F.lit(np_).cast("int"))
+    approx = (
+        ivf_probe_sweep(
+            emb, queries, k=5, n_probes=IVF_PROBES, codebook=codebook
         )
-        approx = part if approx is None else approx.unionByName(part)
+        .select("n_probe", "query_id", "neighbor_id")
+        .distinct()
+    )
     hits = (
         approx.join(exact, ["query_id", "neighbor_id"])
         .groupBy("n_probe")
@@ -896,9 +923,12 @@ def q_dedup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
     ).select("d1", "d2")
+    # explode both endpoints of each pair in ONE pass: the union-legs
+    # form evaluated the whole LSH candidate pipeline TWICE (one full
+    # signature+banding pass per leg — no exchange reuse fires across
+    # the union), for the identical multiset of endpoint rows
     deg = (
-        pairs.select(F.col("d1").alias("doc"))
-        .unionAll(pairs.select(F.col("d2").alias("doc")))
+        pairs.select(F.explode(F.array(F.col("d1"), F.col("d2"))).alias("doc"))
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

@@ -140,11 +140,12 @@ def ntiles_wide(
 
     Why not d calls to :func:`with_global_ntile`: each call is a
     shuffle + persist + one offset-collect JOB. Tagging each dimension
-    as its own leg of a union and range-partitioning on (dim, key, id)
+    by posexplode position and range-partitioning on (dim, key, id)
     ranks ALL dimensions with one shuffle and one collect (of
     |partitions| x d count rows), then pivots back map-side — at small
-    scale the saved job round-trips dominate, at large scale it is d
-    passes over the data either way but with 1/d of the barriers.
+    scale the saved job round-trips dominate, at large scale it is ONE
+    pass over the input (the generator fans rows d ways map-side)
+    instead of d, with 1/d of the barriers.
     """
     spark = df.sparkSession
 
@@ -171,17 +172,18 @@ def ntiles_wide(
         # away by SimplifyConditionals, silently dropping the check
         return F.coalesce(guard.cast("double"), kd)
 
-    legs = [
-        df.select(
-            F.lit(i).alias("__dim"),
-            _checked_key(out, key).alias("__key"),
-            F.col(id_col),
-        )
-        for i, (out, key) in enumerate(dims)
-    ]
-    u = legs[0]
-    for leg in legs[1:]:
-        u = u.unionByName(leg)
+    # posexplode, NOT a union of d per-dimension legs: each union leg
+    # re-evaluates the INPUT PLAN (for customer_rfm_segments that was
+    # d = 3 full orders aggregations — no exchange reuse fires across
+    # union branches), while one generator row-expands a single
+    # evaluation into the identical (__dim, __key, id) rows. The
+    # position IS the dimension index, matching enumerate(dims).
+    u = df.select(
+        F.posexplode(
+            F.array(*[_checked_key(out, key) for out, key in dims])
+        ).alias("__dim", "__key"),
+        F.col(id_col),
+    )
     order = [F.asc("__dim"), F.asc("__key"), F.asc(id_col)]
     ranged = u.repartitionByRange(*order).withColumn(
         "__pid", F.spark_partition_id()

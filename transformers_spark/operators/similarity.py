@@ -21,12 +21,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .. import cache
 from .skew import fan_out
 
 __all__ = [
     "cosine_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "ivf_probe_sweep",
     "default_codebook",
     "kmeans_centroids",
     "hyperplane_weights",
@@ -383,6 +385,90 @@ def ivf_topk(
     )
 
 
+def ivf_probe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: tuple[int, ...] = (1, 4),
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk` swept over several ``n_probe`` settings against
+    ONE index, sharing the expensive per-setting work: the corpus cell
+    assignment (a map pass over EVERY corpus vector) and the candidate
+    scoring join run once at ``max(n_probes)`` and persist; each
+    setting then top-k-ranks the scored-candidate subset it would have
+    seen. A per-setting :func:`ivf_topk` loop re-assigns and re-scores
+    the whole corpus once per setting (no exchange reuse fires across
+    the union).
+
+    Exactly equivalent to that loop because :func:`_probe_cells` ranks
+    cells identically at any width — its ``n_probe`` slice is a PREFIX
+    of the ``max(n_probes)`` slice — so filtering scored candidates to
+    probe positions ``< np`` reproduces the per-call candidate set and
+    the rank window sees identical rows. Output: ivf_topk's columns
+    plus ``n_probe``.
+    """
+    if not n_probes:
+        raise ValueError("ivf_probe_sweep: n_probes must be non-empty")
+    # null-vector contract: as ivf_topk
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    if codebook is None:
+        if centroids is not None:
+            codebook = _collect_codebook(centroids)
+        else:
+            codebook = default_codebook(corpus, id_col, vec_col, n_centroids)
+    max_np = max(n_probes)
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _probe_cells(F.col(vec_col), codebook, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(_probe_cells(F.col(vec_col), codebook, max_np)).alias(
+            "__probe_idx", "cell"
+        ),
+    )
+    scored = cache.track(
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__probe_idx",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .persist()
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = None
+    for np_ in n_probes:
+        part = (
+            scored.filter(F.col("__probe_idx") < np_)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(int(np_)).cast("int").alias("n_probe"),
+                "query_id",
+                "neighbor_id",
+                "rank",
+                "cosine",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int,
@@ -500,10 +586,18 @@ def embedding_neardup_pairs(
     pairs agree on most hyperplane signs, so recall degrades slowly.
     """
     weights = hyperplane_weights(planes, dim)
-    sigs = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), weights).alias("bucket"),
+    # persist: BOTH self-join sides consume sigs, and without the cache
+    # the scan + signature map pass (planes x dim dot products per row)
+    # is evaluated once per side — no exchange reuse fires across the
+    # join's two arms (same fix class as source_overlap_matrix's sg)
+    sigs = cache.track(
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            hyperplane_signature(F.col(vec_col), weights).alias("bucket"),
+        )
+        .persist()
     )
     a = sigs.select(
         F.col("id").alias("d1"), F.col("vec").alias("v1"), "bucket"
