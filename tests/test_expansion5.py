@@ -113,6 +113,34 @@ def test_crosslingual_near_dup_counts_cross_lang_pairs_only(spark, tmp_path):
     assert r["max_shared"] == 3
 
 
+def test_crosslingual_df_cap_counts_null_doc_posting(spark, tmp_path):
+    """The XLING_MAX_DF stop-gram cap counts a NULL-doc posting as one
+    distinct document (mirroring the oracle's DISTINCT doc, gram
+    count): a gram shared by exactly MAX_DF real docs pairs, but the
+    same corpus plus ONE null-doc copy pushes every gram's df to
+    MAX_DF + 1 and drops them all — the boundary the postings rewrite
+    must preserve."""
+    from transformers_spark.expansion5 import (
+        XLING_MAX_DF,
+        q_crosslingual_near_dup,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (i, text, "en" if i % 2 else "fr", "web", len(text))
+        for i in range(1, XLING_MAX_DF + 1)
+    ]
+    sf = str(tmp_path / "sfxcap")
+    _write(_docs(spark, rows), sf, "documents")
+    at_cap = q_crosslingual_near_dup(spark, sf).collect()
+    assert len(at_cap) == 1 and at_cap[0]["n_pairs"] == 25 * 25
+
+    sf2 = str(tmp_path / "sfxcapnull")
+    _write(_docs(spark, rows + [(None, text, "de", "web", len(text))]), sf2, "documents")
+    over_cap = q_crosslingual_near_dup(spark, sf2).collect()
+    assert over_cap == []
+
+
 def test_shard_skew_exact_histogram(spark, tmp_path):
     """Three 40000-byte docs against the 65536-byte budget: starts
     0/40000/80000 -> shards 0 (two docs, 80000 B) and 1 (one doc,

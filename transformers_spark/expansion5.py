@@ -426,12 +426,25 @@ def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _word_ngrams is distinct per doc, so duplicate (doc, gram) rows
     # can only come from duplicated INPUT rows — array_distinct inside
     # the one aggregate collapses them (the old frame-level .distinct()
-    # did the same a shuffle earlier); collect_list also drops NULL
-    # docs, exactly like the old inner join against doc-keyed langs.
+    # did the same a shuffle earlier). collect_list drops NULL docs
+    # (they can never pair: the old inner join against doc-keyed langs
+    # dropped them too), but the document-frequency CAP must still
+    # count a null-doc posting as one distinct doc — the old dfreq
+    # (and the oracle's dfq) counts DISTINCT (doc, gram) rows
+    # INCLUDING the null doc, so a boundary gram with a null posting
+    # must drop identically: __null adds that one back. Lower bound 2
+    # is on REAL docs (a 1-real + null gram passes the old d >= 2 but
+    # yields no pairs either way).
     postings = (
         grams.groupBy("gram")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("doc"))).alias("docs"))
-        .filter(F.size("docs").between(2, XLING_MAX_DF))
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("doc"))).alias("docs"),
+            F.max(F.col("doc").isNull().cast("int")).alias("__null"),
+        )
+        .filter(
+            (F.size("docs") >= 2)
+            & ((F.size("docs") + F.col("__null")) <= XLING_MAX_DF)
+        )
     )
     pair_array = F.flatten(
         F.transform(
