@@ -112,6 +112,17 @@ PROPERTIES = {
                            ["CartesianProduct",
                             "BroadcastNestedLoopJoin"]),
     "retrieval_rrf_fusion": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # second-sweep (r12) warm-top-10 entrants. crossmodal: the text
+    # near-dup side must stay the inverted-index local pair expansion
+    # (Generate over posting arrays), never an all-pairs stage; the
+    # embedding attach is an ordinary equi-join. bm25 (pinned via the
+    # un-checkpointed builder): top-k through WindowGroupLimit; its
+    # BNLJ instances are the 1-row avgdl/stats scalar joins, so only
+    # CartesianProduct is forbidden — same class as rrf_fusion.
+    "crossmodal_dedup_agreement": (["Generate"],
+                                   ["CartesianProduct",
+                                    "BroadcastNestedLoopJoin"]),
+    "text_bm25_retrieval": (["WindowGroupLimit"], ["CartesianProduct"]),
     # r12 split: min/max/nulls in a keyless (no-Sort) global aggregate,
     # the multi-distinct Expand pipeline all-HashAggregate, their 1-row
     # results cross-joined (a one-row broadcast — the BNLJ here is that
@@ -199,7 +210,24 @@ def _rrf_builder(spark):
     return _rrf_fusion_frame(spark, SF)
 
 
-BUILDERS = {"retrieval_rrf_fusion": _rrf_builder}
+def _bm25_builder(spark):
+    # q_bm25_retrieval eagerly localCheckpoints its tiny result (the
+    # measured 8-wide clamp rationale in its docstring) — pin the
+    # un-checkpointed bm25_topk frame it materializes instead
+    from pyspark.sql import functions as F
+
+    from transformers_spark.operators.text import bm25_topk
+    from transformers_spark.sources.testdata import register_tables
+
+    register_tables(spark, SF, ("documents",))
+    docs = spark.table("documents")
+    return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), top_k=5)
+
+
+BUILDERS = {
+    "retrieval_rrf_fusion": _rrf_builder,
+    "text_bm25_retrieval": _bm25_builder,
+}
 
 # Top-cost queries exempt from the PROPERTIES requirement, with the
 # reason (test_top_cost_batch_queries_are_pinned):

@@ -586,18 +586,18 @@ def embedding_neardup_pairs(
     pairs agree on most hyperplane signs, so recall degrades slowly.
     """
     weights = hyperplane_weights(planes, dim)
-    # persist: BOTH self-join sides consume sigs, and without the cache
-    # the scan + signature map pass (planes x dim dot products per row)
-    # is evaluated once per side — no exchange reuse fires across the
-    # join's two arms (same fix class as source_overlap_matrix's sg)
-    sigs = cache.track(
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            hyperplane_signature(F.col(vec_col), weights).alias("bucket"),
-        )
-        .persist()
+    # NOT persisted: both self-join arms re-evaluate sigs (no exchange
+    # reuse fires across the arms), but a same-epoch A/B of the persist
+    # form measured it slightly SLOWER on both catalog consumers
+    # (dedup_embedding_cosine 0.87->0.99, dedup_embedding_pipeline
+    # 1.40->1.85 warm) — the signature is one cheap map expression per
+    # row, so the cache write + two cache reads cost more than the
+    # second scan+compute, and the same arithmetic holds at cluster
+    # scale (cache I/O = 1 write + 2 reads vs 1 extra columnar read).
+    sigs = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), weights).alias("bucket"),
     )
     a = sigs.select(
         F.col("id").alias("d1"), F.col("vec").alias("v1"), "bucket"
