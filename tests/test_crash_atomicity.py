@@ -71,13 +71,22 @@ else:
         [(1, "2024-01-01"), (2, "2024-01-02")], "id bigint, d string"
     ).selectExpr("id", "CAST(d AS DATE) AS d"))
 
-# kill for real between stage write and swap: a patched insertInto is
-# the swap's first instruction, and os._exit skips every finally
-from pyspark.sql.readwriter import DataFrameWriter
-def _killed(self, *a, **k):
-    sys.stdout.write("STAGE_WRITTEN\\n"); sys.stdout.flush()
-    os._exit(137)
-DataFrameWriter.insertInto = _killed
+# kill for real between stage write and swap, skipping every finally:
+# the whole-table path swaps by RENAME (its first instruction is
+# Writer._rename_table), the partitioned path by INSERT OVERWRITE
+# (its first instruction is a patched insertInto)
+if mode == "whole_table":
+    from transformers_spark.loaders import Writer as _W
+    def _killed(self, *a, **k):
+        sys.stdout.write("STAGE_WRITTEN\\n"); sys.stdout.flush()
+        os._exit(137)
+    _W._rename_table = _killed
+else:
+    from pyspark.sql.readwriter import DataFrameWriter
+    def _killed(self, *a, **k):
+        sys.stdout.write("STAGE_WRITTEN\\n"); sys.stdout.flush()
+        os._exit(137)
+    DataFrameWriter.insertInto = _killed
 
 meta = cat.get_table(FQN)
 if mode == "whole_table":
@@ -166,13 +175,21 @@ def test_kill_between_stage_and_swap_then_recover(mode, tmp_path):
 
 # --- mid-swap kill on the DML-emulation paths (r10 verdict ask 4) ---
 #
-# The one window write-then-swap cannot make atomic on Parquet: the
-# process dies DURING the destination overwrite, after it has already
-# destroyed files. The child patches the swap's insertInto to
-# physically damage the destination (delete its data files — a
-# strictly WORSE state than any real partial swap) and then die.
-# Recovery must find the committed __bak_ snapshot, restore it at the
-# next DML entry, and converge the re-run.
+# Whole-table path (r13 rename-swap): the worst window is a kill
+# BETWEEN the swap's two renames — the FIRST rename really runs
+# (destination name gone from the catalog, its files intact under
+# ``__old_``), then the process dies. Recovery must adopt the
+# ``__old_`` back at the next lookup and converge the re-run. The
+# destination's data files are never rewritten by this path, so there
+# is no file-damage window at all.
+#
+# Partition-scoped path: the INSERT OVERWRITE swap cannot be made
+# crash-atomic on Parquet — the process dies DURING the overwrite,
+# after it has already destroyed files. The child patches the swap's
+# insertInto to physically damage the destination (delete its data
+# files — a strictly WORSE state than any real partial swap) and then
+# die. Recovery must find the committed __bak_ snapshot, restore it
+# at the next DML entry, and converge the re-run.
 
 _CRASH_MIDSWAP = _COMMON + """
 import glob, shutil
@@ -197,16 +214,28 @@ loc = next(
     if (r[0] or "").strip() == "Location"
 ).removeprefix("file:")
 
-# the swap is the load's first insertInto after seeding; simulate a
-# mid-swap kill by damaging the destination for real, then dying
-from pyspark.sql.readwriter import DataFrameWriter
-def _killed(self, *a, **k):
-    target = loc if mode == "dml_whole" else loc + "/dt=2024-01-02"
-    for p in glob.glob(target + "/*"):
-        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
-    sys.stdout.write("DEST_DAMAGED\\n"); sys.stdout.flush()
-    os._exit(137)
-DataFrameWriter.insertInto = _killed
+if mode == "dml_whole":
+    # kill BETWEEN the two renames: the first rename executes for
+    # real (destination name absent, files intact under __old_),
+    # then the process dies before the stage is renamed in
+    from transformers_spark.loaders import Writer as _W
+    _orig_rename = _W._rename_table
+    def _killed(self, src, dst):
+        _orig_rename(self, src, dst)
+        sys.stdout.write("DEST_DAMAGED\\n"); sys.stdout.flush()
+        os._exit(137)
+    _W._rename_table = _killed
+else:
+    # the swap is the load's first insertInto after seeding; simulate
+    # a mid-swap kill by damaging the destination for real, then dying
+    from pyspark.sql.readwriter import DataFrameWriter
+    def _killed(self, *a, **k):
+        target = loc + "/dt=2024-01-02"
+        for p in glob.glob(target + "/*"):
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+        sys.stdout.write("DEST_DAMAGED\\n"); sys.stdout.flush()
+        os._exit(137)
+    DataFrameWriter.insertInto = _killed
 
 if mode == "dml_whole":
     writer.delete_where(FQN, "id = 2")
@@ -222,12 +251,18 @@ raise SystemExit("unreachable: the swap should have killed us")
 
 _RECOVER_MIDSWAP = _COMMON + """
 mode = {mode!r}
+# dml_whole: the destination NAME is absent after the crash — this
+# very lookup must adopt the intact __old_ table back (zero-copy
+# rename, Catalog.get_table -> adopt_interrupted_swap)
 meta = cat.get_table(FQN)
 
-# re-run the SAME load: the entry-point restore must adopt the __bak_
-# snapshot (rebuilding the damaged files) before the plan reads the
-# destination, and the load must then converge
+# re-run the SAME load: rename-adoption (dml_whole) / the entry-point
+# __bak_ restore (partitioned, rebuilding the damaged files) must
+# converge the destination before the plan reads it
 if mode == "dml_whole":
+    rows = sorted(r[0] for r in
+                  spark.table(meta.spark_name).select("id").collect())
+    assert rows == [1, 2], f"adopted-back destination corrupted: {{rows}}"
     writer.delete_where(FQN, "id = 2")
     rows = sorted(r[0] for r in
                   spark.table(meta.spark_name).select("id").collect())
@@ -246,12 +281,13 @@ else:
                        .where("dt = DATE'2024-01-01'").select("id").collect())
     assert untouched == [1], untouched
 
-# success dropped the re-run's own bak; the crashed run's stage is the
-# only orphan class left, and stage recovery still works
+# success left no swap/backup state behind (the re-run dropped its own
+# bak / __old_); the crashed run's stage is the only orphan class
+# left, and stage recovery still works
 db = meta.spark_name.rsplit(".", 1)[0]
-baks = [t.name for t in spark.catalog.listTables(db)
-        if "__bak" in t.name]
-assert baks == [], baks
+leftovers = [t.name for t in spark.catalog.listTables(db)
+             if "__bak" in t.name or "__old_" in t.name]
+assert leftovers == [], leftovers
 orphans = writer.recover_orphan_stages()
 assert orphans and all("__stage_" in o for o in orphans), orphans
 print("RECOVERY_OK")

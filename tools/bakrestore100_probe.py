@@ -1,26 +1,23 @@
 #!/usr/bin/env python
-"""100x probe of the mid-swap backup/restore path itself (r11 verdict
-ask 5): the crash contract is fault-injected at test scale in
-tests/test_crash_atomicity.py, but the RESTORE (_restore_from_backup
-rewrites the covered content from the bak table) had no measured wall
-or convergence point at data scale. This kills a real process
-mid-swap on the MERGE100-scale standing index (~2M rows on the 100x
-saturated corpus), then measures:
+"""100x probe of the whole-table mid-swap recovery path at data
+scale (r11 verdict ask 5, updated for the r13 RENAME-SWAP protocol):
+the crash contract is fault-injected at test scale in
+tests/test_crash_atomicity.py; this re-proves it on the MERGE100-scale
+standing index (~2M rows on the 100x saturated corpus). The MERGE's
+swap is killed for real BETWEEN its two renames — the one window that
+leaves the destination NAME absent (its files intact under
+``__old_``) — then a second process measures:
 
-* restore wall — _restore_pending_backup at the next DML entry;
-* bit-identical recovery — the restored table equals the recomputed
-  pre-crash fixture content (two-sided exceptAll empty);
+* restore wall — ``Catalog.get_table`` adopting the ``__old_`` back
+  (a zero-copy metastore rename; the r12 snapshot protocol needed a
+  13.8 s full-table rewrite here, BAKRESTORE100_r12.json);
+* bit-identical recovery — the adopted table equals the recomputed
+  pre-crash fixture content (two-sided exceptAll empty) — trivially
+  so, because they are the ORIGINAL files;
 * re-run convergence — the re-run MERGE's post-state equals the
   fresh full-corpus index (same invariant as merge100_probe).
 
-Three processes over one embedded Hive metastore in a scratch cwd:
-(1) build fixture, patch the swap's insertInto to physically damage
-the destination (delete its files — strictly worse than any real
-partial swap) and os._exit(137) mid-swap, AFTER the bak committed;
-(2) restore + verify bit-identity; (3) = (2) continues: re-run the
-MERGE to convergence.
-
-    python tools/bakrestore100_probe.py --json BAKRESTORE100_r12.json
+    python tools/bakrestore100_probe.py --json BAKRESTORE100_r13.json
 """
 
 from __future__ import annotations
@@ -68,22 +65,17 @@ cat, writer, stmt, fqn = _cdc_merge_setup(spark, SF_DIR)
 meta = cat.get_table(fqn)
 pre_rows = spark.table(meta.spark_name).count()
 print("PRE_ROWS", pre_rows, flush=True)
-loc = next(
-    r[1] for r in spark.sql(
-        "DESCRIBE FORMATTED " + meta.spark_name).collect()
-    if (r[0] or "").strip() == "Location"
-).removeprefix("file:")
-
-# the MERGE's swap is its first DataFrameWriter.insertInto (the stage
-# and the bak both go through saveAsTable); damage the destination for
-# real, then die — the bak is already committed at this point
-from pyspark.sql.readwriter import DataFrameWriter
-def _killed(self, *a, **k):
-    for p in glob.glob(loc + "/*"):
-        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+# kill BETWEEN the rename-swap's two renames: the first rename runs
+# for real (destination name absent, original files intact under
+# __old_), then the process dies before the stage is renamed in —
+# the exact window the adoption path exists for
+from transformers_spark.loaders import Writer as _W
+_orig_rename = _W._rename_table
+def _killed(self, src, dst):
+    _orig_rename(self, src, dst)
     sys.stdout.write("DEST_DAMAGED\\n"); sys.stdout.flush()
     os._exit(137)
-DataFrameWriter.insertInto = _killed
+_W._rename_table = _killed
 
 execute_merge(spark, cat, writer, stmt, fqn)
 raise SystemExit("unreachable: the swap should have killed us")
@@ -101,12 +93,13 @@ from transformers_spark.operators.dedup import (
 
 cat = Catalog(spark)
 writer = Writer(spark, cat)
-meta = cat.get_table(FQN)
 
+# the destination NAME is absent after the crash; this lookup adopts
+# the intact __old_ table back (zero-copy rename)
 t0 = time.time()
-restored = writer._restore_pending_backup(meta)
+meta = cat.get_table(FQN)
 restore_secs = round(time.time() - t0, 2)
-assert restored, "no pending bak found — the crash arm did not commit one"
+assert spark.catalog.tableExists(meta.spark_name), "adoption failed"
 print("RESTORE_SECS", restore_secs, flush=True)
 
 # bit-identical recovery: restored table == recomputed fixture content
@@ -190,8 +183,8 @@ def main() -> None:
         "dataset": DST,
         "table": FQN,
         "pre_crash_rows": pre_rows,
-        "crash": "mid-swap kill with destination files deleted "
-                 "(strictly worse than any real partial swap)",
+        "crash": "kill between the rename-swap's two renames "
+                 "(destination name absent, files intact under __old_)",
         "restore_secs": restore_secs,
         "restore_missing_rows": miss,
         "restore_extra_rows": extra,

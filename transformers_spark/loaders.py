@@ -30,55 +30,64 @@ Crash/recovery contract for the staged paths (write-then-swap):
 * killed BETWEEN stage write and swap — destination untouched and
   fully readable; a committed ``<table>__stage_<hex8>`` orphan
   remains (a real kill never reaches the ``finally`` DROP).
-* killed DURING the ``INSERT OVERWRITE`` swap — Parquet overwrite is
-  NOT crash-atomic (SURVEY §7): the Hive commit narrows the exposure
-  to the final delete+rename window, but a kill inside it can leave
-  the destination partially rewritten.
+* killed DURING the swap — the two paths differ:
 
-Recovery, in order: (1) re-run the load; (2) call
+  - WHOLE-TABLE staged overwrites (``_overwrite_via_stage``) swap by
+    METASTORE RENAME (r13): dest → ``__old_``, stage → dest, drop
+    ``__old_``. The destination's original files are never
+    rewritten, so no crash window can damage them. A kill between
+    the two renames leaves the name absent with the original intact
+    under ``__old_``; the first subsequent lookup
+    (``Catalog.get_table`` → ``adopt_interrupted_swap``) renames it
+    back — a zero-copy, bit-identical restore — and the re-run
+    converges. A kill after the second rename leaves a garbage
+    ``__old_`` that the next DML entry (``_restore_pending_backup``)
+    drops. This replaced a 3-data-write protocol (stage + whole-table
+    ``__bak_`` snapshot + truncate-insert) with ONE data write; the
+    snapshot alone was +0.34-0.45 s locally (``BAKCOST_r12.json``)
+    and a full extra table write at any scale.
+  - PARTITION-SCOPED staged overwrites
+    (``_replace_affected_partitions`` — a rename can only swap a
+    whole table) keep the ``INSERT OVERWRITE`` swap, which is NOT
+    crash-atomic on Parquet (SURVEY §7). That window is closed by a
+    BACKUP SNAPSHOT (r10 verdict ask 4): just before the swap,
+    exactly the affected partitions are committed to a
+    ``<table>__bak_<hex8>`` table — written under ``__bakstage_``
+    and RENAMEd into place, so the restorable name can never hold a
+    half-written snapshot; the snapshot cost is proportional to the
+    touched window, not the table. The bak is dropped only after the
+    swap succeeds; EVERY destination-mutating entry point — the DML
+    emulations AND the REPLACE/append family — restores a surviving
+    bak (under the table lock, before reading or writing the
+    destination), so a re-run recomputes from restored state, not
+    from a partially rewritten table. The REPLACE-family restore
+    exists for a different reason than the DML one: a REPLACE needs
+    no snapshot of its own (its output derives from the source
+    alone), but a bak left by an EARLIER crashed DML must be
+    consumed before the REPLACE commits — a stale bak surviving the
+    REPLACE would make the NEXT DML's restore roll the table back
+    over the REPLACE's output, silently losing it.
+
+Recovery, in order: (1) re-run the load (every entry point restores
+pending ``__bak_``/garbage ``__old_`` state first, and a missing
+destination is adopted back from its ``__old_`` at lookup); (2) call
 ``Writer.recover_orphan_stages`` to drop leftover ``__stage_`` tables
 (pure garbage: unique-suffix names mean a re-run never collides with
-an orphan). Re-run convergence is SCOPED by load class:
-
-* loads whose output derives solely from the source query (APPEND is
-  append-only and never swaps; REPLACE / REPLACE_ALL / REPLACE_MERGE
-  rebuild their partitions from the source alone) — a re-run
-  converges regardless of which window the crash hit, including a
-  mid-swap kill, because nothing the rebuild reads was damaged;
-* DML-emulation loads (delete_insert, DELETE/UPDATE/MERGE emulation)
-  BUILD THE STAGED REPLACEMENT BY READING THE DESTINATION. A kill in
-  windows (1)-(2) still converges (destination untouched). The
-  mid-swap window (3) is closed by a BACKUP SNAPSHOT (r10 verdict
-  ask 4): just before the swap, the content it will overwrite (the
-  whole table, or exactly the affected partitions) is committed to a
-  ``<table>__bak_<hex8>`` table — written under ``__bakstage_`` and
-  RENAMEd into place, so the restorable name can never hold a
-  half-written snapshot. The bak is dropped only after the swap
-  succeeds; EVERY destination-mutating entry point — the DML
-  emulations AND the REPLACE/append family — restores a surviving
-  bak (under the table lock, before reading or writing the
-  destination), so a re-run recomputes from restored state, not
-  from a partially rewritten table. The REPLACE-family restore
-  exists for a different reason than the DML one: a REPLACE needs
-  no snapshot of its own (its output derives from the source
-  alone), but a bak left by an EARLIER crashed DML must be
-  consumed before the REPLACE commits — a stale bak surviving the
-  REPLACE would make the NEXT DML's restore roll the table back
-  over the REPLACE's output, silently losing it. The snapshot costs one extra write of the affected
-  partitions — measured (``BAKCOST_r12.json``, same-session A/B on
-  the dedup_cdc_merge index upsert): +0.34 s = 1.23x on the merge
-  component at sf0.1 and +0.45 s = 1.18x on the 100x (~2M-row)
-  index, the relative price SHRINKING with scale because the
-  merge's scan/join work grows faster than the snapshot write. The
-  price of crash safety on a non-transactional format; a
-  transactional table format (the write surface is format-agnostic
-  by design) makes both the swap and the backup unnecessary.
+an orphan). Loads whose output derives solely from the source query
+(APPEND, REPLACE / REPLACE_ALL / REPLACE_MERGE) converge on re-run
+after a crash in ANY window; DML-emulation loads converge because
+the windows above leave the destination either untouched, restorable
+by rename (whole-table), or restorable from the bak snapshot
+(partition-scoped). A transactional table format (the write surface
+is format-agnostic by design) makes the swap machinery unnecessary.
 
 Fault-injection coverage: tests/test_crash_atomicity.py kills a real
 process (a) between stage and swap on both the non-partitioned and
-the partitioned path, and (b) MID-SWAP on both DML paths (the
-overwrite's first file mutation), then proves old data intact (a) or
-restored-on-rerun (b), plus re-run convergence on all arms.
+the partitioned path, (b) BETWEEN the whole-table swap's two renames
+(destination name absent) and (c) MID-SWAP on the partition-scoped
+DML path (the overwrite's first file mutation), then proves old data
+intact/adopted-back (a, b) or restored-on-rerun (c), plus re-run
+convergence on all arms.
 """
 
 from __future__ import annotations
@@ -99,6 +108,14 @@ _NOT_NULL_RE = re.compile(r"\s+not\s+null\s*$", re.IGNORECASE)
 # uuid-suffixed staging tables (see _overwrite_via_stage /
 # _replace_affected_partitions); recover_orphan_stages matches on this
 _STAGE_RE = re.compile(r"__stage_[0-9a-f]{8}$")
+
+# Rename-swap state for WHOLE-TABLE staged overwrites (r13,
+# _overwrite_via_stage): the destination is renamed to
+# ``<table>__old_<hex8>`` and the committed stage renamed into place —
+# the destination's ORIGINAL files are never rewritten, so recovery
+# from a mid-swap kill is a zero-copy rename back (see
+# adopt_interrupted_swap / _restore_pending_backup).
+_OLD_RE = re.compile(r"__old_[0-9a-f]{8}$")
 
 # Mid-swap crash backups for DML-emulation loads (r10 verdict ask 4).
 # Protocol (see _create_backup / _restore_from_backup): the affected
@@ -490,7 +507,7 @@ class Writer:
             matches = F.coalesce(F.expr(filter_expression), F.lit(False))
             if not meta.partition.is_partitioned:
                 self._overwrite_via_stage(
-                    meta, dest.filter(~matches).unionByName(new), backup=True
+                    meta, dest.filter(~matches).unionByName(new)
                 )
                 return
             # affected = partitions with deletions ∪ partitions of inserts —
@@ -524,9 +541,7 @@ class Writer:
             dest = self.spark.table(meta.spark_name)
             matches = F.coalesce(F.expr(predicate), F.lit(False))
             if not meta.partition.is_partitioned:
-                self._overwrite_via_stage(
-                    meta, dest.filter(~matches), backup=True
-                )
+                self._overwrite_via_stage(meta, dest.filter(~matches))
                 return
             affected_days, affected = self._affected_days_snapshot(
                 dest.filter(matches).select(PARTITION_COL).distinct()
@@ -600,7 +615,7 @@ class Writer:
                     out = updated.withColumn(
                         PARTITION_COL, F.to_date(F.col(f"`{part.field}`"))
                     )
-                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )), backup=True)
+                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
                 return
             affected_days, affected = self._affected_days_snapshot(
                 dest.filter(matches).select(PARTITION_COL).distinct()
@@ -722,11 +737,12 @@ class Writer:
         Pending-backup restore is likewise the CALLER's entry step
         (dml.execute_merge restores before building the plan — df's
         lineage already points at the destination files, so restoring
-        here would be after the fact); the swap itself still snapshots
-        (backup=True) so a mid-swap kill stays recoverable."""
+        here would be after the fact); the rename-swap keeps a
+        mid-swap kill recoverable without any snapshot write (the
+        ``__old_`` name IS the zero-copy backup)."""
         meta = self.catalog.get_table(fqn)
         with table_write_lock(meta.spark_name):
-            self._overwrite_via_stage(meta, df, backup=True)
+            self._overwrite_via_stage(meta, df)
 
     # -- mid-swap crash backups (DML emulation) ---------------------------
 
@@ -830,6 +846,9 @@ class Writer:
         bakstage_re = re.compile(
             re.escape(table.lower()) + r"__bakstage_[0-9a-f]{8}$"
         )
+        old_re = re.compile(
+            re.escape(table.lower()) + r"__old_[0-9a-f]{8}$"
+        )
         restored: list[str] = []
         for tbl in self.spark.catalog.listTables(db or None):
             if tbl.isTemporary:
@@ -840,6 +859,15 @@ class Writer:
             elif bak_re.fullmatch(tbl.name.lower()):
                 self._restore_from_backup(meta.spark_name, full)
                 restored.append(full)
+            elif old_re.fullmatch(tbl.name.lower()):
+                # rename-swap leftovers (_overwrite_via_stage). The
+                # destination exists here (the caller looked it up),
+                # so either the swap COMPLETED and its final DROP
+                # never ran — the __old_ holds superseded pre-swap
+                # content, garbage — or a mid-swap crash was already
+                # rolled back by adopt_interrupted_swap, which leaves
+                # no __old_ behind. Drop it.
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(full)}")
         return restored
 
     def recover_pending_backups(self) -> list[str]:
@@ -860,49 +888,159 @@ class Writer:
                 elif _BAK_RE.search(tbl.name):
                     self._restore_from_backup(_BAK_RE.sub("", full), full)
                     restored.append(full)
+                elif _OLD_RE.search(tbl.name):
+                    # rename-swap state: destination present = the
+                    # swap completed, the __old_ is superseded content
+                    # (drop); destination absent = mid-swap crash, the
+                    # __old_ IS the original table (rename it back)
+                    base = _OLD_RE.sub("", full)
+                    if self.spark.catalog.tableExists(base):
+                        self.spark.sql(f"DROP TABLE IF EXISTS {_q(full)}")
+                    else:
+                        self.spark.sql(
+                            f"ALTER TABLE {_q(full)} RENAME TO {_q(base)}"
+                        )
+                        restored.append(full)
         return restored
 
     # -- staging --------------------------------------------------------
 
-    def _overwrite_via_stage(
-        self, meta: TableMeta, df: DataFrame, backup: bool = False
-    ) -> None:
-        """Materialize df into a staging table, then truncate-load the
-        destination from it. Breaks the read-write cycle when df's plan
-        scans the destination — the same cost class as BigQuery's
-        temp-table materialization in the reference's merge script.
+    def _rename_table(self, src: str, dst: str) -> None:
+        """Metastore table rename (a managed table's directory moves
+        with it). A seam: tests/test_crash_atomicity.py injects real
+        kills between the swap's two renames by patching exactly this
+        method."""
+        self.spark.sql(f"ALTER TABLE {_q(src)} RENAME TO {_q(dst)}")
 
-        ``backup=True`` (the DML-emulation callers): snapshot the
-        destination to a ``__bak_`` table before the swap, so the one
-        window Parquet cannot make atomic — a kill DURING the swap —
-        becomes recoverable: the next load on this table (or an
-        in-process exception right here) restores the snapshot before
-        anything re-reads the damaged destination. REPLACE-family
-        callers skip it: their output derives from the source alone,
-        so a re-run after any crash already converges (module docs)."""
-        stage_name = f"{meta.spark_name}__stage_{uuid.uuid4().hex[:8]}"
+    def _copy_table_properties(self, src: str, dst: str) -> None:
+        """Copy TBLPROPERTIES (the catalog's partition bookkeeping
+        PROP_KIND/PROP_FIELD, operators' index-width props, bak scopes)
+        from ``src`` onto ``dst`` so a rename-swapped stage presents
+        the destination's full metadata. Reserved storage keys —
+        which SET TBLPROPERTIES rejects or which must stay the
+        stage's own — are skipped."""
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {_q(src)}").collect()
+        skip = {"external", "location", "owner", "provider"}
+        kvs = [
+            (r[0], r[1])
+            for r in rows
+            if r[0].lower() not in skip
+            and not r[0].startswith(("option.", "spark.sql.create."))
+            and r[0] != "transient_lastDdlTime"
+        ]
+        if kvs:
+            pairs = ", ".join(
+                "'{}' = '{}'".format(
+                    k.replace("'", "''"), (v or "").replace("'", "''")
+                )
+                for k, v in kvs
+            )
+            self.spark.sql(
+                f"ALTER TABLE {_q(dst)} SET TBLPROPERTIES ({pairs})"
+            )
+
+    def _overwrite_via_stage(self, meta: TableMeta, df: DataFrame) -> None:
+        """Materialize df into a staging table, copy the destination's
+        table properties onto it, then RENAME-SWAP it into place:
+        dest → ``__old_``, stage → dest, DROP ``__old_``. Breaks the
+        read-write cycle when df's plan scans the destination, with
+        **one data write total** — the previous protocol wrote the
+        data THREE times (stage + whole-table ``__bak_`` snapshot +
+        truncate-insert; the snapshot alone was +0.34-0.45 s locally,
+        BAKCOST_r12.json, and a full-table write at any scale). The
+        renames are metastore/filesystem-metadata operations.
+
+        Crash contract (fault-injected in tests/test_crash_atomicity):
+
+        * killed after the stage commit, before the first rename —
+          destination untouched; the stage is an orphan
+          (``recover_orphan_stages``).
+        * killed BETWEEN the renames — the destination name is absent
+          but its ORIGINAL files live on under ``__old_``; the next
+          touch of the table (``Catalog.get_table`` miss →
+          ``adopt_interrupted_swap``) renames them back, bit-identical
+          by construction (no copy to get wrong), and the re-run
+          converges.
+        * killed after the second rename, before the DROP — the swap
+          is complete; the ``__old_`` is garbage and the next DML
+          entry on the table (``_restore_pending_backup``) drops it.
+
+        The partition-scoped paths (``_replace_affected_partitions``)
+        keep the ``__bak_`` snapshot protocol: a rename can only swap
+        a whole table, and their snapshot cost is proportional to the
+        touched window, not the table."""
+        suffix = uuid.uuid4().hex[:8]
+        stage_name = f"{meta.spark_name}__stage_{suffix}"
+        old_name = f"{meta.spark_name}__old_{suffix}"
+        # The stage BECOMES the destination, so pin the destination's
+        # physical column NAMES positionally (the insertInto contract
+        # this replaced) and exact TYPES (insertInto cast-by-position;
+        # both are no-ops when df already matches).
+        dest_schema = self.spark.table(meta.spark_name).schema
+        df = df.toDF(*[f.name for f in dest_schema])
+        df = df.select(
+            *[
+                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                for f in dest_schema
+            ]
+        )
         df, obs = self._observed(df)
-        df.write.format("parquet").saveAsTable(stage_name)
+        wtr = df.write.format("parquet")
+        if meta.partition.is_partitioned:
+            wtr = wtr.partitionBy(PARTITION_COL)
+        wtr.saveAsTable(stage_name)
         self._record(obs)
+        swapped = False
         try:
-            bak = self._create_backup(meta, None) if backup else None
-            try:
-                with table_write_lock(meta.spark_name), _conf(
-                    self.spark, "spark.sql.sources.partitionOverwriteMode", "static"
-                ):
-                    self.spark.table(stage_name).write.insertInto(meta.spark_name, overwrite=True)
-            except BaseException:
-                if bak is not None:
-                    try:
-                        self._restore_from_backup(meta.spark_name, bak)
-                    except Exception:  # noqa: BLE001 — bak survives for
-                        pass           # the next load's re-run restore
-                raise
-            if bak is not None:
-                self.spark.sql(f"DROP TABLE IF EXISTS {_q(bak)}")
+            self._copy_table_properties(meta.spark_name, stage_name)
+            with table_write_lock(meta.spark_name):
+                self._rename_table(meta.spark_name, old_name)
+                try:
+                    self._rename_table(stage_name, meta.spark_name)
+                    swapped = True
+                except BaseException:
+                    # roll the first rename back so the destination is
+                    # never left absent by an in-process failure
+                    self._rename_table(old_name, meta.spark_name)
+                    raise
+            self.spark.sql(f"DROP TABLE IF EXISTS {_q(old_name)}")
         finally:
-            self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+            if not swapped:
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
         self._refresh(meta)
+
+
+def adopt_interrupted_swap(spark: SparkSession, spark_name: str) -> bool:
+    """Recovery for the one window where a rename-swap crash leaves
+    the destination NAME absent (killed between ``dest → __old_`` and
+    ``stage → dest``; see ``Writer._overwrite_via_stage``): the
+    original table lives intact under ``<table>__old_<hex8>``. Rename
+    it back and report True — a zero-copy, bit-identical restore (the
+    files never moved content, only names). Called from
+    ``Catalog.get_table`` when a lookup misses, so the FIRST touch of
+    the table after the crash converges, before any plan reads it.
+
+    Roll BACK, not forward: the committed stage does hold the
+    complete new content, but the convergence contract is "restore
+    pre-crash state, re-run the load" (the stage becomes an orphan
+    for ``recover_orphan_stages``). Matching is case-insensitive
+    (the Hive metastore lowercases stored names) and exact-anchored
+    so a sibling table sharing a name prefix is never adopted."""
+    db, _, table = spark_name.rpartition(".")
+    pat = re.compile(re.escape(table.lower()) + r"__old_[0-9a-f]{8}$")
+    try:
+        tables = spark.catalog.listTables(db or None)
+    except Exception:  # noqa: BLE001 — e.g. the database doesn't exist
+        return False
+    for tbl in tables:
+        if tbl.isTemporary:
+            continue
+        if pat.fullmatch(tbl.name.lower()):
+            full = f"{db}.{tbl.name}" if db else tbl.name
+            spark.sql(f"ALTER TABLE {_q(full)} RENAME TO {_q(spark_name)}")
+            spark.catalog.refreshTable(spark_name)
+            return True
+    return False
 
 
 def _q(name: str) -> str:
