@@ -32,6 +32,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--n", type=int, default=3)
+    ap.add_argument(
+        "--compare",
+        action="store_true",
+        help="run BOTH drain modes (file-at-a-time vs all-files-in-one-"
+        "batch) and assert their drained outputs are row-identical "
+        "(the r13 single-batch-drain equivalence evidence)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -54,14 +61,19 @@ def main() -> None:
     ).save()
 
     rows = []
+    collected: dict[str, list] = {}
+    arms = [("onebatch", None), ("perfile", 1)] if args.compare else [
+        ("perfile", 1)
+    ]
     for i in range(args.n):
         t0 = time.perf_counter()
         source = _stream_flush_source_dir(spark, args.sf_dir)
         t_prep = time.perf_counter() - t0
 
+        arm, mft = arms[i % len(arms)] if args.compare else arms[0]
         with shuffle_partitions(spark, 8):
             sdf = sessionize(
-                spark, source, timeout="event", max_files_per_trigger=1
+                spark, source, timeout="event", max_files_per_trigger=mft
             )
             name = (
                 "sess_split_"
@@ -82,11 +94,15 @@ def main() -> None:
                 for p in query.recentProgress
             ]
             t2 = time.perf_counter()
-            n_rows = (
-                spark.table(name)
-                .filter(F.col("user_id") != SENTINEL_USER)
-                .count()
+            real = spark.table(name).filter(
+                F.col("user_id") != SENTINEL_USER
             )
+            if args.compare:
+                got = sorted(map(tuple, real.collect()))
+                collected.setdefault(arm, []).append(got)
+                n_rows = len(got)
+            else:
+                n_rows = real.count()
             t_read = time.perf_counter() - t2
 
         add_batch_ms = sum(
@@ -99,6 +115,7 @@ def main() -> None:
         rows.append(
             {
                 "run": i,
+                "arm": arm,
                 "prep_s": round(t_prep, 3),
                 "drain_s": round(t_drain, 3),
                 "addBatch_s": round(add_batch_ms / 1000, 3),
@@ -111,7 +128,14 @@ def main() -> None:
         )
         print(rows[-1], file=sys.stderr)
 
-    print(json.dumps({"sf_dir": args.sf_dir, "runs": rows}, indent=1))
+    out = {"sf_dir": args.sf_dir, "runs": rows}
+    if args.compare:
+        sets = [g for arms_runs in collected.values() for g in arms_runs]
+        identical = all(g == sets[0] for g in sets[1:])
+        out["rows_identical_across_modes"] = identical
+        if not identical:
+            print("MISMATCH between drain modes", file=sys.stderr)
+    print(json.dumps(out, indent=1))
     spark.stop()
 
 
