@@ -845,32 +845,50 @@ def pq_adc_topk(
     sum over subspaces of ||q_j - codebook_j[code_j]||². The scan
     touches only (id, codes) — at scale that is the whole point: the
     ~64x-smaller code table streams while queries broadcast. Ranks on
-    rounded distance with id tie-breaks (deterministic)."""
+    rounded distance with id tie-breaks (deterministic).
+
+    FAISS's distance-table trick: per (query, subspace) there are only
+    ``n_codes`` possible term values, so the table of all of them is
+    computed ONCE per query row on the (tiny, broadcast) query side,
+    and the per-(query, doc) pair work drops from m·ds multiply-adds
+    plus m slice allocations to m array lookups and m-1 adds. Each
+    table entry evaluates the IDENTICAL expression the per-pair form
+    inlined (same zip_with fold over the same slice, same
+    left-to-right `+` chain across subspaces), so every distance is
+    bit-identical to the direct form."""
     m, ds = len(books), len(books[0][0])
-    cb = _nested_array_lit(books)  # [m][n_codes][ds]
-    # null-vector contract: a NULL query vector has no ADC distance
-    q = F.broadcast(
-        queries.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
-    )
-    terms = []
-    for j in range(m):
-        chosen = F.element_at(
-            F.element_at(cb, j + 1), F.col("codes").getItem(j) + 1
-        )
-        qslice = F.slice(F.col("qvec"), j * ds + 1, ds)
-        terms.append(
-            F.aggregate(
+
+    # closure factory, NOT a j=j default on the transform lambda: a
+    # 2-parameter lambda is PySpark's (element, index) form and the
+    # engine would pass the index COLUMN as j
+    def _lut_subspace(j: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(books[j]))),
+            lambda c: F.aggregate(
                 F.zip_with(
-                    qslice,
-                    chosen,
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    F.slice(F.col("qvec"), j * ds + 1, ds),
+                    F.element_at(_nested_array_lit(books[j]), c),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
-            )
+            ),
         )
+
+    # null-vector contract: a NULL query vector has no ADC distance
+    lut = F.array(*[_lut_subspace(j) for j in range(m)])
+    q = F.broadcast(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .select("query_id", lut.alias("__lut"))
+    )
+    terms = [
+        F.element_at(
+            F.element_at(F.col("__lut"), j + 1), F.col("codes").getItem(j) + 1
+        )
+        for j in range(m)
+    ]
     dist = terms[0]
     for t in terms[1:]:
         dist = dist + t
