@@ -117,8 +117,12 @@ def test_grouping_sets_is_one_scan_expand(spark):
 
 def test_pack_sequences_no_single_partition_window(spark):
     """The packing prefix sum must run per range-partition — a
-    SinglePartition exchange feeding the cumulative Window is the
-    scale cliff the two-phase design exists to avoid."""
+    SinglePartition exchange carrying the DATA into the cumulative
+    Window is the scale cliff the two-phase design exists to avoid.
+    Since r13 the per-partition subtotals ARE prefix-summed under one
+    SinglePartition window, but that frame is an AGGREGATE of
+    partition-count size: pin that every SinglePartition exchange in
+    the plan feeds directly from an aggregate, never from the data."""
     from transformers_spark.operators.curation import pack_sequences
 
     df = spark.createDataFrame(
@@ -126,8 +130,14 @@ def test_pack_sequences_no_single_partition_window(spark):
     )
     out = pack_sequences(df, seq_len=16, num_ranges=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+    lines = plan.splitlines()
+    sp_children = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if "Exchange SinglePartition" in ln and i + 1 < len(lines)
+    ]
+    assert all("HashAggregate" in child for child in sp_children), sp_children
 
 
 def test_bpe_topk_is_take_ordered(spark):
@@ -532,22 +542,26 @@ def test_ntiles_wide_matches_window_ntile(spark):
 
 
 def test_ntile_expr_edge_totals(spark):
-    """_ntile_expr boundary cases: n=1, n=k-1, n=k, n=k+1, prime n —
-    every (total, k) pairing must equal the window NTILE on a plain
-    range frame."""
+    """NTILE-from-total boundary cases: n=1, n=k-1, n=k, n=k+1, prime
+    n — every (total, k) pairing must equal the window NTILE on a
+    plain range frame. Exercises _with_ntile_from_total, the shared
+    column-arithmetic core of with_global_ntile / ntiles_wide /
+    grouped_ntile (the r13 in-plan replacement for the driver-side
+    _ntile_expr)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from transformers_spark.operators.ranking import _ntile_expr
+    from transformers_spark.operators.ranking import _with_ntile_from_total
 
     for k in (1, 2, 4, 5, 8):
         for n in (1, k - 1, k, k + 1, 2 * k + 3, 97):
             if n < 1:
                 continue
             df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+            framed = df.withColumn("__tot", F.lit(n).cast("bigint"))
             got = [
                 r["q"]
-                for r in df.select("rn", _ntile_expr("rn", n, k).alias("q"))
+                for r in _with_ntile_from_total(framed, "rn", "__tot", "q", k)
                 .orderBy("rn")
                 .collect()
             ]
@@ -560,12 +574,14 @@ def test_ntile_expr_edge_totals(spark):
             assert got == want, f"n={n} k={k}"
 
 
-def test_ranking_offset_collect_is_partition_count_sized(spark, monkeypatch):
-    """Pin the two-phase ranking driver collect: the ONLY frames pulled
-    to the driver are the per-partition count aggregates (one row per
-    partition[, per dimension]) — a refactor that collects the data
-    frame itself would silently reintroduce the driver bottleneck
-    (VERDICT r3 ask #6)."""
+def test_ranking_builds_without_driver_collect(spark, monkeypatch):
+    """Pin the r13 in-plan offset prefix-sum: BUILDING the two-phase
+    ranking frames triggers NO driver collect at all (the per-
+    partition offsets used to be collected — one extra Spark action
+    per call, the job-floor cost VERDICT r12 ask #1 removed). A
+    refactor that reintroduces any eager action here shows up as a
+    spy hit; the offsets' correctness stays pinned by the
+    matches-window-ntile tests."""
     from transformers_spark.operators.ranking import global_row_number, ntiles_wide
 
     df = spark.range(0, 1000).select(
@@ -581,15 +597,14 @@ def test_ranking_offset_collect_is_partition_count_sized(spark, monkeypatch):
         return rows
 
     monkeypatch.setattr(cls, "collect", spy)
-    _out, total = global_row_number(
-        df, [F.asc("v"), F.asc("id")], num_partitions=4
+    ranked = global_row_number(
+        df, [F.asc("v"), F.asc("id")], num_partitions=4, total_col="__t"
     )
-    assert total == 1000
-    ntiles_wide(df, "id", [("qa", F.col("v")), ("qb", -F.col("v"))], k=4)
-    assert collected
-    for cols, n in collected:
-        assert set(cols) <= {"__pid", "__dim", "c"}, cols
-        assert n <= 64, (cols, n)  # bounded by partitions x dims, never data rows
+    wide = ntiles_wide(df, "id", [("qa", F.col("v")), ("qb", -F.col("v"))], k=4)
+    assert collected == [], collected  # fully lazy — no eager action
+    # the in-plan total equals the old driver-side count
+    assert ranked.select(F.max("__t")).collect()[0][0] == 1000
+    assert wide.count() == 1000
 
 
 def test_ntiles_wide_rejects_null_and_unrepresentable_keys(spark):
@@ -600,14 +615,16 @@ def test_ntiles_wide_rejects_null_and_unrepresentable_keys(spark):
 
     from transformers_spark.operators.ranking import ntiles_wide
 
+    # ntiles_wide is fully lazy since r13 (no offset collect), so the
+    # guard fires at the first ACTION, not at build time
     with_null = spark.createDataFrame(
         [(1, 1.0), (2, None)], "id long, b double"
     )
     with pytest.raises(Exception, match="ntiles_wide"):
-        ntiles_wide(with_null, "id", [("q", F.col("b"))], k=2)
+        ntiles_wide(with_null, "id", [("q", F.col("b"))], k=2).collect()
     huge = spark.createDataFrame([(1, 2**53 + 1), (2, 5)], "id long, b long")
     with pytest.raises(Exception, match="ntiles_wide"):
-        ntiles_wide(huge, "id", [("q", F.col("b"))], k=2)
+        ntiles_wide(huge, "id", [("q", F.col("b"))], k=2).collect()
     # decimal digits that don't survive the double cast also fail ...
     import decimal
 
@@ -617,7 +634,7 @@ def test_ntiles_wide_rejects_null_and_unrepresentable_keys(spark):
         "id long, b decimal(20,16)",
     )
     with pytest.raises(Exception, match="ntiles_wide"):
-        ntiles_wide(dec, "id", [("q", F.col("b"))], k=2)
+        ntiles_wide(dec, "id", [("q", F.col("b"))], k=2).collect()
     # ... but double keys are always exact under the identity cast:
     # huge magnitudes and NaN are legitimate (NaN sorts last, as in the
     # window-function equivalent) — the guard must not reject them

@@ -349,30 +349,52 @@ def q_order_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE operand order in both engines.
     """
     register_tables(spark, sf_dir, ("lineitem",))
-    op = cache.track(
+    # ONE shuffle builds per-order sorted distinct-part BASKETS
+    # (collect_set dedups (okey, pkey) inside the aggregate, partial-
+    # aggregating map-side); the size filter IS the old window-count
+    # cap. The previous shape — distinct → window count → okey
+    # self-join — paid three data-sized shuffles and read the
+    # persisted frame three times; here pairs expand LOCALLY from the
+    # sorted basket array (the lsh_pairs_from_buckets idiom) and
+    # marginals/total are cheap rollups of the small persisted basket
+    # frame (one row per order, not per line item).
+    baskets = cache.track(
         spark.table("lineitem")
         .filter(F.col("l_partkey").isNotNull())
-        .select(
-            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-        )
-        .distinct()
-        .withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("okey")))
-        .filter(F.col("bsz") <= BASKET_CAP)
-        .select("okey", "pkey")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= BASKET_CAP)
         .persist()
     )
-    a = op.select("okey", F.col("pkey").alias("p1"))
-    b = op.select("okey", F.col("pkey").alias("p2"))
+    pair_array = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("parts") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda p2: F.struct(
+                    F.col("parts")[i].alias("p1"), p2.alias("p2")
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("p1") < F.col("p2"))
+        # NULL-okey rows form one basket for marginals/total (matching
+        # the old distinct frame) but must emit NO pairs: the old
+        # okey equi-join never matched NULL to NULL. size >= 2 also
+        # guards sequence(0, -1), which would produce a DESCENDING
+        # [0, -1] for singleton baskets.
+        baskets.filter(F.col("okey").isNotNull() & (F.size("parts") >= 2))
+        .select(F.explode(pair_array).alias("pp"))
+        .select(F.col("pp.p1").alias("p1"), F.col("pp.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_together"))
     )
-    marg = op.groupBy("pkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders_p")
+    marg = (
+        baskets.select(F.explode("parts").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_p"))
     )
-    n_orders = op.select("okey").distinct().agg(
+    n_orders = baskets.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
     return (
@@ -581,7 +603,7 @@ def q_text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked, _total_vocab = global_row_number(
+    ranked = global_row_number(
         counts, [F.desc("c"), F.asc("tok")], out_col="rn"
     )
     one = ranked.agg(

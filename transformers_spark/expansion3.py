@@ -93,7 +93,7 @@ def q_token_rank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     total = counts.agg(F.sum("c").cast("bigint").alias("n_total"))
-    ranked, _n = global_row_number(
+    ranked = global_row_number(
         counts, [F.desc("c"), F.asc("tok")], out_col="rank"
     )
     head = ranked.filter(F.col("rank") <= TOKEN_CURVE_K)

@@ -347,11 +347,11 @@ def q_watermark_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the running max over arrival order is a TWO-PHASE
     prefix max (the pack_sequences discipline) — range-partition by
     event_id, per-partition running max, then a partition-count-sized
-    offset list broadcast back; never a single-partition window. The
+    prefix-max frame (computed IN-PLAN by a window over the tiny
+    per-partition max aggregate — no driver collect, no extra action)
+    broadcast back; never a single-partition window over the data. The
     rollup is an ordinary per-day hash aggregate. NULL ts / event_id
     drop at intake (no arrival position / no event time)."""
-    from .operators.frames import literal_frame
-
     register_tables(spark, sf_dir, ("events",))
     ev = (
         spark.table("events")
@@ -373,23 +373,18 @@ def q_watermark_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, -1)
     )
     with_local = ranged.withColumn("__local_prior", F.max("us").over(prior_w))
-    totals = sorted(
-        (r["__pid"], r["m"])
-        for r in ranged.groupBy("__pid").agg(F.max("us").alias("m")).collect()
+    # per-partition max (one row per range partition), prefix-maxed by
+    # a window over PRIOR pids: the first partition gets NULL (window
+    # max over an empty frame), exactly the old driver-side run=None
+    totals = ranged.groupBy("__pid").agg(F.max("us").alias("__m"))
+    prior_pids = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    off_df = totals.select(
+        F.col("__pid").alias("__pid_o"),
+        F.max("__m").over(prior_pids).cast("bigint").alias("__prefix"),
     )
-    offsets, run = [], None
-    for pid, m in totals:
-        offsets.append((pid, run))
-        run = m if run is None else max(run, m)
-    if offsets:
-        off_df = literal_frame(
-            spark, offsets, [("__pid", "int"), ("__prefix", "bigint")]
-        )
-        with_prior = with_local.join(F.broadcast(off_df), "__pid", "left")
-    else:
-        with_prior = with_local.withColumn(
-            "__prefix", F.lit(None).cast("bigint")
-        )
+    with_prior = with_local.join(
+        F.broadcast(off_df), F.col("__pid") == F.col("__pid_o"), "left"
+    )
     # Spark's greatest() skips NULLs (returns the max non-null), which
     # is exactly "max of whichever of the two priors exist"
     prior = F.greatest(F.col("__local_prior"), F.col("__prefix"))
@@ -528,14 +523,15 @@ def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to double ONCE per pair and ROUNDED, and the rollup uses
     order-independent aggregates only (count / percentile_disc / max
     — never a sum of doubles)."""
-    from .operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from .operators.dedup import (
+        _band_buckets,
+        lsh_pairs_from_buckets,
+        minhash_signatures,
+    )
     from .operators.text import tokens
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
-    pairs = minhash_lsh_pairs(
-        docs, num_perm=DEMO_NUM_PERM, bands=DEMO_BANDS
-    ).select("d1", "d2", "matching_bands")
 
     # one signature/gram row PER DOC: duplicate doc_id input rows carry
     # identical signatures, and joining them un-collapsed fans every
@@ -550,6 +546,20 @@ def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*[F.min(c).alias(c) for c in sig_cols])
         .persist()
     )
+    # candidates BAND THE SAME PERSISTED FRAME the estimate reads —
+    # minhash_lsh_pairs(docs) would re-run the whole tokenize+32-perm
+    # signature pipeline a second time (guide §2.4 duplicated-subtree
+    # class; the r12 crosslingual/ntiles finds). Banding the collapsed
+    # per-doc sigs is identical to banding raw rows: duplicate doc_id
+    # rows carry bit-identical signatures (min == each copy), and
+    # lsh_pairs_from_buckets array_distinct's each bucket's members
+    # anyway, so the (doc, band, bucket) set — and every pair — is
+    # unchanged.
+    pairs = lsh_pairs_from_buckets(
+        _band_buckets(
+            sigs, DEMO_BANDS, DEMO_NUM_PERM // DEMO_BANDS, "portable"
+        )
+    ).select("d1", "d2", "matching_bands")
     agree = sum(
         F.when(
             F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), 1

@@ -10,9 +10,16 @@ two-phase plan that stays parallel:
    contiguous key range, partitions in key order;
 2. ``row_number`` partitioned by ``spark_partition_id()`` — a local
    sort per partition, never a global one;
-3. one tiny aggregate (a row per partition) collected driver-side to
-   prefix-sum the partition offsets; local rank + offset = exact
-   global rank.
+3. one tiny aggregate (a row per partition) prefix-summed INSIDE the
+   plan (a window over the |partitions|-row count frame) and
+   broadcast-joined back; local rank + offset = exact global rank.
+
+The offsets deliberately stay distributed — an earlier version
+collected them driver-side, which cost one extra Spark ACTION per
+call (a full job round-trip: schedule + AQE re-plan + py4j) on top of
+the final query's own. The per-query job floor is ~150-300 ms/job
+locally (FLOOR_r12.json) and a driver sync point at any scale, while
+the in-plan window runs over a frame the size of the partition count.
 
 The sort key must be a TOTAL order (include a unique tie-break
 column); with a total order the global rank is independent of where
@@ -26,7 +33,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import cache
-from .frames import literal_frame
 
 __all__ = [
     "global_row_number",
@@ -42,18 +48,20 @@ def global_row_number(
     order_by: list[Column],
     out_col: str = "__rn",
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+    total_col: str | None = None,
+) -> DataFrame:
     """Attach an exact 1-based global row number under ``order_by``
     (which must be a total order) without a single-partition sort.
-    Returns ``(frame, total_row_count)`` — the count is a by-product
-    of the offset collect, not an extra job.
+    ``total_col`` additionally attaches the global row COUNT as a
+    column — it falls out of the same per-partition count frame as
+    the offsets, no extra pass.
 
     The returned frame is persisted (tracked via ``cache.track`` for
-    release after materialization): the offset collect and the
-    returned plan both consume the range partitioning, whose sampled
-    boundaries are not guaranteed stable across recomputes.
+    release after materialization): the offset subtree and the main
+    plan both consume the range partitioning, whose sampled
+    boundaries are not guaranteed stable across recomputes; the cache
+    makes both read ONE evaluation.
     """
-    spark = df.sparkSession
     # No explicit partition count unless asked: REPARTITION_BY_NUM pins
     # the exchange and defeats AQE, which otherwise coalesces a small
     # input to a handful of partitions (each partition costs a local
@@ -67,42 +75,55 @@ def global_row_number(
     with_rn = cache.track(
         ranged.withColumn("__lrn", F.row_number().over(local)).persist()
     )
-    counts = sorted(
-        (r["__pid"], r["c"])
-        for r in with_rn.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, c in counts:
-        offsets[pid] = acc
-        acc += c
-    off_df = literal_frame(
-        spark,
-        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
-        [("__pid", "int"), ("__off", "bigint")],
-    )
-    out = (
-        with_rn.join(F.broadcast(off_df), "__pid")
-        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__lrn", "__off")
-    )
-    return out, acc
-
-
-def _ntile_expr(rn_col: str, total: int, k: int) -> Column:
-    """NTILE(k) from a global row number, by the SQL-standard rule both
-    Spark and DuckDB implement: with ``total = k*base + rem`` rows, the
-    first ``rem`` buckets hold ``base+1`` rows, the rest ``base``.
-    Integer arithmetic only (``div``) — no float floor drift."""
-    base, rem = divmod(total, k)
-    thr = rem * (base + 1)
-    first = F.expr(f"({rn_col} + {base}) div {base + 1}")
-    if base == 0:
-        # total < k: every row is its own bucket 1..total
-        return first.cast("int")
-    second = F.lit(rem) + F.expr(f"({rn_col} - {thr} + {base - 1}) div {base}")
+    counts = with_rn.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # prefix-sum the per-partition counts in-plan: the frame has one
+    # row per range partition, so the single-partition window is over
+    # |partitions| rows, never data
+    prior = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    sel = [
+        F.col("__pid").alias("__pid_o"),
+        F.coalesce(F.sum("__c").over(prior), F.lit(0)).alias("__off"),
+    ]
+    if total_col is not None:
+        sel.append(
+            F.sum("__c")
+            .over(
+                W.orderBy("__pid").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .cast("bigint")
+            .alias(total_col),
+        )
+    offs = counts.select(*sel)
     return (
-        F.when(F.col(rn_col) <= F.lit(thr), first).otherwise(second).cast("int")
+        with_rn.join(F.broadcast(offs), F.col("__pid") == F.col("__pid_o"))
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__pid_o", "__lrn", "__off")
+    )
+
+
+def _with_ntile_from_total(
+    df: DataFrame, rn_col: str, total_col: str, out_col: str, k: int
+) -> Column:
+    """NTILE(k) from a row-number column and a (per-row) total COLUMN,
+    by the SQL-standard rule both Spark and DuckDB implement: with
+    ``total = k*base + rem`` rows, the first ``rem`` buckets hold
+    ``base+1`` rows, the rest ``base``. All bigint ``div`` arithmetic
+    (never float division, whose round-then-truncate can be off by one
+    near exact integer quotients). When base = 0, thr == total so the
+    first CASE arm always applies and the ELSE's div-by-zero is never
+    evaluated (CASE is lazy in both Spark and the SQL standard)."""
+    ntile_sql = (
+        f"CAST(CASE WHEN {rn_col} <= __thr THEN ({rn_col} + __base) div (__base + 1) "
+        f"ELSE __rem + ({rn_col} - __thr + __base - 1) div __base END AS INT)"
+    )
+    return (
+        df.withColumn("__base", F.expr(f"{total_col} div {k}"))
+        .withColumn("__rem", F.expr(f"{total_col} % {k}"))
+        .withColumn("__thr", F.expr("__rem * (__base + 1)"))
+        .withColumn(out_col, F.expr(ntile_sql))
+        .drop("__base", "__rem", "__thr")
     )
 
 
@@ -115,12 +136,14 @@ def with_global_ntile(
 ) -> DataFrame:
     """Attach ``NTILE(k) OVER (ORDER BY order_by)`` — bit-identical to
     the window function, computed via :func:`global_row_number` so the
-    plan has no SinglePartition exchange."""
+    plan has no SinglePartition exchange (and, like it, no driver
+    collect: the total rides along as a column)."""
     rn = f"__rn_{out_col}"
-    ranked, total = global_row_number(
-        df, order_by, out_col=rn, num_partitions=num_partitions
+    tot = f"__total_{out_col}"
+    ranked = global_row_number(
+        df, order_by, out_col=rn, num_partitions=num_partitions, total_col=tot
     )
-    return ranked.withColumn(out_col, _ntile_expr(rn, total, k)).drop(rn)
+    return _with_ntile_from_total(ranked, rn, tot, out_col, k).drop(rn, tot)
 
 
 def ntiles_wide(
@@ -139,15 +162,13 @@ def ntiles_wide(
     ``id_col`` ascending, which also makes the order total.
 
     Why not d calls to :func:`with_global_ntile`: each call is a
-    shuffle + persist + one offset-collect JOB. Tagging each dimension
-    by posexplode position and range-partitioning on (dim, key, id)
-    ranks ALL dimensions with one shuffle and one collect (of
-    |partitions| x d count rows), then pivots back map-side — at small
-    scale the saved job round-trips dominate, at large scale it is ONE
-    pass over the input (the generator fans rows d ways map-side)
-    instead of d, with 1/d of the barriers.
+    shuffle + persist of its own copy of the input. Tagging each
+    dimension by posexplode position and range-partitioning on
+    (dim, key, id) ranks ALL dimensions with one shuffle and one
+    in-plan prefix-sum (over |partitions| x d count rows), then pivots
+    back map-side — at large scale it is ONE pass over the input (the
+    generator fans rows d ways map-side) instead of d.
     """
-    spark = df.sparkSession
 
     def _checked_key(out: str, key: Column) -> Column:
         # Enforce the documented contract JVM-side (no extra pass): the
@@ -193,26 +214,35 @@ def ntiles_wide(
         ranged.withColumn("__lrn", F.row_number().over(local)).persist()
     )
     counts = with_rn.groupBy("__pid", "__dim").agg(
-        F.count(F.lit(1)).alias("c")
-    ).collect()
-    acc: dict[int, int] = {i: 0 for i in range(len(dims))}
-    offset_rows = []
-    for r in sorted(counts, key=lambda r: (r["__dim"], r["__pid"])):
-        offset_rows.append((int(r["__pid"]), int(r["__dim"]), acc[r["__dim"]]))
-        acc[r["__dim"]] += r["c"]
-    totals = set(acc.values())
-    # every dimension ranks the same rows — totals must agree
-    total = totals.pop() if len(totals) == 1 else max(acc.values())
-    off_df = literal_frame(
-        spark,
-        offset_rows or [(0, 0, 0)],
-        [("__pid", "int"), ("__dim", "int"), ("__off", "bigint")],
+        F.count(F.lit(1)).alias("__c")
+    )
+    # per-dimension in-plan prefix sum over the tiny count frame (one
+    # row per (partition, dim)); every dimension ranks the same rows,
+    # so the per-dim __total all agree — carrying it as a column is
+    # exactly the old driver-side single total
+    prior = (
+        W.partitionBy("__dim").orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        F.col("__pid").alias("__pid_o"),
+        F.col("__dim").alias("__dim_o"),
+        F.coalesce(F.sum("__c").over(prior), F.lit(0)).alias("__off"),
+        F.sum("__c")
+        .over(W.partitionBy("__dim"))
+        .cast("bigint")
+        .alias("__total"),
     )
     rn = "__gnt_rn"
-    scored = (
-        with_rn.join(F.broadcast(off_df), ["__pid", "__dim"])
-        .withColumn(rn, (F.col("__lrn") + F.col("__off")).cast("bigint"))
-        .withColumn("__q", _ntile_expr(rn, total, k))
+    scored = _with_ntile_from_total(
+        with_rn.join(
+            F.broadcast(offs),
+            (F.col("__pid") == F.col("__pid_o"))
+            & (F.col("__dim") == F.col("__dim_o")),
+        ).withColumn(rn, (F.col("__lrn") + F.col("__off")).cast("bigint")),
+        rn,
+        "__total",
+        "__q",
+        k,
     )
     return scored.groupBy(id_col).agg(
         *[
@@ -246,23 +276,11 @@ def grouped_ntile(
     window — each group already fits one task and this machinery buys
     nothing.
     """
-    # NTILE(k) with a per-group COLUMN total — same SQL-standard rule
-    # as _ntile_expr, in bigint `div` arithmetic (never float division,
-    # whose round-then-truncate can be off by one near exact integer
-    # quotients). When base = 0, thr == total so the first arm always
-    # applies and the ELSE's div-by-zero is never evaluated (CASE is
-    # lazy in both Spark and the SQL standard).
-    ntile_sql = (
-        "CAST(CASE WHEN __rn <= __thr THEN (__rn + __base) div (__base + 1) "
-        "ELSE __rem + (__rn - __thr + __base - 1) div __base END AS INT)"
+    ranked = grouped_row_number(
+        df, group_cols, order_by, rn_col="__rn", total_col="__total"
     )
-    return (
-        grouped_row_number(df, group_cols, order_by, rn_col="__rn", total_col="__total")
-        .withColumn("__base", F.expr(f"__total div {k}"))
-        .withColumn("__rem", F.expr(f"__total % {k}"))
-        .withColumn("__thr", F.expr("__rem * (__base + 1)"))
-        .withColumn(out_col, F.expr(ntile_sql))
-        .drop("__total", "__rn", "__base", "__rem", "__thr")
+    return _with_ntile_from_total(ranked, "__rn", "__total", out_col, k).drop(
+        "__total", "__rn"
     )
 
 

@@ -1447,12 +1447,15 @@ def bm25_topk(
     # whose tokens are all below min_term_len contributes nothing to
     # tf/df/avgdl, so counting it in N would make idf disagree with
     # the index the scores are computed over. One agg serves both
-    # driver scalars.
+    # scalars — kept as a 1-row frame crossed in via broadcast rather
+    # than a driver collect: the collect was a whole extra Spark
+    # action per query (job floor, guide §5 "the driver should do
+    # almost no data work"); the values are bit-identical (the same
+    # double would have round-tripped through F.lit).
     stats = doclen.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("a"),
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["a"]
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
@@ -1465,17 +1468,19 @@ def bm25_topk(
         .filter(F.col("term").isNotNull() & (F.length("term") >= min_term_len))
         .distinct()
     )
-    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (
+    idf = (F.col("__n_docs") - F.col("df") + F.lit(0.5)) / (
         F.col("df") + F.lit(0.5)
     )
     tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
     )
     matched = (
         q_terms.join(post, "term")
         .join(dfreq, "term")
         .filter(F.col("query_id") != F.col("doc"))
+        .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc",
