@@ -347,6 +347,8 @@ def main() -> None:
         "with `python tools/gen_plans.py`. Each excerpt keeps the",
         "scan/exchange/join/window skeleton and elides codegen ids.\n",
     ]
+    from transformers_spark import cache
+
     for name, why in PICKS.items():
         if name in BUILDERS:
             df = BUILDERS[name](spark, sf)
@@ -355,6 +357,12 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
+        # release per query, exactly like tests/test_plan_pins._live_plan:
+        # an earlier query's MATERIALIZED cache entry otherwise resolves
+        # into this plan's InMemoryRelation and the captured child grows
+        # executed-state markers (ColumnarToRow) the cache-clean pin
+        # session never sees (found via retrieval_rrf_fusion in r13)
+        cache.release()
         lines = skeleton(buf.getvalue())
         out.append(f"## {name}\n")
         out.append(why + "\n")
