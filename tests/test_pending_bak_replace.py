@@ -186,3 +186,83 @@ def test_mixed_case_destination_still_matches_its_bak(spark):
     assert _ids(spark, sname) == [1]
     assert _baks(spark, sname) == []
     spark.sql(f"DROP TABLE IF EXISTS {sname}")
+
+
+def test_rename_swap_preserves_table_properties_for_fresh_catalog(spark):
+    """r13 staged-overwrite contract: after a whole-table staged
+    overwrite, a FRESH Catalog (no cached meta) must read the same
+    partition spec and user-set TBLPROPERTIES, and the data must be
+    intact. The PARTITIONED arm is the regression this test CAUGHT
+    when first written: rename-swapping a partitioned stage leaves
+    the catalog's partition entries pointing at the stage's old
+    per-partition locations (the table reads empty) — partitioned
+    destinations therefore keep the snapshot protocol, and this test
+    pins that routing. The flat arm pins prop survival through the
+    actual RENAME swap (the stage becomes the destination, so props
+    must be copied onto it)."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark)
+    writer = Writer(spark, cat)
+    fqn = "g-project.playground.swap_props_t"
+    sname = cat.spark_name(fqn)
+    spark.sql(f"DROP TABLE IF EXISTS {sname}")
+    cat.create_table(
+        fqn,
+        [("id", "bigint"), ("d", "date")],
+        partition=PartitionSpec(kind=PartitionKind.COLUMN_DAY, field="d"),
+    )
+    writer.append(fqn, spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-02-01")], "id bigint, d string"
+    ).selectExpr("id", "CAST(d AS DATE) AS d"))
+    spark.sql(
+        f"ALTER TABLE {sname} SET TBLPROPERTIES ('custom.prop' = 'keepme')"
+    )
+    # partition-UNSAFE update (SET touches the partition field) routes
+    # through the whole-table rename swap on a PARTITIONED destination
+    writer.update_where(fqn, {"d": "DATE'2024-03-03'"}, "id = 2")
+
+    fresh = Catalog(spark)  # no cached meta: props come from the table
+    meta = fresh.get_table(fqn)
+    assert meta.partition.kind == PartitionKind.COLUMN_DAY
+    assert meta.partition.field == "d"
+    props = {
+        r[0]: r[1]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {sname}").collect()
+    }
+    assert props.get("custom.prop") == "keepme"
+    rows = {r["id"]: r for r in fresh.read(fqn).collect()}
+    assert str(rows[2]["d"]) == "2024-03-03"
+    assert str(rows[2]["dt"]) == "2024-03-03"  # dt recomputed + partitioned
+    assert str(rows[1]["d"]) == "2024-01-01"
+    # the swap leaves no __old_/__stage_/__bak_ state behind
+    db = sname.rsplit(".", 1)[0]
+    leftovers = [t.name for t in spark.catalog.listTables(db)
+                 if "__old_" in t.name or "__bak" in t.name]
+    assert leftovers == [], leftovers
+    spark.sql(f"DROP TABLE IF EXISTS {sname}")
+
+    # flat arm: the RENAME swap itself must carry props onto the
+    # swapped-in stage
+    ffqn = "g-project.playground.swap_props_flat"
+    fname = cat.spark_name(ffqn)
+    spark.sql(f"DROP TABLE IF EXISTS {fname}")
+    cat.create_table(ffqn, [("id", "bigint"), ("v", "string")])
+    writer.append(ffqn, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"))
+    spark.sql(
+        f"ALTER TABLE {fname} SET TBLPROPERTIES ('custom.prop' = 'keepme')"
+    )
+    writer.update_where(ffqn, {"v": "'z'"}, "id = 2")
+    fprops = {
+        r[0]: r[1]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {fname}").collect()
+    }
+    assert fprops.get("custom.prop") == "keepme"
+    got = {r["id"]: r["v"] for r in Catalog(spark).read(ffqn).collect()}
+    assert got == {1: "a", 2: "z"}
+    leftovers = [t.name for t in spark.catalog.listTables(db)
+                 if "__old_" in t.name or "__bak" in t.name
+                 or "__stage_" in t.name]
+    assert leftovers == [], leftovers
+    spark.sql(f"DROP TABLE IF EXISTS {fname}")

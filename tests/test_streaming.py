@@ -384,3 +384,50 @@ def test_session_fn_drops_null_timestamps():
     start_us, last_us, n = state.get
     assert n == 2                               # null row dropped
     assert start_us > 0                         # no int64-min garbage
+
+
+def test_sessionization_single_batch_drain_equals_per_file(spark):
+    """r13: the catalog sessionization drains ALL files in one
+    micro-batch (plus the engine's one trailing timeout batch) — the
+    per-file drain paid a state-store/Python round trip per file for
+    the same rows. Pin both the batch count and the row identity
+    against the file-at-a-time drain over the SAME sentinel-flushed
+    source."""
+    import hashlib
+
+    from transformers_spark.streaming.specs import (
+        SENTINEL_USER,
+        _stream_flush_source_dir,
+    )
+    from transformers_spark.streaming.windows import shuffle_partitions
+
+    source = _stream_flush_source_dir(spark, "/root/testdata/sf0.001")
+    results = {}
+    batches = {}
+    for arm, mft in (("onebatch", None), ("perfile", 1)):
+        with shuffle_partitions(spark, 4):
+            sdf = sessionize(
+                spark, source, timeout="event", max_files_per_trigger=mft
+            )
+            name = "sess_ab_" + hashlib.md5(arm.encode()).hexdigest()[:8]
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            batches[arm] = len(q.recentProgress)
+            results[arm] = sorted(
+                map(
+                    tuple,
+                    spark.table(name)
+                    .filter(F.col("user_id") != SENTINEL_USER)
+                    .collect(),
+                )
+            )
+    assert results["onebatch"] == results["perfile"]
+    assert len(results["onebatch"]) > 0
+    # 4 source files: data batch + trailing timeout batch vs >= 4
+    assert batches["onebatch"] <= 2 < batches["perfile"]

@@ -435,6 +435,17 @@ def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must drop identically: __null adds that one back. Lower bound 2
     # is on REAL docs (a 1-real + null gram passes the old d >= 2 but
     # yields no pairs either way).
+    # Buffer-size assumption (r12 ADVICE, documented trade): the
+    # collect_list materializes a gram's full posting array BEFORE the
+    # XLING_MAX_DF size filter, so one degenerate stop-gram holds its
+    # whole posting list in a single aggregation buffer — the same
+    # bound the repo's ngram_jaccard inverted index accepts, because
+    # 4-gram shingles over natural text have sharply bounded df (a
+    # 4-gram shared by millions of docs is boilerplate the upstream
+    # dedup/quality passes remove). A pre-filter (per-gram count
+    # aggregate joined back) would bound the buffer at the price of a
+    # second full shuffle of every (gram, doc) row on EVERY run — the
+    # wrong trade while the assumption holds.
     postings = (
         grams.groupBy("gram")
         .agg(

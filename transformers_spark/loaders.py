@@ -32,23 +32,27 @@ Crash/recovery contract for the staged paths (write-then-swap):
   remains (a real kill never reaches the ``finally`` DROP).
 * killed DURING the swap — the two paths differ:
 
-  - WHOLE-TABLE staged overwrites (``_overwrite_via_stage``) swap by
-    METASTORE RENAME (r13): dest → ``__old_``, stage → dest, drop
-    ``__old_``. The destination's original files are never
-    rewritten, so no crash window can damage them. A kill between
-    the two renames leaves the name absent with the original intact
-    under ``__old_``; the first subsequent lookup
-    (``Catalog.get_table`` → ``adopt_interrupted_swap``) renames it
-    back — a zero-copy, bit-identical restore — and the re-run
-    converges. A kill after the second rename leaves a garbage
-    ``__old_`` that the next DML entry (``_restore_pending_backup``)
-    drops. This replaced a 3-data-write protocol (stage + whole-table
-    ``__bak_`` snapshot + truncate-insert) with ONE data write; the
-    snapshot alone was +0.34-0.45 s locally (``BAKCOST_r12.json``)
-    and a full extra table write at any scale.
-  - PARTITION-SCOPED staged overwrites
+  - WHOLE-TABLE staged overwrites of NON-PARTITIONED destinations
+    (``_overwrite_via_stage``) swap by METASTORE RENAME (r13):
+    dest → ``__old_``, stage → dest, drop ``__old_``. The
+    destination's original files are never rewritten, so no crash
+    window can damage them. A kill between the two renames leaves
+    the name absent with the original intact under ``__old_``; the
+    first subsequent lookup (``Catalog.get_table`` →
+    ``adopt_interrupted_swap``) renames it back — a zero-copy,
+    bit-identical restore — and the re-run converges. A kill after
+    the second rename leaves a garbage ``__old_`` that the next DML
+    entry (``_restore_pending_backup``) drops. This replaced a
+    3-data-write protocol (stage + whole-table ``__bak_`` snapshot +
+    truncate-insert) with ONE data write; the snapshot alone was
+    +0.34-0.45 s locally (``BAKCOST_r12.json``) and a full extra
+    table write at any scale.
+  - PARTITIONED destinations — both whole-table overwrites (a table
+    RENAME moves the table directory but the catalog's PARTITION
+    entries keep their old locations, so a swapped-in partitioned
+    stage reads empty) and PARTITION-SCOPED staged overwrites
     (``_replace_affected_partitions`` — a rename can only swap a
-    whole table) keep the ``INSERT OVERWRITE`` swap, which is NOT
+    whole table) — keep the ``INSERT OVERWRITE`` swap, which is NOT
     crash-atomic on Parquet (SURVEY §7). That window is closed by a
     BACKUP SNAPSHOT (r10 verdict ask 4): just before the swap,
     exactly the affected partitions are committed to a
@@ -507,7 +511,7 @@ class Writer:
             matches = F.coalesce(F.expr(filter_expression), F.lit(False))
             if not meta.partition.is_partitioned:
                 self._overwrite_via_stage(
-                    meta, dest.filter(~matches).unionByName(new)
+                    meta, dest.filter(~matches).unionByName(new), backup=True
                 )
                 return
             # affected = partitions with deletions ∪ partitions of inserts —
@@ -541,7 +545,9 @@ class Writer:
             dest = self.spark.table(meta.spark_name)
             matches = F.coalesce(F.expr(predicate), F.lit(False))
             if not meta.partition.is_partitioned:
-                self._overwrite_via_stage(meta, dest.filter(~matches))
+                self._overwrite_via_stage(
+                    meta, dest.filter(~matches), backup=True
+                )
                 return
             affected_days, affected = self._affected_days_snapshot(
                 dest.filter(matches).select(PARTITION_COL).distinct()
@@ -615,7 +621,7 @@ class Writer:
                     out = updated.withColumn(
                         PARTITION_COL, F.to_date(F.col(f"`{part.field}`"))
                     )
-                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )))
+                self._overwrite_via_stage(meta, out.select(*[F.col(f"`{c}`") for c in meta.column_names], *( [F.col(PARTITION_COL)] if part.is_partitioned else [] )), backup=True)
                 return
             affected_days, affected = self._affected_days_snapshot(
                 dest.filter(matches).select(PARTITION_COL).distinct()
@@ -742,7 +748,7 @@ class Writer:
         ``__old_`` name IS the zero-copy backup)."""
         meta = self.catalog.get_table(fqn)
         with table_write_lock(meta.spark_name):
-            self._overwrite_via_stage(meta, df)
+            self._overwrite_via_stage(meta, df, backup=True)
 
     # -- mid-swap crash backups (DML emulation) ---------------------------
 
@@ -939,7 +945,9 @@ class Writer:
                 f"ALTER TABLE {_q(dst)} SET TBLPROPERTIES ({pairs})"
             )
 
-    def _overwrite_via_stage(self, meta: TableMeta, df: DataFrame) -> None:
+    def _overwrite_via_stage(
+        self, meta: TableMeta, df: DataFrame, backup: bool = False
+    ) -> None:
         """Materialize df into a staging table, copy the destination's
         table properties onto it, then RENAME-SWAP it into place:
         dest → ``__old_``, stage → dest, DROP ``__old_``. Breaks the
@@ -965,13 +973,51 @@ class Writer:
           is complete; the ``__old_`` is garbage and the next DML
           entry on the table (``_restore_pending_backup``) drops it.
 
-        The partition-scoped paths (``_replace_affected_partitions``)
-        keep the ``__bak_`` snapshot protocol: a rename can only swap
-        a whole table, and their snapshot cost is proportional to the
-        touched window, not the table."""
+        PARTITIONED destinations keep the legacy stage + snapshot +
+        truncate-insert protocol: a table RENAME moves the table
+        directory but the catalog's PARTITION entries keep their old
+        per-partition locations, so a swapped-in partitioned stage
+        reads EMPTY (caught by
+        test_rename_swap_preserves_table_properties_for_fresh_catalog).
+        ``backup`` applies only there (DML callers snapshot, the
+        REPLACE family — whose output derives from the source alone —
+        does not); the hot whole-table DML paths (standing indexes)
+        are non-partitioned and always rename-swap. The
+        partition-SCOPED paths (``_replace_affected_partitions``)
+        likewise keep the ``__bak_`` protocol."""
         suffix = uuid.uuid4().hex[:8]
         stage_name = f"{meta.spark_name}__stage_{suffix}"
         old_name = f"{meta.spark_name}__old_{suffix}"
+        if meta.partition.is_partitioned:
+            df, obs = self._observed(df)
+            df.write.format("parquet").partitionBy(PARTITION_COL).saveAsTable(
+                stage_name
+            )
+            self._record(obs)
+            try:
+                bak = self._create_backup(meta, None) if backup else None
+                try:
+                    with table_write_lock(meta.spark_name), _conf(
+                        self.spark,
+                        "spark.sql.sources.partitionOverwriteMode",
+                        "static",
+                    ):
+                        self.spark.table(stage_name).write.insertInto(
+                            meta.spark_name, overwrite=True
+                        )
+                except BaseException:
+                    if bak is not None:
+                        try:
+                            self._restore_from_backup(meta.spark_name, bak)
+                        except Exception:  # noqa: BLE001 — bak survives
+                            pass           # for the re-run restore
+                    raise
+                if bak is not None:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {_q(bak)}")
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {_q(stage_name)}")
+            self._refresh(meta)
+            return
         # The stage BECOMES the destination, so pin the destination's
         # physical column NAMES positionally (the insertInto contract
         # this replaced) and exact TYPES (insertInto cast-by-position;
@@ -985,10 +1031,7 @@ class Writer:
             ]
         )
         df, obs = self._observed(df)
-        wtr = df.write.format("parquet")
-        if meta.partition.is_partitioned:
-            wtr = wtr.partitionBy(PARTITION_COL)
-        wtr.saveAsTable(stage_name)
+        df.write.format("parquet").saveAsTable(stage_name)
         self._record(obs)
         swapped = False
         try:
