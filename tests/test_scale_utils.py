@@ -255,8 +255,13 @@ def test_label_centroids_single_aggregate(spark):
 
 
 def test_temperature_sample_filter_is_map_only(spark):
-    """After the bounded rate collect, the kept-set filter itself must
-    be a scan+filter with no shuffle."""
+    """The kept-set decision must never shuffle the DATA: since r13
+    the per-stratum rates are computed IN-PLAN (a bounded aggregate +
+    single-partition window own the only non-broadcast exchanges) and
+    attach via a broadcast join, so the data side stays a
+    scan+join+filter with no data exchange — the r12 form collected
+    the rates to the driver instead, which was map-only too but paid
+    an extra Spark action per call."""
     from transformers_spark.operators.curation import temperature_sample
 
     df = spark.createDataFrame(
@@ -264,7 +269,13 @@ def test_temperature_sample_filter_is_map_only(spark):
     )
     out = temperature_sample(df, "lang", alpha=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange" in ln and "Broadcast" not in ln:
+            # every non-broadcast exchange belongs to the bounded
+            # rate aggregate, never to the data
+            assert "HashAggregate" in lines[i + 1], (ln, lines[i + 1])
 
 
 def test_hopping_windows_one_expand_one_aggregate(spark):
